@@ -1,13 +1,161 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.batch.GenericJoin
+import graft.plan.Planner
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * with a DuckDB-runnable oracle for everything SQL-expressible.
+  *
+  * The motif queries run the WCO GenericJoin engine over a graph derived
+  * deterministically from the driver's `lineitem` table
+  * (src = l_orderkey % 2000, dst = l_partkey % 2000, distinct, no
+  * self-loops) so the DuckDB oracle can rebuild the identical graph. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val K = 2000L
+
+  /** Deterministic derived edge graph over the driver tables. */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr(s"l_orderkey % $K AS src", s"l_partkey % $K AS dst")
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  val edgesCte: String =
+    s"WITH edges AS (SELECT DISTINCT l_orderkey % $K AS src, l_partkey % $K AS dst " +
+      s"FROM lineitem WHERE l_orderkey % $K <> l_partkey % $K)"
+
+  private def motifQuery(motif: Seq[(Int, Int)])(s: SparkSession, dir: String): DataFrame =
+    GenericJoin.enumerate(edges(s, dir), motif)
+
+  /** n-way self-join oracle for a motif, mirroring the engine's output
+    * schema (x0..x{k-1}, w). */
+  private def motifOracle(motif: Seq[(Int, Int)]): String = {
+    val n = motif.flatMap(e => Seq(e._1, e._2)).max + 1
+    val binder = scala.collection.mutable.Map[Int, String]()
+    motif.zipWithIndex.foreach { case ((s, d), i) =>
+      if (!binder.contains(s)) binder(s) = s"e$i.src"
+      if (!binder.contains(d)) binder(d) = s"e$i.dst"
+    }
+    val sel = (0 until n).map(a => s"${binder(a)} AS x$a").mkString(", ")
+    val from = motif.indices.map(i => s"edges e$i").mkString(", ")
+    val conds = motif.zipWithIndex.flatMap { case ((s, d), i) =>
+      Seq(s"e$i.src = ${binder(s)}", s"e$i.dst = ${binder(d)}")
+    }.distinct.filterNot(c => c.split(" = ")(0) == c.split(" = ")(1))
+    val where = if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
+    s"$edgesCte SELECT $sel, CAST(1 AS BIGINT) AS w FROM $from$where"
+  }
+
+  /** Flagship: WCO triangles on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    motifQuery(Planner.triangle)(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----
+    "wco_triangle" -> motifQuery(Planner.triangle),
+    "wco_cycle3" -> motifQuery(Planner.cycle3),
+    "wco_clique4" -> motifQuery(Planner.clique4),
+    "wco_cycle4_count" -> ((s, dir) =>
+      motifQuery(Planner.cycle4)(s, dir).agg(
+        count(lit(1)).as("n"), coalesce(sum("w"), lit(0L)).as("total"))),
+
+    // ---- degree / consolidation (reference count op + index consolidation) ----
+    "degree_table" -> ((s, dir) =>
+      edges(s, dir).groupBy(col("src").as("k"))
+        .agg(count(lit(1)).as("deg")).filter(col("deg") > 0)),
+
+    // ---- event-time windows [north] over the events table ----
+    "window_tumbling" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("win_start"), col("event_type"), col("n"))),
+    "window_session" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(s"$dir/events.parquet")
+      // sessionize per user with 10-minute gap; emit per-session bounds+size
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(min("ts").as("sess_start"), max("ts").as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .drop("sess_id")
+    }),
+
+    // ---- turn-ordering adjacency derivation (SURVEY.md §1.4) ----
+    "adjacency_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- classic aggregation (sanity + partial-agg coverage) ----
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
+
+    // ---- training-data ops: exact dedup + token counting ----
+    "dedup_exact" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dups"))
+        .select("doc_id", "dups")),
+    "token_count" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wco_triangle" -> motifOracle(Planner.triangle),
+    "wco_cycle3" -> motifOracle(Planner.cycle3),
+    "wco_clique4" -> motifOracle(Planner.clique4),
+    "wco_cycle4_count" ->
+      (s"$edgesCte SELECT count(*) AS n, CAST(count(*) AS BIGINT) AS total FROM " +
+        "(SELECT e0.src FROM edges e0, edges e1, edges e2, edges e3 " +
+        "WHERE e1.src = e0.dst AND e2.src = e1.dst AND e3.src = e2.dst AND e3.dst = e0.src)"),
+    "degree_table" ->
+      s"$edgesCte SELECT src AS k, count(*) AS deg FROM edges GROUP BY src",
+    "window_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2"),
+    "window_session" ->
+      ("WITH marked AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked) " +
+        "SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end, " +
+        "count(*) AS n_events FROM sess GROUP BY user_id, sess_id"),
+    "adjacency_lag" ->
+      ("WITH nxt AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) " +
+        "SELECT event_type AS src_type, next_type AS dst_type, count(*) AS n " +
+        "FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS dups FROM documents GROUP BY text",
+    "token_count" ->
+      ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens " +
+        "FROM documents")
+  )
 }

@@ -1,0 +1,220 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plan.Planner
+import graft.plan.Planner.RelationPlan
+
+/** Weighted edge index: the Spark analog of the reference's forward/reverse
+  * `IndexStream` pair (/root/reference/src/motif.rs:49-65) backed by
+  * DataFrames instead of per-worker in-memory multimaps.
+  *
+  * Z-set discipline: `ew` is a signed multiplicity. The adjacency frames MAY
+  * be unconsolidated (the same (k,v) appearing in several rows whose weights
+  * sum to the net multiplicity) — join is bilinear over Z-sets, so joining
+  * against the union of parts and summing weights downstream is equivalent
+  * to joining against the consolidated relation. This is what lets the
+  * incremental engine keep an LSM-style base + tail without re-consolidating
+  * O(|E|) state every micro-batch (the reference's tiered index,
+  * /root/reference/src/index.rs:16-25, plays the same role).
+  *
+  * Degree frames are different: each part must be consolidated per key
+  * (one row per k), because the count stage reads them via left joins.
+  * Degree here = sum of signed multiplicities of a key's neighbors — the
+  * proposal-cost measure the reference's `count` operator maintains
+  * (/root/reference/src/index.rs:343-384).
+  *
+  * Columns: fwd/rev = (k, v, ew); deg parts = (k, deg).
+  */
+final case class EdgeIndex(
+    fwd: DataFrame, rev: DataFrame,
+    degFwdParts: Seq[DataFrame], degRevParts: Seq[DataFrame]) {
+  def adj(forward: Boolean): DataFrame = if (forward) fwd else rev
+  def degParts(forward: Boolean): Seq[DataFrame] = if (forward) degFwdParts else degRevParts
+}
+
+object EdgeIndex {
+  /** Consolidates a raw weighted edge frame (src,dst[,w]) into a Z-set:
+    * sum weights per (src,dst), drop zeros (reference consolidation,
+    * /root/reference/src/index.rs:197-219). */
+  def consolidate(edges: DataFrame): DataFrame =
+    norm(edges).groupBy("src", "dst").agg(sum("w").as("w")).filter(col("w") =!= 0L)
+
+  /** (src,dst[,w]) → (src,dst,w) with long types and default weight +1. */
+  def norm(edges: DataFrame): DataFrame = {
+    val w = if (edges.columns.contains("w")) col("w").cast("long") else lit(1L)
+    edges.select(col("src").cast("long"), col("dst").cast("long"), w.as("w"))
+  }
+
+  /** Per-key signed degree of an (src,dst,w) frame, in `forward` direction. */
+  def degrees(edges: DataFrame, forward: Boolean): DataFrame = {
+    val k = if (forward) "src" else "dst"
+    edges.groupBy(col(k).as("k")).agg(sum("w").as("deg"))
+  }
+
+  /** Index over a single (possibly unconsolidated) edge frame. */
+  def apply(edges: DataFrame): EdgeIndex = ofParts(Seq(norm(edges)))
+
+  /** Index over an LSM-style list of edge parts: adjacency = plain union
+    * (bilinearity makes consolidation unnecessary); degrees consolidated
+    * per part-group. */
+  def ofParts(parts: Seq[DataFrame]): EdgeIndex = {
+    val normed = parts.map(norm)
+    val all = normed.reduce(_ unionByName _)
+    val fwd = all.select(col("src").as("k"), col("dst").as("v"), col("w").as("ew"))
+    val rev = all.select(col("dst").as("k"), col("src").as("v"), col("w").as("ew"))
+    EdgeIndex(fwd, rev,
+      degFwdParts = normed.map(degrees(_, forward = true)),
+      degRevParts = normed.map(degrees(_, forward = false)))
+  }
+}
+
+/** Batch worst-case-optimal GenericJoin over DataFrames.
+  *
+  * One `extendStage` = the reference's `GenericJoin::extend`
+  * (/root/reference/src/lib.rs:64-92): per-extender degree lookup (`count`),
+  * argmin routing, candidate generation from the cheapest index (`propose`),
+  * then validation against every other index (`intersect`). Here each is a
+  * relational op Catalyst can optimize — degree lookup = left join against a
+  * pre-aggregated degree table; propose = equi-join on the key; intersect =
+  * equi-join on the (key, candidate) pair, with weights multiplying through
+  * (Z-set bag semantics: a match's weight is the product of its edge
+  * weights, so streaming retractions cancel exactly).
+  */
+object GenericJoin {
+
+  /** One extender for a stage: key at `prefixPos` (0-based) of the prefix,
+    * looked up in `index` in the given direction (the Spark form of
+    * `extend_using`, /root/reference/src/extender.rs:41-54). */
+  final case class Extender(prefixPos: Int, forward: Boolean, index: EdgeIndex)
+
+  /** Extends a prefix frame (p: array<long>, w: long) by one attribute with
+    * the WCO count→argmin→propose→intersect discipline; returns the same
+    * schema with p one element longer.
+    *
+    * @param pruneZero drop prefixes whose minimum extender degree is ≤ 0.
+    *        Sound whenever net multiplicities are non-negative (all our
+    *        workloads); under adversarial mixed-sign Z-sets turn it off —
+    *        the propose/intersect joins then do the pruning implicitly.
+    */
+  def extendStage(prefixes: DataFrame, extenders: Seq[Extender],
+                  pruneZero: Boolean = true): DataFrame = {
+    require(extenders.nonEmpty)
+    def key(e: Extender): Column = element_at(col("p"), e.prefixPos + 1)
+
+    // ---- count: per-extender signed degree (0 when key absent) ----
+    // single-extender stages skip counting entirely, mirroring the
+    // reference's shortcut at /root/reference/src/lib.rs:68-70
+    val routed: Seq[(Int, DataFrame)] =
+      if (extenders.size == 1) Seq(0 -> prefixes)
+      else {
+        var cur = prefixes
+        for ((e, i) <- extenders.zipWithIndex) {
+          val parts = e.index.degParts(e.forward)
+          val pieces = parts.indices.map { pi =>
+            val d = parts(pi).select(col("k").as(s"_dk${i}_$pi"), col("deg").as(s"_deg${i}_$pi"))
+            cur = cur.join(d, key(e) === col(s"_dk${i}_$pi"), "left").drop(s"_dk${i}_$pi")
+            coalesce(col(s"_deg${i}_$pi"), lit(0L))
+          }
+          cur = cur.withColumn(s"_deg$i", pieces.reduce(_ + _))
+            .drop(parts.indices.map(pi => s"_deg${i}_$pi"): _*)
+        }
+        // argmin with ties to the lowest extender id (the reference seeds at
+        // 1<<31 and overwrites only on strictly smaller counts,
+        // /root/reference/src/index.rs:375-379)
+        val structs = extenders.indices.map(i => struct(col(s"_deg$i").as("c"), lit(i).as("i")))
+        var withMin = prefixesDropTemp(cur.withColumn("_min", least(structs: _*)), extenders.size)
+        if (pruneZero) withMin = withMin.filter(col("_min.c") > 0L)
+        extenders.indices.map(i => i -> withMin.filter(col("_min.i") === i).drop("_min"))
+      }
+
+    // ---- propose from the cheapest index, intersect with the others ----
+    val branches = routed.map { case (i, branch) =>
+      val prop = extenders(i)
+      val adj = prop.index.adj(prop.forward)
+        .select(col("k").as("_pk"), col("v").as("_ext"), col("ew").as("_ew"))
+      var cur = branch.join(adj, key(prop) === col("_pk"))
+        .withColumn("w", col("w") * col("_ew"))
+        .drop("_pk", "_ew")
+      for ((e, j) <- extenders.zipWithIndex if j != i) {
+        val a = e.index.adj(e.forward)
+          .select(col("k").as(s"_ik$j"), col("v").as(s"_iv$j"), col("ew").as(s"_iw$j"))
+        cur = cur.join(a, key(e) === col(s"_ik$j") && col("_ext") === col(s"_iv$j"))
+          .withColumn("w", col("w") * col(s"_iw$j"))
+          .drop(s"_ik$j", s"_iv$j", s"_iw$j")
+      }
+      cur.withColumn("p", concat(col("p"), array(col("_ext")))).drop("_ext")
+        .select("p", "w")
+    }
+    branches.reduce(_ unionByName _)
+  }
+
+  private def prefixesDropTemp(df: DataFrame, n: Int): DataFrame =
+    df.drop((0 until n).map(i => s"_deg$i"): _*)
+
+  /** Runs one relation's full pipeline: seed prefixes → extension stages →
+    * un-permute back to original attribute order (the reference's
+    * `relation_update`, /root/reference/src/motif.rs:135-174).
+    * `indexFor(inclusive)` supplies the staleness-correct index version;
+    * batch enumeration passes the same index for both.
+    * Output columns: x0..x{k-1} (long), w (long). */
+  def runPlan(seed: DataFrame, plan: RelationPlan, indexFor: Boolean => EdgeIndex,
+              pruneZero: Boolean = true): DataFrame = {
+    var cur = seed // (p: array<long> of length 2, w: long)
+    for (stage <- plan.stages) {
+      val exts = stage.map(c => Extender(c.prefixPos, c.forward, indexFor(c.inclusive)))
+      cur = extendStage(cur, exts, pruneZero)
+    }
+    val outCols = (0 until plan.numAttrs).map { a =>
+      element_at(col("p"), plan.inverse(a) + 1).as(s"x$a")
+    } :+ col("w")
+    cur.select(outCols: _*)
+  }
+
+  /** Batch motif enumeration over a static edge set — the analog of
+    * `build_motif` (/root/reference/src/motif.rs:114-117).
+    * Edges: (src,dst[,w]); output (x0..x{k-1}, w), consolidated. */
+  def enumerate(edges: DataFrame, motif: Seq[(Int, Int)]): DataFrame = {
+    val index = EdgeIndex(EdgeIndex.consolidate(edges))
+    val seed = index.fwd.select(array(col("k"), col("v")).as("p"), col("ew").as("w"))
+    consolidateMatches(runPlan(seed, Planner.planRelation(0, motif), _ => index))
+  }
+
+  /** Static-index, streamed-queries mode (examples/q3-lean.rs:50-66,
+    * static_graph/examples/triangles.rs): treat `queries` (src,dst[,w]) as
+    * relation 0's bindings and extend them against a fixed index. */
+  def queryStatic(queries: DataFrame, index: EdgeIndex, motif: Seq[(Int, Int)]): DataFrame = {
+    val q = EdgeIndex.norm(queries)
+    val seed = q.select(array(col("src"), col("dst")).as("p"), col("w"))
+    runPlan(seed, Planner.planRelation(0, motif), _ => index)
+  }
+
+  /** One incremental step — `track_motif`
+    * (/root/reference/src/motif.rs:106-112) for a single batch of edge
+    * deltas. For each motif relation r, seeds that relation's delta dataflow
+    * with the batch; relations before r read post-batch state ("le"),
+    * relations after r read pre-batch state ("lt") — the staleness
+    * discipline that makes each output change appear exactly once
+    * (/root/reference/examples/triangles.rs:40-48).
+    * Output is NOT consolidated (different relations may touch the same
+    * binding); callers aggregate or consolidate. */
+  def deltaStep(deltas: DataFrame, oldIndex: EdgeIndex, newIndex: EdgeIndex,
+                motif: Seq[(Int, Int)], pruneZero: Boolean = true): DataFrame = {
+    val d = EdgeIndex.norm(deltas)
+    val seed = d.select(array(col("src"), col("dst")).as("p"), col("w"))
+    motif.indices.map { r =>
+      val plan = Planner.planRelation(r, motif)
+      runPlan(seed, plan, inclusive => if (inclusive) newIndex else oldIndex, pruneZero)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Consolidates a match frame by its bindings (drops zero-weight rows). */
+  def consolidateMatches(matches: DataFrame): DataFrame = {
+    val bindings = matches.columns.filter(_ != "w").toSeq
+    matches.groupBy(bindings.map(col): _*).agg(sum("w").as("w")).filter(col("w") =!= 0L)
+  }
+
+  /** Sum of match weights (the motif "count" under bag semantics). */
+  def countMatches(matches: DataFrame): Long =
+    matches.agg(coalesce(sum("w"), lit(0L))).collect()(0).getLong(0)
+}

@@ -1,0 +1,112 @@
+package graft.batch
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.plan.Planner
+
+/** Batch WCO engine vs brute-force Spark-SQL self-joins (the reference's
+  * naive-vs-dataflow cross-check, /root/reference/naive/README.md). */
+class GenericJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  def edgesDF(edges: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  /** Brute-force motif count via an n-way SQL self-join. */
+  def oracleMatches(edges: DataFrame, motif: Seq[(Int, Int)]): DataFrame = {
+    edges.createOrReplaceTempView("e_oracle")
+    val n = motif.flatMap(e => Seq(e._1, e._2)).max + 1
+    val joins = motif.indices.map(i => s"e_oracle e$i").mkString(", ")
+    // bind attrs via the first relation touching them
+    val binder = scala.collection.mutable.Map[Int, String]()
+    motif.zipWithIndex.foreach { case ((s, d), i) =>
+      if (!binder.contains(s)) binder(s) = s"e$i.src"
+      if (!binder.contains(d)) binder(d) = s"e$i.dst"
+    }
+    val sel = (0 until n).map(a => s"${binder(a)} AS x$a").mkString(", ")
+    val where = motif.zipWithIndex.flatMap { case ((s, d), i) =>
+      Seq(s"e$i.src = ${binder(s)}", s"e$i.dst = ${binder(d)}")
+    }.distinct.mkString(" AND ")
+    spark.sql(s"SELECT $sel, CAST(1 AS BIGINT) AS w FROM $joins WHERE $where")
+  }
+
+  def compare(edges: Seq[(Long, Long)], motif: Seq[(Int, Int)]): Unit = {
+    val df = edgesDF(edges)
+    val got = GenericJoin.enumerate(df, motif)
+    val want = GenericJoin.consolidateMatches(oracleMatches(df, motif))
+    val cols = got.columns.sorted.toSeq
+    val g = got.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val w = want.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(g == w, s"motif $motif on ${edges.size} edges: got ${g.size} want ${w.size}")
+  }
+
+  val k4: Seq[(Long, Long)] =
+    Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+  val cycle3Edges: Seq[(Long, Long)] = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+  val diamond: Seq[(Long, Long)] = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+
+  def erdosRenyi(n: Int, m: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    (0 until m).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+  }
+
+  test("K4: 4 directed triangles, 1 four-clique") {
+    val tri = GenericJoin.enumerate(edgesDF(k4), Planner.triangle)
+    assert(GenericJoin.countMatches(tri) == 4L)
+    val cl4 = GenericJoin.enumerate(edgesDF(k4), Planner.clique4)
+    assert(GenericJoin.countMatches(cl4) == 1L)
+    assert(GenericJoin.countMatches(
+      GenericJoin.enumerate(edgesDF(k4), Planner.cycle3)) == 0L)
+  }
+
+  test("cycle3: 3 cyclic bindings, 0 a<b<c triangles") {
+    assert(GenericJoin.countMatches(
+      GenericJoin.enumerate(edgesDF(cycle3Edges), Planner.cycle3)) == 3L)
+    assert(GenericJoin.countMatches(
+      GenericJoin.enumerate(edgesDF(cycle3Edges), Planner.triangle)) == 0L)
+  }
+
+  test("diamond: 1 directed four-cycle binding set, 0 triangles") {
+    assert(GenericJoin.countMatches(
+      GenericJoin.enumerate(edgesDF(diamond), Planner.triangle)) == 0L)
+    // (0,1),(1,3),(3,2)? no — cycle4 = (0,1),(1,2),(2,3),(3,0); diamond has
+    // 0→1→3 and 0→2→3, no directed 4-cycle. Oracle cross-check instead:
+    compare(diamond, Planner.cycle4)
+  }
+
+  test("random graphs match SQL oracle: triangle") {
+    compare(erdosRenyi(24, 120, 7), Planner.triangle)
+    compare(erdosRenyi(40, 300, 11), Planner.triangle)
+  }
+
+  test("random graphs match SQL oracle: 3-cycle") {
+    compare(erdosRenyi(24, 120, 13), Planner.cycle3)
+  }
+
+  test("random graphs match SQL oracle: 4-clique") {
+    compare(erdosRenyi(16, 120, 17), Planner.clique4)
+  }
+
+  test("random graphs match SQL oracle: 4-cycle and clique-with-hat") {
+    compare(erdosRenyi(18, 90, 19), Planner.cycle4)
+    compare(erdosRenyi(12, 70, 23), Planner.cliqueHat)
+  }
+
+  test("duplicate edges consolidate: weight-2 edge doubles triangle weight") {
+    val dup = k4 ++ Seq((0L, 1L)) // (0,1) now weight 2
+    val tri = GenericJoin.enumerate(edgesDF(dup), Planner.triangle)
+    // triangles through (0,1): (0,1,2) and (0,1,3) get weight 2; others 1
+    assert(GenericJoin.countMatches(tri) == 6L)
+  }
+
+  test("static-index streamed queries (q3-lean mode)") {
+    val idx = EdgeIndex(EdgeIndex.consolidate(edgesDF(k4)))
+    val queries = edgesDF(Seq((0L, 1L)))
+    val res = GenericJoin.queryStatic(queries, idx, Planner.triangle)
+    // (0,1) extends to triangles (0,1,2) and (0,1,3)
+    assert(GenericJoin.countMatches(res) == 2L)
+  }
+}
