@@ -52,7 +52,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     motifQuery(Planner.triangle)(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----
     "wco_triangle" -> motifQuery(Planner.triangle),
     "wco_cycle3" -> motifQuery(Planner.cycle3),
@@ -121,7 +121,7 @@ object SparkEntry {
             .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "wco_cycle3" -> motifOracle(Planner.cycle3),
     "wco_clique4" -> motifOracle(Planner.clique4),

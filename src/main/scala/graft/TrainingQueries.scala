@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Embeddings
+import graft.text.TextOps
+
+/** Training-data-pipeline query catalog (dedup, similarity, text analysis,
+  * multimodal) with DuckDB oracles wherever expressible. Near-dup queries
+  * run over an AUGMENTED corpus (each doc unioned with a one-token-appended
+  * mutant at doc_id+100000) so the expected output provably contains the
+  * planted near-duplicate pairs — both engines build the same corpus. */
+object TrainingQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** corpus ∪ planted near-duplicates. */
+  private def docs2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" xyzzy")).as("text")))
+  }
+
+  private val docs2Cte =
+    "WITH docs2 AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 100000, text || ' xyzzy' FROM documents)"
+
+  // shared DuckDB fragments mirroring TextOps/Dedup arithmetic exactly
+  private val phLambda = // portable polynomial string hash as a DuckDB lambda body on `s`
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(s, ''), " +
+      "c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 131 + b % 1000003) % 1000003)"
+  private def tokCte(src: String) =
+    s"tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM $src)"
+  private val shCte =
+    "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 2), " +
+      "i -> array_to_string(t[i:i+2], ' '))) END AS sh FROM tok)"
+  private val hsCte =
+    s"hs AS (SELECT doc_id, list_transform(sh, s -> $phLambda) AS hs FROM sh)"
+  private val thCte =
+    s"th AS (SELECT doc_id, list_transform(t, s -> $phLambda) AS th FROM tok)"
+  // sequential-fold double dot product of embedding slices a/b (1-indexed)
+  private def dotSql(a: String, b: String, dim: Int) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))),
+    "quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("score"))),
+
+    // ---- dedup ----
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs2(s, dir), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)),
+    "simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhashBands(col("text")).as("sh"))
+        .select(col("doc_id"), element_at(col("sh"), 1).as("b0"),
+          element_at(col("sh"), 2).as("b1"), element_at(col("sh"), 3).as("b2"),
+          element_at(col("sh"), 4).as("b3"))),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs2(s, dir), "doc_id", "text", maxHamming = 6)),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ---- similarity search ----
+    "embedding_norms" -> ((s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+        round(Embeddings.norm(col("embedding")), 9).as("nrm"))),
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Embeddings.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
+    }),
+    "lsh_cosine_pairs" -> ((s, dir) => // rows-only check (hyperplanes not SQL-portable)
+      Embeddings.lshCosinePairs(embs(s, dir), threshold = 0.3)),
+
+    // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
+    "multimodal_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.assetsFromText(docs(s, dir), "doc_id", "text"), partitions = 8)
+      feats.toDF().select(col("asset_id"), col("modality"), col("n_bytes"),
+        size(col("features")).cast("long").as("n_features"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_fingerprint" ->
+      ("WITH norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s " +
+        "FROM documents) SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+        "(a, b) -> (a * 131 + b % 1000003) % 1000003) AS fp FROM norm"),
+    "lang_id" ->
+      ("WITH " + tokCte("documents") + ", cnt AS (SELECT doc_id, " +
+        "len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS en, " +
+        "len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS de, " +
+        "len(list_filter(t, x -> x IN ('le','la','et','les','des','un'))) AS fr, " +
+        "len(list_filter(t, x -> x IN ('el','los','las','y','es','un'))) AS es FROM tok) " +
+        "SELECT doc_id, CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und' " +
+        "WHEN en>=de AND en>=fr AND en>=es THEN 'en' WHEN de>=fr AND de>=es THEN 'de' " +
+        "WHEN fr>=es THEN 'fr' ELSE 'es' END AS lang_guess FROM cnt"),
+    "quality_score" ->
+      ("WITH " + tokCte("documents") + ", m AS (SELECT doc_id, " +
+        "CAST(len(t) AS DOUBLE) AS ntok, " +
+        "CAST(length(trim(text)) AS DOUBLE) AS chars, " +
+        "CAST(length(trim(text)) - length(regexp_replace(trim(text), '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct, " +
+        "CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) AS stop " +
+        "FROM tok JOIN documents USING (doc_id)) " +
+        "SELECT doc_id, round(" +
+        "(CASE WHEN ntok >= 20 AND ntok <= 1000 THEN 1.0 WHEN ntok > 0 THEN 0.5 ELSE 0.0 END) * 0.3 + " +
+        "(CASE WHEN (CASE WHEN ntok > 0 THEN chars / ntok ELSE 0.0 END) >= 3.0 AND " +
+        "(CASE WHEN ntok > 0 THEN chars / ntok ELSE 0.0 END) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 + " +
+        "(CASE WHEN chars > 0 THEN 1.0 - punct / chars ELSE 0.0 END) * 0.3 + " +
+        "(CASE WHEN ntok > 0 THEN least(stop * 4.0 / ntok, 1.0) ELSE 0.0 END) * 0.2, 6) AS score FROM m"),
+    "minhash_lsh_pairs" ->
+      (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " + hsCte + ", " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i -> coalesce(" +
+        "list_min(list_transform(hs, h -> (h * (2*i + 1) + (17*i + 3)) % 1000003)), 1000003)) AS sig FROM hs), " +
+        "bands AS (SELECT doc_id, sig, j AS bidx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "sig[j*4+1:j*4+4]), (a, b) -> (a * 131 + b) % 1000003) AS bkey FROM sig, generate_series(0, 3) g(j)), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard " +
+        "FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM pairs GROUP BY id_a, id_b " +
+        "HAVING max(est_jaccard) >= 0.5"),
+    "simhash" ->
+      ("WITH " + tokCte("documents") + ", " + thCte + ", " +
+        "s4 AS (SELECT doc_id, list_transform(generate_series(0, 3), band -> " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 15), bit -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h -> " +
+        "CASE WHEN (h * (2*(band*16 + bit) + 3) + (5*(band*16 + bit) + 1)) % 1000003 % 2 = 1 " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b) > 0 " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a * 2 + b)) AS sh FROM th) " +
+        "SELECT doc_id, sh[1] AS b0, sh[2] AS b1, sh[3] AS b2, sh[4] AS b3 FROM s4"),
+    "ngram_jaccard_pairs" ->
+      (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
+        "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
+        "count(*) AS inter FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"),
+    "embedding_norms" ->
+      ("SELECT vec_id, round(sqrt(" + dotSql("embedding", "embedding", 64) + "), 9) AS nrm " +
+        "FROM embeddings"),
+    "ann_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), " +
+        "s AS (SELECT query_id, cand_id, round(" + dotSql("qv", "cv", 64) +
+        " / (sqrt(" + dotSql("qv", "qv", 64) + ") * sqrt(" + dotSql("cv", "cv", 64) + ")), 9) AS cos " +
+        "FROM q JOIN c ON query_id <> cand_id), " +
+        "r AS (SELECT query_id, cand_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM s) " +
+        "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
+    "multimodal_features" ->
+      ("SELECT doc_id AS asset_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 64 END AS BIGINT) AS n_features " +
+        "FROM documents")
+    // simhash_pairs, lsh_cosine_pairs: rows-only (oracle omitted —
+    // simhash_pairs SQL would be the simhash CTE squared; lsh hyperplanes
+    // derive from splitmix64, not expressible portably)
+  )
+}

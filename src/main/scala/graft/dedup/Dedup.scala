@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Everything is shuffle-conscious:
+  * signatures are computed row-local (whole-stage codegen, no UDFs),
+  * candidate generation goes through band-bucket equi-joins (never an
+  * all-pairs cross join), and verification runs only on candidates.
+  *
+  * Portable-hash discipline: see [[TextOps]] — signatures are exactly
+  * reproducible in DuckDB SQL, which is how the driver oracles verify them.
+  */
+object Dedup {
+
+  import TextOps.{P, polyHash, tokens}
+
+  /** Distinct n-word shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** k MinHash values over the shingle set: h_i(s) = ((2i+1)·H(s) + 17i+3)
+    * mod P with H the portable polynomial hash. Empty shingle set → all P
+    * (an impossible hash, so empty docs never collide with content). */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val hs = transform(shingleCol, s => polyHash(s)) // hash each shingle once
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      coalesce(
+        array_min(transform(hs, h => (h * (i * 2 + 1) + (i * 17 + 3)) % P)),
+        lit(P)))
+  }
+
+  /** LSH band keys: b bands of r rows; band j's key folds signature slice
+    * [j·r, j·r+r) polynomially. Returns array of b longs. */
+  def lshBandKeys(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)), j =>
+      aggregate(slice(sig, j * r + 1, lit(r)), lit(0L), (acc, v) => (acc * 131L + v) % P))
+
+  /** Signature-estimated Jaccard: fraction of equal MinHash components. */
+  def sigJaccard(a: Column, bCol: Column, k: Int): Column =
+    size(filter(zip_with(a, bCol, (x, y) => x === y), e => e)).cast("double") / k
+
+  /** id + minhash signature per document. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+
+  /** MinHash+LSH near-duplicate pairs: shingle→minhash→band→bucket-join.
+    * Output (id_a < id_b, est_jaccard ≥ threshold). The band join is the
+    * only shuffle; buckets are skew-bounded because identical band keys
+    * imply near-identical docs. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+      .withColumn("band", explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => struct(j.as("bidx"),
+            aggregate(slice(col("sig"), j * r + 1, lit(r)), lit(0L),
+              (acc, v) => (acc * 131L + v) % P).as("bkey")))))
+      .select(col("id"), col("sig"), col("band.bidx"), col("band.bkey"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bidx"), col("bkey"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bidx"), col("bkey"))
+    a.join(b, Seq("bidx", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sigJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold, via shared-shingle candidate
+    * join (inverted index), never all-pairs. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    val a = inv.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
+    val b = inv.select(col("id").as("id_b"), col("nsh").as("nb"), col("s"))
+    a.join(b, "s").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens, materialized as 4×16-bit band values
+    * (keeps all arithmetic < 2^62 → ANSI-safe and SQL-portable; banding on
+    * 16-bit chunks is also exactly the hamming-LSH candidate scheme).
+    * Output: array of 4 longs. */
+  def simhashBands(text: Column): Column = {
+    // hash every token once, then derive per-bit votes by cheap rehash
+    // parity: bit b's vote for token h is ((h·(2b+3) + 5b+1) mod P) mod 2
+    val th = transform(tokens(text), tok => polyHash(tok))
+    transform(sequence(lit(0), lit(3)), band =>
+      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, bit) => {
+        val b = band * 16 + bit
+        val vote = aggregate(th, lit(0L), (a, h) =>
+          a + when((h * (b * 2 + 3) + (b * 5 + 1)) % P % 2 === 1, 1L).otherwise(-1L))
+        acc * 2 + when(vote > 0, 1L).otherwise(0L)
+      }))
+  }
+
+  /** SimHash near-dup pairs: docs sharing ≥1 identical 16-bit band, with
+    * hamming distance over the 64 bits ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val hammingBand: (Column, Column) => Column = (x, y) =>
+      bit_count(x.bitwiseXOR(y)).cast("long")
+    val sigs = docs.select(col(idCol).as("id"), simhashBands(col(textCol)).as("sh"))
+      .withColumn("bidx", explode(sequence(lit(0), lit(3))))
+      .withColumn("bkey", element_at(col("sh"), col("bidx") + 1))
+    val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bidx"), col("bkey"))
+    val b = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bidx"), col("bkey"))
+    a.join(b, Seq("bidx", "bkey")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, i) =>
+          acc + hammingBand(element_at(col("sh_a"), i + 1), element_at(col("sh_b"), i + 1)))
+          .as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact dedup keyed on a normalized fingerprint (cheap pre-pass for the
+    * near-dup pipeline; hash-groupBy, one shuffle on the fingerprint). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min("id").as("keeper"), count(lit(1)).as("members"))
+}

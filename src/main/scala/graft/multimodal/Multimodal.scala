@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, and per-partition feature extraction.
+  *
+  * The Spark-side machinery here is real and tested — schema, partitioning,
+  * batched per-partition iteration, feature column shapes. The actual media
+  * decode is STUBBED (this environment ships no image/audio codecs): see
+  * [[StubCodec]], a clearly-marked deterministic fake that consumes the
+  * bytes and emits stable pseudo-features. Swap `StubCodec` for a real
+  * decoder (e.g. TwelveMonkeys/JavaCV on executors) without touching the
+  * pipeline.
+  */
+object Multimodal {
+
+  /** A media asset row: payload + typed metadata. */
+  final case class Asset(
+      asset_id: Long,
+      modality: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      width: Int, height: Int, // image/video
+      sample_rate: Int, // audio
+      duration_ms: Long)
+
+  final case class AssetFeatures(
+      asset_id: Long,
+      modality: String,
+      n_bytes: Long,
+      features: Array[Float])
+
+  /** ======== STUB: deterministic fake decoders ========
+    * Real implementations would decode the payload; these derive stable
+    * values from the bytes so the pipeline is end-to-end testable. */
+  object StubCodec {
+    /** STUB for image decode + resize + feature-extract: a 16-bin byte
+      * histogram, L1-normalized — shape-compatible with a real embedding. */
+    def imageFeatures(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      val n = math.max(bytes.length, 1).toFloat
+      hist.map(_ / n)
+    }
+
+    /** STUB for audio frame energy: mean absolute byte per 1/8 chunk. */
+    def audioFeatures(bytes: Array[Byte]): Array[Float] = {
+      val chunks = 8
+      val out = new Array[Float](chunks)
+      if (bytes.isEmpty) return out
+      val per = math.max(bytes.length / chunks, 1)
+      for (c <- 0 until chunks) {
+        val from = c * per; val to = math.min(from + per, bytes.length)
+        if (from < to)
+          out(c) = (from until to).map(j => (bytes(j) & 0xff).toFloat).sum / (to - from)
+      }
+      out
+    }
+
+    /** STUB for video frame sampling: take `k` evenly spaced "frames"
+      * (byte slices) and image-feature each; concatenated. */
+    def videoFeatures(bytes: Array[Byte], k: Int = 4): Array[Float] = {
+      if (bytes.isEmpty) return new Array[Float](16 * k)
+      val frame = math.max(bytes.length / k, 1)
+      (0 until k).flatMap { f =>
+        imageFeatures(bytes.slice(f * frame, math.min((f + 1) * frame, bytes.length)))
+      }.toArray
+    }
+  }
+
+  /** Per-partition feature extraction — the Scala analog of a batched
+    * `mapInPandas` decode: each partition iterates its assets once, calls
+    * the (stubbed) codec, and emits fixed-shape feature rows. Runs
+    * repartitioned by asset_id so decode load spreads evenly regardless of
+    * upstream layout. */
+  def extractFeatures(assets: Dataset[Asset], partitions: Int): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.repartition(partitions, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val f = a.modality match {
+            case "image" => StubCodec.imageFeatures(a.content)
+            case "audio" => StubCodec.audioFeatures(a.content)
+            case _ => StubCodec.videoFeatures(a.content)
+          }
+          AssetFeatures(a.asset_id, a.modality, a.content.length.toLong, f)
+        }
+      }
+  }
+
+  /** Builds a deterministic asset table from any text table (payload =
+    * UTF-8 bytes) — the sandbox stand-in for reading real media files. */
+  def assetsFromText(docs: DataFrame, idCol: String, textCol: String): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol).cast("long"), lit(3L)) + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("content"),
+      lit(64).as("width"), lit(64).as("height"),
+      lit(16000).as("sample_rate"), lit(1000L).as("duration_ms"))
+      .as[Asset]
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.gen.TranscriptGen.splitmix64
+
+/** Similarity search over an embedding column (array<float>): brute-force
+  * cosine top-k as the exactness baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (candidates from bucket
+  * equi-joins, exact cosine re-ranking on candidates only).
+  *
+  * Vector math is `zip_with` + `aggregate` (whole-stage codegen, doubles in
+  * fixed fold order → reproducible). At cluster scale the broadcast side is
+  * the query set; the corpus is scanned once per batch of queries.
+  */
+object Embeddings {
+
+  /** dot(a,b) in double precision, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query against the corpus (self-match
+    * excluded). Rank on cosine rounded to 9 dp with id tie-break, so the
+    * ordering is reproducible across engines. Queries are broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 9))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim doubles from
+    * splitmix64(seed, plane, dim), in [-1, 1). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val h = splitmix64(splitmix64(seed ^ (p * 0x9e3779b97f4a7c15L)) ^ d.toLong)
+      (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+
+  /** Sign-bucket id under the given hyperplanes (one long, nPlanes ≤ 62). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, _)) =>
+      val planeCol = array(plane.map(lit): _*)
+      val d = aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
+        lit(0.0), (a, v) => a + v)
+      acc * 2 + when(d >= 0, 1L).otherwise(0L)
+    }
+
+  /** LSH-bucketed near-neighbor pairs: multi-probe via `tables` independent
+    * hash tables; candidates from bucket equi-joins; exact cosine ≥
+    * threshold verified on candidates only. */
+  def lshCosinePairs(df: DataFrame, threshold: Double, nPlanes: Int = 12,
+                     tables: Int = 4, seed: Long = 42L, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = (0 until tables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed + t * 7919L)
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit(t).as("tbl"), lshBucket(col(vecCol), planes).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("va"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("vb"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 9).as("cos"))
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
+    * sandbox scales only). */
+  def bruteForcePairs(df: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 9).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality scoring, document
+  * fingerprinting. All are pure `org.apache.spark.sql.functions` column
+  * expressions (whole-stage-codegen'd; no UDFs), built on arithmetic that
+  * is reproducible in ANSI SQL — so every op has a DuckDB oracle.
+  *
+  * Hash discipline: polynomial hashes mod a 31-bit prime with small
+  * multipliers keep every intermediate < 2^62, so they are exact under
+  * Spark's default ANSI overflow checking and portable to any engine with
+  * 64-bit integers. For scale-path speed, callers can swap `polyHash` for
+  * `xxhash64` (not oracle-portable).
+  */
+object TextOps {
+
+  /** Modulus for portable polynomial hashes (prime, < 2^31). */
+  val P = 1000003L
+  val B = 131L
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Portable polynomial string hash: fold codepoints with
+    * acc = (acc*131 + code) mod P. Works on lambda variables (usable
+    * inside nested higher-order functions). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * B + pmod(code, lit(P))) % P)
+
+  /** Document fingerprint: polynomial rolling hash of the normalized text
+    * (lowercased, whitespace collapsed) — an order-sensitive exact-dup /
+    * shift-detection key. */
+  def fingerprint(text: Column): Column =
+    polyHash(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Count of tokens that appear in a marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+
+  val enMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
+  val deMarkers = Seq("der", "die", "das", "und", "ist", "ein")
+  val frMarkers = Seq("le", "la", "et", "les", "des", "un")
+  val esMarkers = Seq("el", "los", "las", "y", "es", "un")
+
+  /** n-gram language-ID heuristic: argmax of per-language stopword hits
+    * over the token stream, ties broken in fixed order en>de>fr>es, with
+    * 'und' (unknown) when nothing matches. Deliberately simple and exactly
+    * reproducible in SQL. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = markerCount(t, enMarkers)
+    val de = markerCount(t, deMarkers)
+    val fr = markerCount(t, frMarkers)
+    val es = markerCount(t, esMarkers)
+    when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, mean word
+    * length band, punctuation sparsity and stopword presence. Fixed
+    * IEEE-754 evaluation order → bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val chars = length(trim(text)).cast("double")
+    val punct = (length(trim(text)) -
+      length(regexp_replace(trim(text), "[^A-Za-z0-9\\s]", ""))).cast("double")
+    val stop = markerCount(t, enMarkers).cast("double")
+    val lenScore = when(nTok >= 20 && nTok <= 1000, lit(1.0))
+      .when(nTok > 0, lit(0.5)).otherwise(lit(0.0))
+    val wordLen = when(nTok > 0, chars / nTok).otherwise(lit(0.0))
+    val wordScore = when(wordLen >= 3.0 && wordLen <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    val punctScore = when(chars > 0, lit(1.0) - punct / chars).otherwise(lit(0.0))
+    val stopScore = when(nTok > 0, least(stop * lit(4.0) / nTok, lit(1.0))).otherwise(lit(0.0))
+    lenScore * 0.3 + wordScore * 0.2 + punctScore * 0.3 + stopScore * 0.2
+  }
+}
