@@ -98,59 +98,95 @@ object GenericJoin {
     *        the propose/intersect joins then do the pruning implicitly.
     */
   def extendStage(prefixes: DataFrame, extenders: Seq[Extender],
-                  pruneZero: Boolean = true): DataFrame = {
+                  pruneZero: Boolean = true, routing: Boolean = true): DataFrame = {
     require(extenders.nonEmpty)
     def key(e: Extender): Column = element_at(col("p"), e.prefixPos + 1)
+    val E = extenders.size
 
-    // ---- count: per-extender signed degree (0 when key absent) ----
-    // single-extender stages skip counting entirely, mirroring the
-    // reference's shortcut at /root/reference/src/lib.rs:68-70
-    val routed: Seq[(Int, DataFrame)] =
-      if (extenders.size == 1) Seq(0 -> prefixes)
-      else {
-        var cur = prefixes
-        for ((e, i) <- extenders.zipWithIndex) {
-          val parts = e.index.degParts(e.forward)
-          val pieces = parts.indices.map { pi =>
-            val d = parts(pi).select(col("k").as(s"_dk${i}_$pi"), col("deg").as(s"_deg${i}_$pi"))
-            cur = cur.join(d, key(e) === col(s"_dk${i}_$pi"), "left").drop(s"_dk${i}_$pi")
-            coalesce(col(s"_deg${i}_$pi"), lit(0L))
-          }
-          cur = cur.withColumn(s"_deg$i", pieces.reduce(_ + _))
-            .drop(parts.indices.map(pi => s"_deg${i}_$pi"): _*)
-        }
-        // argmin with ties to the lowest extender id (the reference seeds at
-        // 1<<31 and overwrites only on strictly smaller counts,
-        // /root/reference/src/index.rs:375-379)
-        val structs = extenders.indices.map(i => struct(col(s"_deg$i").as("c"), lit(i).as("i")))
-        var withMin = prefixesDropTemp(cur.withColumn("_min", least(structs: _*)), extenders.size)
-        if (pruneZero) withMin = withMin.filter(col("_min.c") > 0L)
-        extenders.indices.map(i => i -> withMin.filter(col("_min.i") === i).drop("_min"))
-      }
-
-    // ---- propose from the cheapest index, intersect with the others ----
-    val branches = routed.map { case (i, branch) =>
-      val prop = extenders(i)
+    // No routing / single extender: propose from extender 0, intersect the
+    // rest (the reference's single-extender shortcut,
+    // /root/reference/src/lib.rs:68-70).
+    if (E == 1 || !routing) {
+      val prop = extenders.head
       val adj = prop.index.adj(prop.forward)
         .select(col("k").as("_pk"), col("v").as("_ext"), col("ew").as("_ew"))
-      var cur = branch.join(adj, key(prop) === col("_pk"))
+      var cur = prefixes.join(adj, key(prop) === col("_pk"))
         .withColumn("w", col("w") * col("_ew"))
         .drop("_pk", "_ew")
-      for ((e, j) <- extenders.zipWithIndex if j != i) {
+      for ((e, j) <- extenders.zipWithIndex.drop(1)) {
         val a = e.index.adj(e.forward)
           .select(col("k").as(s"_ik$j"), col("v").as(s"_iv$j"), col("ew").as(s"_iw$j"))
         cur = cur.join(a, key(e) === col(s"_ik$j") && col("_ext") === col(s"_iv$j"))
           .withColumn("w", col("w") * col(s"_iw$j"))
           .drop(s"_ik$j", s"_iv$j", s"_iw$j")
       }
-      cur.withColumn("p", concat(col("p"), array(col("_ext")))).drop("_ext")
+      return cur.withColumn("p", concat(col("p"), array(col("_ext")))).drop("_ext")
         .select("p", "w")
     }
-    branches.reduce(_ unionByName _)
-  }
 
-  private def prefixesDropTemp(df: DataFrame, n: Int): DataFrame =
-    df.drop((0 until n).map(i => s"_deg$i"): _*)
+    // ---- count: per-extender signed degree (0 when key absent) ----
+    var cur = prefixes
+    for ((e, i) <- extenders.zipWithIndex) {
+      val parts = e.index.degParts(e.forward)
+      val pieces = parts.indices.map { pi =>
+        val d = parts(pi).select(col("k").as(s"_dk${i}_$pi"), col("deg").as(s"_deg${i}_$pi"))
+        cur = cur.join(d, key(e) === col(s"_dk${i}_$pi"), "left").drop(s"_dk${i}_$pi")
+        coalesce(col(s"_deg${i}_$pi"), lit(0L))
+      }
+      cur = cur.withColumn(s"_deg$i", pieces.reduce(_ + _))
+        .drop(parts.indices.map(pi => s"_deg${i}_$pi"): _*)
+    }
+    // argmin with ties to the lowest extender id (the reference seeds at
+    // 1<<31 and overwrites only on strictly smaller counts,
+    // /root/reference/src/index.rs:375-379)
+    val structs = extenders.indices.map(i => struct(col(s"_deg$i").as("c"), lit(i).as("i")))
+    cur = cur.withColumn("_min", least(structs: _*))
+      .drop(extenders.indices.map(i => s"_deg$i"): _*)
+    if (pruneZero) cur = cur.filter(col("_min.c") > 0L)
+    cur = cur.withColumn("_mi", col("_min.i")).drop("_min")
+
+    // ---- propose + intersect as conditional-key single joins ----
+    // Every row routes to its argmin extender without per-branch plan
+    // duplication: the adjacency sides of the routed joins are unioned once
+    // per DISTINCT (index, direction) and tagged with a group id; the join
+    // key and group id on the prefix side are CASE expressions over _mi.
+    val groups: Seq[(EdgeIndex, Boolean)] =
+      extenders.map(e => (e.index, e.forward)).distinct
+    val grpOf: Int => Int = i =>
+      groups.indexOf((extenders(i).index, extenders(i).forward))
+    def tagged(cols: (String, String, String)): DataFrame =
+      groups.zipWithIndex.map { case ((idx, fwd), g) =>
+        idx.adj(fwd).select(lit(g).as("_g"), col("k").as(cols._1),
+          col("v").as(cols._2), col("ew").as(cols._3))
+      }.reduce(_ unionByName _)
+    def caseOver(sel: Int => Column)(mi: Column): Column =
+      extenders.indices.tail.foldLeft(sel(0)) { (acc, i) =>
+        when(mi === i, sel(i)).otherwise(acc)
+      }
+
+    // propose: key/group chosen by _mi
+    val propAdj = tagged(("_pk", "_ext", "_ew"))
+    cur = cur.join(propAdj,
+        col("_g") === caseOver(i => lit(grpOf(i)))(col("_mi")) &&
+          col("_pk") === caseOver(i => key(extenders(i)))(col("_mi")))
+      .withColumn("w", col("w") * col("_ew"))
+      .drop("_g", "_pk", "_ew")
+
+    // intersect: the j-th non-proposer extender, j = 0..E-2; for a row with
+    // argmin m, that is extender j when j < m else j+1
+    for (j <- 0 until E - 1) {
+      val other = when(lit(j) < col("_mi"), lit(j)).otherwise(lit(j + 1))
+      val a = tagged((s"_ik$j", s"_iv$j", s"_iw$j"))
+      cur = cur.join(a,
+          col("_g") === caseOver(i => lit(grpOf(i)))(other) &&
+            col(s"_ik$j") === caseOver(i => key(extenders(i)))(other) &&
+            col(s"_iv$j") === col("_ext"))
+        .withColumn("w", col("w") * col(s"_iw$j"))
+        .drop("_g", s"_ik$j", s"_iv$j", s"_iw$j")
+    }
+    cur.withColumn("p", concat(col("p"), array(col("_ext"))))
+      .select("p", "w")
+  }
 
   /** Runs one relation's full pipeline: seed prefixes → extension stages →
     * un-permute back to original attribute order (the reference's
@@ -159,11 +195,11 @@ object GenericJoin {
     * batch enumeration passes the same index for both.
     * Output columns: x0..x{k-1} (long), w (long). */
   def runPlan(seed: DataFrame, plan: RelationPlan, indexFor: Boolean => EdgeIndex,
-              pruneZero: Boolean = true): DataFrame = {
+              pruneZero: Boolean = true, routing: Boolean = true): DataFrame = {
     var cur = seed // (p: array<long> of length 2, w: long)
     for (stage <- plan.stages) {
       val exts = stage.map(c => Extender(c.prefixPos, c.forward, indexFor(c.inclusive)))
-      cur = extendStage(cur, exts, pruneZero)
+      cur = extendStage(cur, exts, pruneZero, routing)
     }
     val outCols = (0 until plan.numAttrs).map { a =>
       element_at(col("p"), plan.inverse(a) + 1).as(s"x$a")
@@ -199,12 +235,14 @@ object GenericJoin {
     * Output is NOT consolidated (different relations may touch the same
     * binding); callers aggregate or consolidate. */
   def deltaStep(deltas: DataFrame, oldIndex: EdgeIndex, newIndex: EdgeIndex,
-                motif: Seq[(Int, Int)], pruneZero: Boolean = true): DataFrame = {
+                motif: Seq[(Int, Int)], pruneZero: Boolean = true,
+                routing: Boolean = true): DataFrame = {
     val d = EdgeIndex.norm(deltas)
     val seed = d.select(array(col("src"), col("dst")).as("p"), col("w"))
     motif.indices.map { r =>
       val plan = Planner.planRelation(r, motif)
-      runPlan(seed, plan, inclusive => if (inclusive) newIndex else oldIndex, pruneZero)
+      runPlan(seed, plan, inclusive => if (inclusive) newIndex else oldIndex,
+        pruneZero, routing)
     }.reduce(_ unionByName _)
   }
 

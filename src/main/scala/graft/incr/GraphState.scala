@@ -11,16 +11,20 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * Spark-native analog of the reference's three-tier `Index`
   * (/root/reference/src/index.rs:16-25):
   *   - tier 1 (compact run)      → `base`: consolidated, persisted DataFrame
-  *   - tiers 2+3 (edge lists /   → `tails`: one small persisted frame per
-  *     unsorted diffs)             absorbed micro-batch
+  *   - tiers 2+3 (edge lists /   → `tail`: ONE persisted frame holding every
+  *     unsorted diffs)             micro-batch absorbed since last compaction
   * Compaction (`merge_to`, /root/reference/src/index.rs:560-583) folds the
-  * tails into a new consolidated base when they grow past a fraction of the
+  * tail into a new consolidated base when it grows past a fraction of the
   * base or past `maxTail` batches — amortized O(|E|), never per-batch.
   *
-  * Per-batch joins read base ∪ tails un-consolidated (sound by Z-set
-  * bilinearity, see [[graft.batch.EdgeIndex]]); the small delta side of each
-  * join is broadcast by AQE, so steady-state per-batch work is a set of
-  * in-memory scans + broadcast hash joins, no state reshuffle.
+  * The tail is re-persisted as one frame per batch (cost O(tail), bounded
+  * by the compaction policy) so every per-batch join plan has a CONSTANT
+  * shape — base arm + tail arm — regardless of how many batches have been
+  * absorbed. (Keeping a frame per batch instead makes the logical plan grow
+  * per batch inside ~30 join subtrees and Catalyst optimization time blows
+  * up quadratically — measured 7s → 16s → 38s per batch before this
+  * design.) Joins read base ∪ tail un-consolidated, sound by Z-set
+  * bilinearity (see [[graft.batch.EdgeIndex]]).
   *
   * With `stateDir` set, the state is durable: every absorbed batch is
   * written (write-ahead) as parquet before its output is produced, the
@@ -34,42 +38,62 @@ final class GraphState(
     val motif: Seq[(Int, Int)],
     stateDir: Option[String] = None,
     maxTail: Int = 12,
-    pruneZero: Boolean = true) {
+    pruneZero: Boolean = true,
+    routing: Boolean = true,
+    lineageMetrics: Boolean = true) {
 
   import GraphState._
 
   private var base: DataFrame = emptyEdges(spark)
   private var degFwdBase: DataFrame = emptyDeg(spark)
   private var degRevBase: DataFrame = emptyDeg(spark)
-  private var tails: Vector[DataFrame] = Vector.empty
+  private var tail: DataFrame = emptyEdges(spark)
   private var baseRows: Long = 0L
   private var tailRows: Long = 0L
+  private var tailBatches: Int = 0
   private var baseVersion: Long = 0L
   private var _lastBatchId: Long = -1L
   private var tailIds: Vector[Long] = Vector.empty
+  private var pendingUnpersist: List[DataFrame] = Nil
 
   def lastBatchId: Long = _lastBatchId
   def edgeCount: Long = baseRows + tailRows // rows, not net edges
 
   stateDir.foreach(recover)
 
-  private def mkIndex(parts: Vector[DataFrame]): EdgeIndex = {
-    val all = (base +: parts).reduce(_ unionByName _)
-    val tailDegF =
-      if (parts.isEmpty) Nil
-      else Seq(EdgeIndex.degrees(parts.reduce(_ unionByName _), forward = true))
-    val tailDegR =
-      if (parts.isEmpty) Nil
-      else Seq(EdgeIndex.degrees(parts.reduce(_ unionByName _), forward = false))
+  /** Index over base + the given tail frame (2 plan arms, constant shape). */
+  private def mkIndex(tailFrame: DataFrame, hasTail: Boolean): EdgeIndex = {
+    val all = if (hasTail) base.unionByName(tailFrame) else base
+    val degF = if (hasTail) Seq(degFwdBase, EdgeIndex.degrees(tailFrame, forward = true))
+               else Seq(degFwdBase)
+    val degR = if (hasTail) Seq(degRevBase, EdgeIndex.degrees(tailFrame, forward = false))
+               else Seq(degRevBase)
     EdgeIndex(
       fwd = all.select(col("src").as("k"), col("dst").as("v"), col("w").as("ew")),
       rev = all.select(col("dst").as("k"), col("src").as("v"), col("w").as("ew")),
-      degFwdParts = degFwdBase +: tailDegF,
-      degRevParts = degRevBase +: tailDegR)
+      degFwdParts = degF, degRevParts = degR)
+  }
+
+  /** Bulk-loads the initial edge set as tier-1 state without emitting match
+    * deltas — the reference's `Index::initialize` preload path
+    * (/root/reference/src/index.rs:596-599). Requires empty state. */
+  def initialize(edges: DataFrame): Unit = {
+    require(tailRows == 0L && baseRows == 0L, "initialize requires empty state")
+    val merged = EdgeIndex.consolidate(edges).persist()
+    baseRows = merged.count()
+    val dF = EdgeIndex.degrees(merged, forward = true).persist()
+    val dR = EdgeIndex.degrees(merged, forward = false).persist()
+    dF.count(); dR.count()
+    base = merged; degFwdBase = dF; degRevBase = dR
+    baseVersion += 1
+    stateDir.foreach { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
+      writeMeta(dir)
+    }
   }
 
   /** Current consolidated edge Z-set (for tests / snapshot queries). */
-  def edges: DataFrame = EdgeIndex.consolidate((base +: tails).reduce(_ unionByName _))
+  def edges: DataFrame = EdgeIndex.consolidate(base.unionByName(tail))
 
   /** Absorbs one micro-batch of edge deltas (src,dst[,w]) and returns the
     * consolidated motif match deltas (x0..x{k-1}, w).
@@ -81,14 +105,14 @@ final class GraphState(
     * identical output.
     *
     * Contract: consume (or persist) the returned frame before the next
-    * `applyBatch` call — compaction at the start of the next call may
-    * unpersist frames this one's plan reads. Returns an empty frame without
-    * state change when `batchId` was already absorbed (exactly-once replay).
-    */
+    * `applyBatch` call — frames its plan reads may be unpersisted then.
+    * Returns an empty frame without state change when `batchId` was already
+    * absorbed (exactly-once replay). */
   def applyBatch(batchId: Long, deltas: DataFrame,
                  sink: DataFrame => Unit = _ => ()): DataFrame = {
     if (batchId <= _lastBatchId) return emptyMatches(spark, motif)
     val t0 = System.nanoTime()
+    pendingUnpersist.foreach(_.unpersist()); pendingUnpersist = Nil
     maybeCompact()
 
     val delta = EdgeIndex.norm(deltas).persist()
@@ -98,15 +122,23 @@ final class GraphState(
       delta.write.mode("overwrite").parquet(s"$dir/tail/batch=$batchId")
     }
 
-    val oldIdx = mkIndex(tails)
-    val newIdx = mkIndex(tails :+ delta)
+    val hadTail = tailRows > 0
+    val newTail =
+      (if (hadTail) tail.unionByName(delta) else delta).persist()
+    newTail.count() // materialize so downstream plans see one in-memory arm
+
+    val oldIdx = mkIndex(tail, hadTail)
+    val newIdx = mkIndex(newTail, hasTail = true)
     val matches = GenericJoin.consolidateMatches(
-      GenericJoin.deltaStep(delta, oldIdx, newIdx, motif, pruneZero))
+      GenericJoin.deltaStep(delta, oldIdx, newIdx, motif, pruneZero, routing))
     sink(matches)
 
-    tails :+= delta
-    tailIds :+= batchId
+    if (hadTail) pendingUnpersist ::= tail
+    pendingUnpersist ::= delta
+    tail = newTail
     tailRows += deltaRows
+    tailBatches += 1
+    tailIds :+= batchId
     _lastBatchId = batchId
     stateDir.foreach { dir =>
       writeMeta(dir)
@@ -116,27 +148,25 @@ final class GraphState(
   }
 
   private def maybeCompact(): Unit =
-    if (tails.size >= maxTail || (baseRows > 0 && tailRows > baseRows / 2)) compact()
+    if (tailBatches >= maxTail || (baseRows > 0 && tailRows > baseRows / 2)) compact()
 
-  /** Folds tails into a freshly consolidated, persisted base. */
+  /** Folds the tail into a freshly consolidated, persisted base. */
   def compact(): Unit = {
-    if (tails.isEmpty) return
-    val old = base; val oldF = degFwdBase; val oldR = degRevBase; val oldTails = tails
-    val merged = EdgeIndex.consolidate((base +: tails).reduce(_ unionByName _))
-      .persist()
+    if (tailRows == 0) return
+    val old = base; val oldF = degFwdBase; val oldR = degRevBase; val oldTail = tail
+    val merged = EdgeIndex.consolidate(base.unionByName(tail)).persist()
     baseRows = merged.count()
     val dF = EdgeIndex.degrees(merged, forward = true).persist()
     val dR = EdgeIndex.degrees(merged, forward = false).persist()
     dF.count(); dR.count()
     base = merged; degFwdBase = dF; degRevBase = dR
-    tails = Vector.empty; tailIds = Vector.empty; tailRows = 0L
+    tail = emptyEdges(spark); tailRows = 0L; tailBatches = 0; tailIds = Vector.empty
     baseVersion += 1
     stateDir.foreach { dir =>
       merged.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
       writeMeta(dir)
     }
-    old.unpersist(); oldF.unpersist(); oldR.unpersist()
-    oldTails.foreach(_.unpersist())
+    old.unpersist(); oldF.unpersist(); oldR.unpersist(); oldTail.unpersist()
   }
 
   // ---- durability ----
@@ -155,8 +185,11 @@ final class GraphState(
   private def appendMetrics(dir: String, batchId: Long, rows: Long, t0: Long,
                             delta: DataFrame): Unit = {
     // per-partition lineage: how many delta rows each partition contributed
-    val perPart = delta.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => s"""{"p":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    val perPart =
+      if (lineageMetrics)
+        delta.groupBy(spark_partition_id().as("pid")).count()
+          .collect().map(r => s"""{"p":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+      else Array.empty[String]
     val ms = (System.nanoTime() - t0) / 1e6
     val line =
       s"""{"batchId":$batchId,"inputRows":$rows,"stateRows":${baseRows + tailRows},"wallMs":$ms,"partitions":[${perPart.mkString(",")}]}\n"""
@@ -182,16 +215,19 @@ final class GraphState(
       degFwdBase = EdgeIndex.degrees(base, forward = true).persist()
       degRevBase = EdgeIndex.degrees(base, forward = false).persist()
     }
-    tails = ids.map { id =>
-      val t = spark.read.parquet(s"$dir/tail/batch=$id").persist(); t.count(); t
+    if (ids.nonEmpty) {
+      tail = ids.map(id => spark.read.parquet(s"$dir/tail/batch=$id"))
+        .reduce(_ unionByName _).persist()
+      tailRows = tail.count()
+      tailBatches = ids.size
     }
     tailIds = ids
-    tailRows = tails.map(_.count()).sum
   }
 
   def close(): Unit = {
+    pendingUnpersist.foreach(_.unpersist()); pendingUnpersist = Nil
     base.unpersist(); degFwdBase.unpersist(); degRevBase.unpersist()
-    tails.foreach(_.unpersist())
+    tail.unpersist()
   }
 }
 
