@@ -62,6 +62,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // long-running micro-batch loop: without periodic GC the driver never
+      // collects broadcast/shuffle refs and per-batch latency creeps up
+      .config("spark.cleaner.periodicGC.interval", "45s")
+      // the SQL status listener runs even with the UI off and retains 1000
+      // executions (~100-operator plans each) — measured as steady per-batch
+      // latency creep; keep only a handful
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,12 +107,13 @@ object Bench {
     val streamEdges = ordered.filter(_._1 >= preloadN)
       .map(t => (t._2, t._3, t._4)).collect()
     import scala.jdk.CollectionConverters._
+    val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXBATCHES", "100000").toInt
     val latencies = scala.collection.mutable.ArrayBuffer[Double]()
     var matchChanges = 0L
     var netTotal = 0L
     val tStream0 = System.nanoTime()
     var batchId = 0L
-    for (chunk <- streamEdges.grouped(batchSize)) {
+    for (chunk <- streamEdges.grouped(batchSize).take(maxBatches)) {
       val t0 = System.nanoTime()
       val df = spark.createDataFrame(
         chunk.map(t => Row(t._1, t._2, t._3)).toSeq.asJava, schema)
@@ -118,9 +129,36 @@ object Bench {
     spark.stop()
     val sorted = latencies.sorted
     def pct(p: Double) = if (sorted.isEmpty) 0.0 else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
-    val edgesStreamed = streamEdges.length.toLong
+    val edgesStreamed = math.min(streamEdges.length.toLong, maxBatches.toLong * batchSize)
     StreamResult(cores, loadSec, streamSec, edgesStreamed, matchChanges, netTotal,
       pct(0.5), pct(0.95), edgesStreamed / streamSec, matchChanges / streamSec)
+  }
+
+  /** Compute-bound scaling probe: full batch triangle enumeration over the
+    * fixture's whole edge set (the reference's naive-baseline scaling
+    * experiment, /root/reference/naive/README.md: same count at 1/16/64
+    * workers, ~85% efficiency). Here the parallel join work dominates the
+    * driver floor, so this is where core-count scaling is visible. */
+  def enumerateBench(cores: Int, nConvs: Int, turns: Int, nTools: Int): (Double, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ts = TranscriptGen.generate(spark, TranscriptGen.Config(nConvs, turns, nTools)).toDF()
+    val edges = graft.batch.EdgeIndex.consolidate(
+      TranscriptEdges.toolToolEdges(ts).select("src", "dst", "w")).persist()
+    edges.count() // exclude generation from the measured window
+    val t0 = System.nanoTime()
+    val matches = graft.batch.GenericJoin.enumerate(edges, Planner.triangle)
+    val n = matches.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (sec, n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,8 +172,13 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
 
-    val q = headlineQueries(sfDir, cpus)
+    val q = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1")
+      headlineQueries(sfDir, cpus) else Map.empty[String, Double]
     val results = levels.map(c => streamBench(c, nConvs, turns, nTools, batchSize, durable))
+    val enumResults =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
+        levels.map(c => c -> enumerateBench(c, nConvs, turns, nTools))
+      else Nil
 
     def sr(r: StreamResult): String =
       s"""{"cores":${r.cores},"load_sec":${f"${r.loadSec}%.2f"},"stream_sec":${f"${r.streamSec}%.2f"},""" +
@@ -152,10 +195,20 @@ object Bench {
     val totalsMatch = results.map(r => (r.matchChanges, r.netTotal)).distinct.size == 1
     val streamJson = results.map(sr).mkString("[", ",", "]")
     val totalQ = q.values.sum
+    val enumJson = enumResults.map { case (c, (sec, n)) =>
+      s"""{"cores":$c,"sec":${f"$sec%.2f"},"triangles":$n}"""
+    }.mkString("[", ",", "]")
+    val enumEff =
+      if (enumResults.size >= 2) {
+        val lo = enumResults.head; val hi = enumResults.last
+        (lo._2._1 / hi._2._1) / (hi._1.toDouble / lo._1)
+      } else 0.0
+    val enumTotalsMatch = enumResults.map(_._2._2).distinct.size <= 1
     println(
       s"""{"metric":"triangle_stream_edges_per_sec","value":${f"${results.last.edgesPerSec}%.1f"},""" +
         s""""unit":"edges/sec","queries":$qJson,"queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
         s""""stream_fixture":{"convs":$nConvs,"turns_per_conv":$turns,"tools":$nTools,"batch":$batchSize,"durable":$durable},""" +
-        s""""stream_levels":$streamJson,"scaling_efficiency":${f"$eff%.3f"},"totals_match":$totalsMatch}""")
+        s""""stream_levels":$streamJson,"scaling_efficiency":${f"$eff%.3f"},"totals_match":$totalsMatch,""" +
+        s""""enumerate_levels":$enumJson,"enumerate_scaling_efficiency":${f"$enumEff%.3f"},"enumerate_totals_match":$enumTotalsMatch}""")
   }
 }

@@ -60,6 +60,9 @@ object SparkEntry {
     "wco_cycle4_count" -> ((s, dir) =>
       motifQuery(Planner.cycle4)(s, dir).agg(
         count(lit(1)).as("n"), coalesce(sum("w"), lit(0L)).as("total"))),
+    // composite-key triangle-seeded K4 (reference examples/seed.rs mode);
+    // binding set must equal the clique4 oracle
+    "seed_k4" -> ((s, dir) => graft.batch.SeedQueries.seededK4(edges(s, dir))),
 
     // ---- degree / consolidation (reference count op + index consolidation) ----
     "degree_table" -> ((s, dir) =>
@@ -129,6 +132,7 @@ object SparkEntry {
       (s"$edgesCte SELECT count(*) AS n, CAST(count(*) AS BIGINT) AS total FROM " +
         "(SELECT e0.src FROM edges e0, edges e1, edges e2, edges e3 " +
         "WHERE e1.src = e0.dst AND e2.src = e1.dst AND e3.src = e2.dst AND e3.dst = e0.src)"),
+    "seed_k4" -> motifOracle(Planner.clique4),
     "degree_table" ->
       s"$edgesCte SELECT src AS k, count(*) AS deg FROM edges GROUP BY src",
     "window_tumbling" ->

@@ -97,10 +97,17 @@ object GenericJoin {
     *        workloads); under adversarial mixed-sign Z-sets turn it off —
     *        the propose/intersect joins then do the pruning implicitly.
     */
+  /** @param broadcastPrefixes hint Spark to broadcast the prefix/candidate
+    *        side of the propose/intersect joins — correct for micro-batch
+    *        deltas (that side is always delta-derived and small); NEVER set
+    *        for full batch enumeration. */
   def extendStage(prefixes: DataFrame, extenders: Seq[Extender],
-                  pruneZero: Boolean = true, routing: Boolean = true): DataFrame = {
+                  pruneZero: Boolean = true, routing: Boolean = true,
+                  broadcastPrefixes: Boolean = false): DataFrame = {
     require(extenders.nonEmpty)
     def key(e: Extender): Column = element_at(col("p"), e.prefixPos + 1)
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastPrefixes) df.hint("broadcast") else df
     val E = extenders.size
 
     // No routing / single extender: propose from extender 0, intersect the
@@ -110,12 +117,15 @@ object GenericJoin {
       val prop = extenders.head
       val adj = prop.index.adj(prop.forward)
         .select(col("k").as("_pk"), col("v").as("_ext"), col("ew").as("_ew"))
-      var cur = prefixes.join(adj, key(prop) === col("_pk"))
+      var cur = hinted(prefixes).join(adj, key(prop) === col("_pk"))
         .withColumn("w", col("w") * col("_ew"))
         .drop("_pk", "_ew")
       for ((e, j) <- extenders.zipWithIndex.drop(1)) {
         val a = e.index.adj(e.forward)
           .select(col("k").as(s"_ik$j"), col("v").as(s"_iv$j"), col("ew").as(s"_iw$j"))
+        // no hint: the candidate side can be orders of magnitude larger
+        // than the delta (per-edge match fan-out) — AQE picks from runtime
+        // sizes here
         cur = cur.join(a, key(e) === col(s"_ik$j") && col("_ext") === col(s"_iv$j"))
           .withColumn("w", col("w") * col(s"_iw$j"))
           .drop(s"_ik$j", s"_iv$j", s"_iw$j")
@@ -130,7 +140,10 @@ object GenericJoin {
       val parts = e.index.degParts(e.forward)
       val pieces = parts.indices.map { pi =>
         val d = parts(pi).select(col("k").as(s"_dk${i}_$pi"), col("deg").as(s"_deg${i}_$pi"))
-        cur = cur.join(d, key(e) === col(s"_dk${i}_$pi"), "left").drop(s"_dk${i}_$pi")
+        // deg tables are per-key aggregates — broadcast-join them (right
+        // side of a left-outer join may be broadcast)
+        val dd = if (broadcastPrefixes) d.hint("broadcast") else d
+        cur = cur.join(dd, key(e) === col(s"_dk${i}_$pi"), "left").drop(s"_dk${i}_$pi")
         coalesce(col(s"_deg${i}_$pi"), lit(0L))
       }
       cur = cur.withColumn(s"_deg$i", pieces.reduce(_ + _))
@@ -166,7 +179,7 @@ object GenericJoin {
 
     // propose: key/group chosen by _mi
     val propAdj = tagged(("_pk", "_ext", "_ew"))
-    cur = cur.join(propAdj,
+    cur = hinted(cur).join(propAdj,
         col("_g") === caseOver(i => lit(grpOf(i)))(col("_mi")) &&
           col("_pk") === caseOver(i => key(extenders(i)))(col("_mi")))
       .withColumn("w", col("w") * col("_ew"))
@@ -177,6 +190,7 @@ object GenericJoin {
     for (j <- 0 until E - 1) {
       val other = when(lit(j) < col("_mi"), lit(j)).otherwise(lit(j + 1))
       val a = tagged((s"_ik$j", s"_iv$j", s"_iw$j"))
+      // no hint on the (potentially large) candidate side — see above
       cur = cur.join(a,
           col("_g") === caseOver(i => lit(grpOf(i)))(other) &&
             col(s"_ik$j") === caseOver(i => key(extenders(i)))(other) &&
@@ -195,11 +209,12 @@ object GenericJoin {
     * batch enumeration passes the same index for both.
     * Output columns: x0..x{k-1} (long), w (long). */
   def runPlan(seed: DataFrame, plan: RelationPlan, indexFor: Boolean => EdgeIndex,
-              pruneZero: Boolean = true, routing: Boolean = true): DataFrame = {
+              pruneZero: Boolean = true, routing: Boolean = true,
+              broadcastPrefixes: Boolean = false): DataFrame = {
     var cur = seed // (p: array<long> of length 2, w: long)
     for (stage <- plan.stages) {
       val exts = stage.map(c => Extender(c.prefixPos, c.forward, indexFor(c.inclusive)))
-      cur = extendStage(cur, exts, pruneZero, routing)
+      cur = extendStage(cur, exts, pruneZero, routing, broadcastPrefixes)
     }
     val outCols = (0 until plan.numAttrs).map { a =>
       element_at(col("p"), plan.inverse(a) + 1).as(s"x$a")
@@ -236,13 +251,13 @@ object GenericJoin {
     * binding); callers aggregate or consolidate. */
   def deltaStep(deltas: DataFrame, oldIndex: EdgeIndex, newIndex: EdgeIndex,
                 motif: Seq[(Int, Int)], pruneZero: Boolean = true,
-                routing: Boolean = true): DataFrame = {
+                routing: Boolean = true, broadcastPrefixes: Boolean = true): DataFrame = {
     val d = EdgeIndex.norm(deltas)
     val seed = d.select(array(col("src"), col("dst")).as("p"), col("w"))
     motif.indices.map { r =>
       val plan = Planner.planRelation(r, motif)
       runPlan(seed, plan, inclusive => if (inclusive) newIndex else oldIndex,
-        pruneZero, routing)
+        pruneZero, routing, broadcastPrefixes)
     }.reduce(_ unionByName _)
   }
 

@@ -1,0 +1,35 @@
+package graft.batch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plan.Planner
+
+/** Composite-key seeded queries — the reference's triangle-seeded mode
+  * (/root/reference/examples/seed.rs:37-79): instead of extending node
+  * prefixes one attribute at a time over the EDGE relation, extend over the
+  * materialized TRIANGLE relation, keyed by node pairs (the reference
+  * indexes T by hash (a+b), examples/seed.rs:63-64).
+  *
+  * K4(w,x,y,z) := T(w,x,y), T(w,x,z), T(w,y,z) — three triangle "faces"
+  * cover all six K4 edges, so for 0/1-weighted edge sets the output binding
+  * set equals the edge-at-a-time `clique4` enumeration (pinned by test).
+  * Propose = equi-join on composite key (w,x); intersect = semijoin on
+  * composite key (w,y) plus the bound z. */
+object SeedQueries {
+
+  /** Materialized directed-triangle relation (x0,x1,x2). */
+  def triangles(edges: DataFrame): DataFrame =
+    GenericJoin.enumerate(edges, Planner.triangle).select("x0", "x1", "x2")
+
+  /** Triangle-seeded 4-cliques (x0,x1,x2,x3,w=1) over a 0/1 edge set. */
+  def seededK4(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    val seed = tri.select(col("x0").as("k0"), col("x1").as("k1"), col("x2").as("y"))
+    val prop = tri.select(col("x0").as("k0"), col("x1").as("k1"), col("x2").as("z"))
+    val isect = tri.select(col("x0").as("k0"), col("x1").as("y"), col("x2").as("z"))
+    seed.join(prop, Seq("k0", "k1")) // propose z via composite key (w,x)
+      .join(isect, Seq("k0", "y", "z"), "left_semi") // intersect via (w,y)
+      .select(col("k0").as("x0"), col("k1").as("x1"), col("y").as("x2"),
+        col("z").as("x3"), lit(1L).as("w"))
+  }
+}

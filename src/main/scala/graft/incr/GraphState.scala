@@ -79,17 +79,31 @@ final class GraphState(
     * (/root/reference/src/index.rs:596-599). Requires empty state. */
   def initialize(edges: DataFrame): Unit = {
     require(tailRows == 0L && baseRows == 0L, "initialize requires empty state")
-    val merged = EdgeIndex.consolidate(edges).persist()
-    baseRows = merged.count()
-    val dF = EdgeIndex.degrees(merged, forward = true).persist()
-    val dR = EdgeIndex.degrees(merged, forward = false).persist()
-    dF.count(); dR.count()
-    base = merged; degFwdBase = dF; degRevBase = dR
+    installBase(EdgeIndex.consolidate(edges))
+  }
+
+  /** Installs a freshly consolidated base with TRUNCATED lineage: durable
+    * mode re-reads the just-written parquet (plan = file scan); otherwise
+    * localCheckpoint. Without this, each compaction nests the previous
+    * base's logical plan inside the new one — the cached data stays flat
+    * but every subsequent batch's plan deepens by one consolidation layer
+    * per cycle, and driver-side planning time grows until it dominates
+    * (measured: batches crawl to ~60s near batch 90). */
+  private def installBase(consolidated: DataFrame): Unit = {
     baseVersion += 1
-    stateDir.foreach { dir =>
-      merged.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
-      writeMeta(dir)
+    val cleanBase = stateDir match {
+      case Some(dir) =>
+        consolidated.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
+        spark.read.parquet(s"$dir/base/v=$baseVersion").persist()
+      case None =>
+        consolidated.localCheckpoint(true)
     }
+    baseRows = cleanBase.count()
+    val dF = EdgeIndex.degrees(cleanBase, forward = true).persist()
+    val dR = EdgeIndex.degrees(cleanBase, forward = false).persist()
+    dF.count(); dR.count()
+    base = cleanBase; degFwdBase = dF; degRevBase = dR
+    stateDir.foreach(writeMeta)
   }
 
   /** Current consolidated edge Z-set (for tests / snapshot queries). */
@@ -154,18 +168,8 @@ final class GraphState(
   def compact(): Unit = {
     if (tailRows == 0) return
     val old = base; val oldF = degFwdBase; val oldR = degRevBase; val oldTail = tail
-    val merged = EdgeIndex.consolidate(base.unionByName(tail)).persist()
-    baseRows = merged.count()
-    val dF = EdgeIndex.degrees(merged, forward = true).persist()
-    val dR = EdgeIndex.degrees(merged, forward = false).persist()
-    dF.count(); dR.count()
-    base = merged; degFwdBase = dF; degRevBase = dR
+    installBase(EdgeIndex.consolidate(base.unionByName(tail)))
     tail = emptyEdges(spark); tailRows = 0L; tailBatches = 0; tailIds = Vector.empty
-    baseVersion += 1
-    stateDir.foreach { dir =>
-      merged.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
-      writeMeta(dir)
-    }
     old.unpersist(); oldF.unpersist(); oldR.unpersist(); oldTail.unpersist()
   }
 

@@ -102,6 +102,24 @@ class GenericJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(GenericJoin.countMatches(tri) == 6L)
   }
 
+  test("triangle-seeded K4 equals edge-at-a-time clique4 enumeration") {
+    for (seed <- Seq(29L, 31L)) {
+      val edges = erdosRenyi(14, 110, seed)
+      val viaSeed = SeedQueries.seededK4(edgesDF(edges))
+        .select("x0", "x1", "x2", "x3").collect().map(_.toSeq).toSet
+      val viaWco = GenericJoin.enumerate(edgesDF(edges), Planner.clique4)
+        .select("x0", "x1", "x2", "x3").collect().map(_.toSeq).toSet
+      assert(viaSeed == viaWco)
+    }
+    assert(SeedQueries.seededK4(edgesDF(k4)).count() == 1L)
+  }
+
+  test("5-clique on K6 yields C(6,5)... exactly the 6 ordered-by-attr bindings") {
+    val k6 = for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)
+    val c5 = GenericJoin.enumerate(edgesDF(k6), Planner.clique5)
+    assert(GenericJoin.countMatches(c5) == 6L)
+  }
+
   test("static-index streamed queries (q3-lean mode)") {
     val idx = EdgeIndex(EdgeIndex.consolidate(edgesDF(k4)))
     val queries = edgesDF(Seq((0L, 1L)))
