@@ -107,7 +107,10 @@ object Bench {
     val streamEdges = ordered.filter(_._1 >= preloadN)
       .map(t => (t._2, t._3, t._4)).collect()
     import scala.jdk.CollectionConverters._
-    val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXBATCHES", "100000").toInt
+    // default caps the per-level stream at 35 batches so the whole two-level
+    // bench fits a driver round; the full-protocol 98-batch numbers are in
+    // BASELINE.md / bench/BENCH_r1_stream_b1000_8v32.json
+    val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXBATCHES", "35").toInt
     val latencies = scala.collection.mutable.ArrayBuffer[Double]()
     var matchChanges = 0L
     var netTotal = 0L
