@@ -40,13 +40,31 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // wco_clique4 excluded: on the dense sf0.1 derived graph (557K edges on
     // 2000 nodes) 4-clique enumeration is O(billions) of matches
-    val names = Seq("wco_triangle", "wco_cycle3", "minhash_lsh_pairs",
+    val names = Seq("wco_triangle", "wco_cycle3", "wco_triangle_count",
+      "wco_clique4_ordered", "wco_clique5_factorized_count", "seed_k4",
+      "minhash_lsh_pairs", "minhash_lsh_pairs_fast",
       "ann_cosine_topk", "ngram_jaccard_pairs", "window_session", "dedup_exact")
+    // production-hash (xxhash64) variant of the oracle-gated portable query;
+    // measured here so the portable-vs-fast cost is visible side by side
+    val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "minhash_lsh_pairs_fast" -> ((s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        val d2 = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" xyzzy")).as("text")))
+        graft.dedup.Dedup.minhashPairs(d2, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5, hash = graft.dedup.Dedup.FastHash)
+      }))
     val out = names.map { n =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT read as a fast success: record a sentinel
+      try {
+        (extra ++ SparkEntry.queries)(n)(spark, sfDir).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+          n -> -1.0
+      }
     }.toMap
     spark.stop()
     out
@@ -56,12 +74,19 @@ object Bench {
                   batchSize: Int, durable: Boolean): StreamResult = {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "1") == "1"
     val routing = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUTING", "1") == "1"
+    // "fast" = RDD sharded-index engine (graft.fast, constant per-batch
+    // driver cost); "sql" = the DataFrame delta engine (per-batch Catalyst
+    // planning — kept for comparison; it was BENCH_r01's scaling bottleneck)
+    val engineKind = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENGINE", "fast")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle records in the fast path are small case classes with
+      // primitive-array fields — Kryo halves their serialized size/cost
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // long-running micro-batch loop: without periodic GC the driver never
       // collects broadcast/shuffle refs and per-batch latency creeps up
       .config("spark.cleaner.periodicGC.interval", "45s")
@@ -96,11 +121,6 @@ object Bench {
       }
       rmrf(new java.io.File(d))
     }
-    val state = new GraphState(spark, Planner.triangle, stateDir, maxTail = 8,
-      routing = routing, lineageMetrics = false)
-    val tLoad0 = System.nanoTime()
-    state.initialize(preload)
-    val loadSec = (System.nanoTime() - tLoad0) / 1e9
 
     // stream side: collected once (driver-fed, like the reference's text
     // replay); batches created locally, joins run distributed
@@ -108,27 +128,54 @@ object Bench {
       .map(t => (t._2, t._3, t._4)).collect()
     import scala.jdk.CollectionConverters._
     // default caps the per-level stream at 35 batches so the whole two-level
-    // bench fits a driver round; the full-protocol 98-batch numbers are in
-    // BASELINE.md / bench/BENCH_r1_stream_b1000_8v32.json
+    // bench fits a driver round; the full-protocol numbers are in BASELINE.md
     val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXBATCHES", "35").toInt
     val latencies = scala.collection.mutable.ArrayBuffer[Double]()
     var matchChanges = 0L
     var netTotal = 0L
-    val tStream0 = System.nanoTime()
-    var batchId = 0L
-    for (chunk <- streamEdges.grouped(batchSize).take(maxBatches)) {
-      val t0 = System.nanoTime()
-      val df = spark.createDataFrame(
-        chunk.map(t => Row(t._1, t._2, t._3)).toSeq.asJava, schema)
-      val matches = state.applyBatch(batchId, df)
-      val agg = matches.agg(count(lit(1)), coalesce(sum("w"), lit(0L))).collect()(0)
-      matchChanges += agg.getLong(0)
-      netTotal += agg.getLong(1)
-      latencies += (System.nanoTime() - t0) / 1e6
-      batchId += 1
+    var loadSec = 0.0
+    var streamSec = 0.0
+
+    if (engineKind == "fast") {
+      val state = new graft.fast.FastGraphState(spark, Planner.triangle,
+        stateDir, numParts = cores, maxTail = 8, lineageMetrics = true)
+      val tLoad0 = System.nanoTime()
+      state.initialize(preload)
+      loadSec = (System.nanoTime() - tLoad0) / 1e9
+      val tStream0 = System.nanoTime()
+      var batchId = 0L
+      for (chunk <- streamEdges.grouped(batchSize).take(maxBatches)) {
+        val t0 = System.nanoTime()
+        val (n, net) = state.applyBatchStats(batchId, chunk)
+        matchChanges += n
+        netTotal += net
+        latencies += (System.nanoTime() - t0) / 1e6
+        batchId += 1
+      }
+      streamSec = (System.nanoTime() - tStream0) / 1e9
+      state.close()
+    } else {
+      val state = new GraphState(spark, Planner.triangle, stateDir, maxTail = 8,
+        routing = routing, lineageMetrics = false)
+      val tLoad0 = System.nanoTime()
+      state.initialize(preload)
+      loadSec = (System.nanoTime() - tLoad0) / 1e9
+      val tStream0 = System.nanoTime()
+      var batchId = 0L
+      for (chunk <- streamEdges.grouped(batchSize).take(maxBatches)) {
+        val t0 = System.nanoTime()
+        val df = spark.createDataFrame(
+          chunk.map(t => Row(t._1, t._2, t._3)).toSeq.asJava, schema)
+        val matches = state.applyBatch(batchId, df)
+        val agg = matches.agg(count(lit(1)), coalesce(sum("w"), lit(0L))).collect()(0)
+        matchChanges += agg.getLong(0)
+        netTotal += agg.getLong(1)
+        latencies += (System.nanoTime() - t0) / 1e6
+        batchId += 1
+      }
+      streamSec = (System.nanoTime() - tStream0) / 1e9
+      state.close()
     }
-    val streamSec = (System.nanoTime() - tStream0) / 1e9
-    state.close()
     spark.stop()
     val sorted = latencies.sorted
     def pct(p: Double) = if (sorted.isEmpty) 0.0 else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
@@ -156,9 +203,10 @@ object Bench {
       TranscriptEdges.toolToolEdges(ts).select("src", "dst", "w")).persist()
     edges.count() // exclude generation from the measured window
     val t0 = System.nanoTime()
-    val matches = graft.batch.GenericJoin.enumerate(edges, Planner.triangle)
-    val n = matches.agg(org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    // count-only path: no per-binding consolidation shuffle (each binding is
+    // emitted exactly once by the batch pipeline)
+    val row = graft.batch.GenericJoin.enumerateAgg(edges, Planner.triangle).collect()(0)
+    val n = row.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     spark.stop()
     (sec, n)
@@ -178,9 +226,14 @@ object Bench {
     val q = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1")
       headlineQueries(sfDir, cpus) else Map.empty[String, Double]
     val results = levels.map(c => streamBench(c, nConvs, turns, nTools, batchSize, durable))
+    // enumerate scaling probe may use a LARGER fixture than the stream so
+    // parallel join work dominates the per-query serial floor (the r01 run's
+    // 0.16 "efficiency" was an Amdahl artifact of a ~7s total job)
+    val eConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 2).toString).toInt
+    val eTools = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
     val enumResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
-        levels.map(c => c -> enumerateBench(c, nConvs, turns, nTools))
+        levels.map(c => c -> enumerateBench(c, eConvs, turns, eTools))
       else Nil
 
     def sr(r: StreamResult): String =
@@ -197,7 +250,7 @@ object Bench {
       } else 0.0
     val totalsMatch = results.map(r => (r.matchChanges, r.netTotal)).distinct.size == 1
     val streamJson = results.map(sr).mkString("[", ",", "]")
-    val totalQ = q.values.sum
+    val totalQ = q.values.filter(_ >= 0).sum // -1 = FAILED sentinel, not a timing
     val enumJson = enumResults.map { case (c, (sec, n)) =>
       s"""{"cores":$c,"sec":${f"$sec%.2f"},"triangles":$n}"""
     }.mkString("[", ",", "]")

@@ -15,24 +15,35 @@ import graft.plan.Planner
 object SparkEntry {
 
   val K = 2000L
+  /** Denser modulus for the 5-variable motifs: at K=2000 the sf graphs have
+    * zero 5-cliques, so those queries would pass vacuously. */
+  val K5 = 900L
 
   /** Deterministic derived edge graph over the driver tables. */
-  def edges(s: SparkSession, dir: String): DataFrame =
+  def edgesM(m: Long)(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
-      .selectExpr(s"l_orderkey % $K AS src", s"l_partkey % $K AS dst")
+      .selectExpr(s"l_orderkey % $m AS src", s"l_partkey % $m AS dst")
       .where(col("src") =!= col("dst"))
       .distinct()
 
-  val edgesCte: String =
-    s"WITH edges AS (SELECT DISTINCT l_orderkey % $K AS src, l_partkey % $K AS dst " +
-      s"FROM lineitem WHERE l_orderkey % $K <> l_partkey % $K)"
+  def edges(s: SparkSession, dir: String): DataFrame = edgesM(K)(s, dir)
 
-  private def motifQuery(motif: Seq[(Int, Int)])(s: SparkSession, dir: String): DataFrame =
-    GenericJoin.enumerate(edges(s, dir), motif)
+  def edgesCteM(m: Long): String =
+    s"WITH edges AS (SELECT DISTINCT l_orderkey % $m AS src, l_partkey % $m AS dst " +
+      s"FROM lineitem WHERE l_orderkey % $m <> l_partkey % $m)"
+
+  val edgesCte: String = edgesCteM(K)
+
+  private def motifQuery(motif: Seq[(Int, Int)], m: Long = K,
+                         predicates: Seq[GenericJoin.Pred] = Nil)
+                        (s: SparkSession, dir: String): DataFrame =
+    GenericJoin.enumerate(edgesM(m)(s, dir), motif, predicates)
 
   /** n-way self-join oracle for a motif, mirroring the engine's output
-    * schema (x0..x{k-1}, w). */
-  private def motifOracle(motif: Seq[(Int, Int)]): String = {
+    * schema (x0..x{k-1}, w). `extraWhere` carries symmetry-breaking /
+    * distinctness predicates in x-attribute terms. */
+  private def motifOracle(motif: Seq[(Int, Int)], m: Long = K,
+                          extraWhere: Seq[String] = Nil): String = {
     val n = motif.flatMap(e => Seq(e._1, e._2)).max + 1
     val binder = scala.collection.mutable.Map[Int, String]()
     motif.zipWithIndex.foreach { case ((s, d), i) =>
@@ -43,9 +54,11 @@ object SparkEntry {
     val from = motif.indices.map(i => s"edges e$i").mkString(", ")
     val conds = motif.zipWithIndex.flatMap { case ((s, d), i) =>
       Seq(s"e$i.src = ${binder(s)}", s"e$i.dst = ${binder(d)}")
-    }.distinct.filterNot(c => c.split(" = ")(0) == c.split(" = ")(1))
+    }.distinct.filterNot(c => c.split(" = ")(0) == c.split(" = ")(1)) ++
+      extraWhere.map(w => (n - 1 to 0 by -1).foldLeft(w)((acc, a) =>
+        acc.replace(s"x$a", binder(a)))) // descending so x1 never matches in x10
     val where = if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
-    s"$edgesCte SELECT $sel, CAST(1 AS BIGINT) AS w FROM $from$where"
+    s"${edgesCteM(m)} SELECT $sel, CAST(1 AS BIGINT) AS w FROM $from$where"
   }
 
   /** Flagship: WCO triangles on sf0.001; driver smoke-checks rows>0. */
@@ -57,6 +70,21 @@ object SparkEntry {
     "wco_triangle" -> motifQuery(Planner.triangle),
     "wco_cycle3" -> motifQuery(Planner.cycle3),
     "wco_clique4" -> motifQuery(Planner.clique4),
+    // count-only fast path: no per-binding consolidation shuffle
+    "wco_triangle_count" -> ((s, dir) =>
+      GenericJoin.enumerateAgg(edges(s, dir), Planner.triangle)),
+    // 5-variable motifs on the denser K5-modulus graph (zero matches at K)
+    "wco_clique5" -> motifQuery(Planner.clique5, m = K5),
+    "wco_clique_hat" -> motifQuery(Planner.cliqueHat),
+    // symmetry-broken / filtered enumeration (reference q6-lean retain
+    // filters + diamonds.rs ordered mode)
+    "wco_clique4_ordered" -> motifQuery(Planner.clique4, m = K,
+      predicates = GenericJoin.ordered(4)),
+    "wco_clique_hat_filtered" -> motifQuery(Planner.cliqueHat, m = K,
+      predicates = Seq(GenericJoin.Pred(1, 4, "!="), GenericJoin.Pred(2, 4, "<"))),
+    // factorized counting (seed-q5-lean mode): last attribute never exploded
+    "wco_clique5_factorized_count" -> ((s, dir) =>
+      GenericJoin.enumerateFactorizedCount(edgesM(K5)(s, dir), Planner.clique5)),
     "wco_cycle4_count" -> ((s, dir) =>
       motifQuery(Planner.cycle4)(s, dir).agg(
         count(lit(1)).as("n"), coalesce(sum("w"), lit(0L)).as("total"))),
@@ -75,6 +103,10 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("win.start").as("win_start"), col("event_type"), col("n"))),
+    "window_sliding" -> ((s, dir) =>
+      graft.streaming.Windows.sliding(
+        s.read.parquet(s"$dir/events.parquet").withColumn("w", lit(1L)),
+        "ts", "1 hour", "15 minutes", keys = Seq("event_type"))),
     "window_session" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -124,10 +156,39 @@ object SparkEntry {
             .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens")))
   )
 
+  /** Staged K5 oracle (triangles → K4 via triangle pairs → K5 via K4 pairs):
+    * the naive 10-way self-join takes DuckDB >60 s at sf0.01; this runs in
+    * ~2 s and provably enumerates the same orientation (all a<b edges). */
+  private def clique5Oracle(sel: String): String =
+    s"${edgesCteM(K5)}, " +
+      "tri AS MATERIALIZED (SELECT e0.src AS a, e0.dst AS b, e1.dst AS c " +
+      "FROM edges e0 JOIN edges e1 ON e1.src = e0.src " +
+      "JOIN edges e2 ON e2.src = e0.dst AND e2.dst = e1.dst), " +
+      "k4 AS MATERIALIZED (SELECT t1.a, t1.b, t1.c, t2.c AS d " +
+      "FROM tri t1 JOIN tri t2 ON t1.a = t2.a AND t1.b = t2.b " +
+      "JOIN edges z ON z.src = t1.c AND z.dst = t2.c), " +
+      "k5 AS (SELECT k1.a AS x0, k1.b AS x1, k1.c AS x2, k1.d AS x3, k2.d AS x4 " +
+      "FROM k4 k1 JOIN k4 k2 ON k1.a = k2.a AND k1.b = k2.b AND k1.c = k2.c " +
+      "JOIN edges s ON s.src = k1.d AND s.dst = k2.d) " +
+      s"SELECT $sel FROM k5"
+
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "wco_cycle3" -> motifOracle(Planner.cycle3),
     "wco_clique4" -> motifOracle(Planner.clique4),
+    "wco_triangle_count" ->
+      (s"$edgesCte SELECT count(*) AS n, CAST(count(*) AS BIGINT) AS total FROM " +
+        "(SELECT e0.src FROM edges e0, edges e1, edges e2 " +
+        "WHERE e1.src = e0.src AND e2.src = e0.dst AND e2.dst = e1.dst)"),
+    "wco_clique5" ->
+      clique5Oracle("x0, x1, x2, x3, x4, CAST(1 AS BIGINT) AS w"),
+    "wco_clique5_factorized_count" ->
+      clique5Oracle("CAST(count(*) AS BIGINT) AS total"),
+    "wco_clique_hat" -> motifOracle(Planner.cliqueHat),
+    "wco_clique4_ordered" -> motifOracle(Planner.clique4,
+      extraWhere = Seq("x0 < x1", "x1 < x2", "x2 < x3")),
+    "wco_clique_hat_filtered" -> motifOracle(Planner.cliqueHat,
+      extraWhere = Seq("x1 <> x4", "x2 < x4")),
     "wco_cycle4_count" ->
       (s"$edgesCte SELECT count(*) AS n, CAST(count(*) AS BIGINT) AS total FROM " +
         "(SELECT e0.src FROM edges e0, edges e1, edges e2, edges e3 " +
@@ -138,6 +199,13 @@ object SparkEntry {
     "window_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS win_start, event_type, " +
         "count(*) AS n FROM events GROUP BY 1, 2"),
+    "window_sliding" ->
+      // Spark's window(ts, 1h, 15m) assigns each event to the 4 slide-aligned
+      // windows covering it; mirror via j = 0..3 offsets from the 15-min floor
+      ("SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) AS win_start, " +
+        "time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) + to_minutes(60) AS win_end, " +
+        "event_type, count(*) AS net, count(*) AS \"rows\" " +
+        "FROM events, generate_series(0, 3) g(j) GROUP BY 1, 2, 3"),
     "window_session" ->
       ("WITH marked AS (SELECT user_id, event_id, ts, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 " +

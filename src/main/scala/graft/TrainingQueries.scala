@@ -50,6 +50,42 @@ object TrainingQueries {
   private def dotSql(a: String, b: String, dim: Int) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+  // 64-bit simhash as 4×16-bit bands, shared by the simhash and
+  // simhash_pairs oracles (reads CTEs tok→th)
+  private val s4Cte =
+    "s4 AS (SELECT doc_id, list_transform(generate_series(0, 3), band -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 15), bit -> " +
+      "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h -> " +
+      "CASE WHEN (h * (2*(band*16 + bit) + 3) + (5*(band*16 + bit) + 1)) % 1000003 % 2 = 1 " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b) > 0 " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a * 2 + b)) AS sh FROM th)"
+
+  /** DuckDB oracle for the hyperplane-LSH cosine pairs: the planes derive
+    * from the same splitmix64 stream as [[Embeddings.hyperplanes]], emitted
+    * as exact round-trip double literals (VALUES rows, string-cast to
+    * DOUBLE[] so no element is mis-typed DECIMAL) — so DuckDB reproduces
+    * bucket ids and cosines bit-for-bit. */
+  private def lshOracle(threshold: Double, nPlanes: Int, tables: Int,
+                        seed: Long, dim: Int): String = {
+    val rows = for (t <- 0 until tables; p <- 0 until nPlanes) yield {
+      val plane = Embeddings.hyperplanes(nPlanes, dim, seed + t * 7919L)(p)
+      val lst = plane.map(d => d.toString).mkString("['", "','", "']")
+      s"($t, ${1L << (nPlanes - 1 - p)}, CAST($lst AS DOUBLE[]))"
+    }
+    s"WITH planes(tbl, pow2, w) AS (VALUES ${rows.mkString(", ")}), " +
+      "b AS (SELECT e.vec_id AS id, pl.tbl, CAST(sum(CASE WHEN " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), " +
+      "i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])), (x, y) -> x + y) >= 0 " +
+      "THEN pl.pow2 ELSE 0 END) AS BIGINT) AS bucket FROM embeddings e CROSS JOIN planes pl " +
+      "GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM b a " +
+      "JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id), " +
+      "scored AS (SELECT id_a, id_b, round(" + dotSql("va", "vb", dim) +
+      " / (sqrt(" + dotSql("va", "va", dim) + ") * sqrt(" + dotSql("vb", "vb", dim) + ")), 9) AS cos " +
+      "FROM (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb FROM cand " +
+      "JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)) " +
+      s"SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
@@ -62,9 +98,12 @@ object TrainingQueries {
         round(TextOps.qualityScore(col("text")), 6).as("score"))),
 
     // ---- dedup ----
+    // portable (polyHash) mode so the DuckDB oracle reproduces signatures
+    // bit-for-bit; the production default is xxhash64 (Dedup.FastHash),
+    // benchmarked separately as minhash_lsh_pairs_fast in Bench
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs2(s, dir), "doc_id", "text",
-        n = 3, k = 16, bands = 4, threshold = 0.5)),
+        n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)),
     "simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhashBands(col("text")).as("sh"))
         .select(col("doc_id"), element_at(col("sh"), 1).as("b0"),
@@ -136,14 +175,20 @@ object TrainingQueries {
         "SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM pairs GROUP BY id_a, id_b " +
         "HAVING max(est_jaccard) >= 0.5"),
     "simhash" ->
-      ("WITH " + tokCte("documents") + ", " + thCte + ", " +
-        "s4 AS (SELECT doc_id, list_transform(generate_series(0, 3), band -> " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 15), bit -> " +
-        "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h -> " +
-        "CASE WHEN (h * (2*(band*16 + bit) + 3) + (5*(band*16 + bit) + 1)) % 1000003 % 2 = 1 " +
-        "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b) > 0 " +
-        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a * 2 + b)) AS sh FROM th) " +
+      ("WITH " + tokCte("documents") + ", " + thCte + ", " + s4Cte + " " +
         "SELECT doc_id, sh[1] AS b0, sh[2] AS b1, sh[3] AS b2, sh[4] AS b3 FROM s4"),
+    "simhash_pairs" ->
+      (docs2Cte + ", " + tokCte("docs2") + ", " + thCte + ", " + s4Cte + ", " +
+        "bands AS (SELECT doc_id, sh, j AS bidx, sh[j + 1] AS bkey " +
+        "FROM s4, generate_series(0, 3) g(j)), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, 4), " +
+        "i -> CAST(bit_count(xor(a.sh[i], b.sh[i])) AS BIGINT))), (x, y) -> x + y) AS hamming " +
+        "FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, min(hamming) AS hamming FROM pairs GROUP BY 1, 2 " +
+        "HAVING min(hamming) <= 6"),
+    "lsh_cosine_pairs" -> lshOracle(threshold = 0.3, nPlanes = 12, tables = 4,
+      seed = 42L, dim = 64),
     "ngram_jaccard_pairs" ->
       (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
         "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
@@ -170,8 +215,5 @@ object TrainingQueries {
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
         "CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 64 END AS BIGINT) AS n_features " +
         "FROM documents")
-    // simhash_pairs, lsh_cosine_pairs: rows-only (oracle omitted —
-    // simhash_pairs SQL would be the simhash CTE squared; lsh hyperplanes
-    // derive from splitmix64, not expressible portably)
   )
 }

@@ -88,6 +88,30 @@ object GenericJoin {
     * `extend_using`, /root/reference/src/extender.rs:41-54). */
   final case class Extender(prefixPos: Int, forward: Boolean, index: EdgeIndex)
 
+  /** Inline symmetry-breaking / distinctness predicate between two motif
+    * attributes, applied at the EARLIEST extension stage where both are
+    * bound — the reference's per-stage retain filters that keep ordered
+    * clique enumeration from materializing all k! permutations
+    * (/root/reference/examples/q6-lean.rs:62-65 `v2 != v4 && v3 < v4`;
+    * /root/reference/static_graph/examples/diamonds.rs:42 `b < c`).
+    * `op` ∈ { "<", "<=", ">", ">=", "!=" }; attributes are ORIGINAL motif
+    * attribute ids (the planner maps them to prefix positions). */
+  final case class Pred(a: Int, b: Int, op: String) {
+    def column(left: Column, right: Column): Column = op match {
+      case "<"  => left < right
+      case "<=" => left <= right
+      case ">"  => left > right
+      case ">=" => left >= right
+      case "!=" => left =!= right
+      case other => throw new IllegalArgumentException(s"unsupported predicate op: $other")
+    }
+  }
+
+  /** Ordered-enumeration predicate set x0 < x1 < ... < x{n-1}: one canonical
+    * representative per clique instead of all n! permutations. */
+  def ordered(numAttrs: Int): Seq[Pred] =
+    (0 until numAttrs - 1).map(a => Pred(a, a + 1, "<"))
+
   /** Extends a prefix frame (p: array<long>, w: long) by one attribute with
     * the WCO count→argmin→propose→intersect discipline; returns the same
     * schema with p one element longer.
@@ -210,11 +234,13 @@ object GenericJoin {
     * Output columns: x0..x{k-1} (long), w (long). */
   def runPlan(seed: DataFrame, plan: RelationPlan, indexFor: Boolean => EdgeIndex,
               pruneZero: Boolean = true, routing: Boolean = true,
-              broadcastPrefixes: Boolean = false): DataFrame = {
-    var cur = seed // (p: array<long> of length 2, w: long)
-    for (stage <- plan.stages) {
+              broadcastPrefixes: Boolean = false,
+              predicates: Seq[Pred] = Nil): DataFrame = {
+    var cur = applyPreds(seed, plan, predicates, boundPositions = 2)
+    for ((stage, s) <- plan.stages.zipWithIndex) {
       val exts = stage.map(c => Extender(c.prefixPos, c.forward, indexFor(c.inclusive)))
       cur = extendStage(cur, exts, pruneZero, routing, broadcastPrefixes)
+      cur = applyPreds(cur, plan, predicates, boundPositions = s + 3)
     }
     val outCols = (0 until plan.numAttrs).map { a =>
       element_at(col("p"), plan.inverse(a) + 1).as(s"x$a")
@@ -222,13 +248,99 @@ object GenericJoin {
     cur.select(outCols: _*)
   }
 
+  /** Filters by every predicate that becomes FULLY BOUND exactly when the
+    * prefix reaches `boundPositions` elements (earliest-stage application —
+    * each predicate fires once, right where the reference's retain would). */
+  private def applyPreds(df: DataFrame, plan: RelationPlan, preds: Seq[Pred],
+                         boundPositions: Int): DataFrame = {
+    val due = preds.filter { pr =>
+      math.max(plan.inverse(pr.a), plan.inverse(pr.b)) == boundPositions - 1
+    }
+    due.foldLeft(df) { (acc, pr) =>
+      acc.filter(pr.column(
+        element_at(col("p"), plan.inverse(pr.a) + 1),
+        element_at(col("p"), plan.inverse(pr.b) + 1)))
+    }
+  }
+
   /** Batch motif enumeration over a static edge set — the analog of
     * `build_motif` (/root/reference/src/motif.rs:114-117).
     * Edges: (src,dst[,w]); output (x0..x{k-1}, w), consolidated. */
-  def enumerate(edges: DataFrame, motif: Seq[(Int, Int)]): DataFrame = {
+  def enumerate(edges: DataFrame, motif: Seq[(Int, Int)],
+                predicates: Seq[Pred] = Nil): DataFrame = {
     val index = EdgeIndex(EdgeIndex.consolidate(edges))
     val seed = index.fwd.select(array(col("k"), col("v")).as("p"), col("ew").as("w"))
-    consolidateMatches(runPlan(seed, Planner.planRelation(0, motif), _ => index))
+    consolidateMatches(runPlan(seed, Planner.planRelation(0, motif), _ => index,
+      predicates = predicates))
+  }
+
+  /** Count-only batch enumeration: (n = distinct matched bindings, total =
+    * net Z-set weight) WITHOUT the per-binding consolidation shuffle.
+    * Sound because batch `enumerate` runs ONE pipeline over consolidated
+    * inputs — each binding appears on exactly one output row — so
+    * consolidation there only drops zero-weight rows; here we filter them
+    * and aggregate with a map-side-combined global agg instead. */
+  def enumerateAgg(edges: DataFrame, motif: Seq[(Int, Int)],
+                   predicates: Seq[Pred] = Nil): DataFrame = {
+    val index = EdgeIndex(EdgeIndex.consolidate(edges))
+    val seed = index.fwd.select(array(col("k"), col("v")).as("p"), col("ew").as("w"))
+    runPlan(seed, Planner.planRelation(0, motif), _ => index, predicates = predicates)
+      .filter(col("w") =!= 0L)
+      .agg(count(lit(1)).as("n"), coalesce(sum("w"), lit(0L)).as("total"))
+  }
+
+  /** Factorized counting (the reference's seed-q5-lean mode,
+    * /root/reference/examples/seed-q5-lean.rs:72-104): all but the LAST
+    * extension stage run normally; the last attribute is never exploded —
+    * per surviving prefix we count the final candidates via sorted
+    * adjacency arrays + `array_intersect` and sum `w × |∩|`. This is the
+    * output-volume lever for 5/6-clique-style queries whose match count
+    * dwarfs the prefix count (reference README.md:150-201). Requires a 0/1
+    * edge Z-set (adjacency arrays carry no multiplicities). Returns one row
+    * (total: long). Predicates touching the last attribute are applied as
+    * array filters before counting — still never materialized. */
+  def enumerateFactorizedCount(edges: DataFrame, motif: Seq[(Int, Int)],
+                               predicates: Seq[Pred] = Nil): DataFrame = {
+    val plan = Planner.planRelation(0, motif)
+    require(plan.numAttrs >= 3, "factorized counting needs at least one extension stage")
+    val consolidated = EdgeIndex.consolidate(edges)
+    val index = EdgeIndex(consolidated)
+    val seed = index.fwd.select(array(col("k"), col("v")).as("p"), col("ew").as("w"))
+
+    // stages 0..n-2 as usual (with earliest-stage predicate application)
+    var cur = applyPreds(seed, plan, predicates, boundPositions = 2)
+    for ((stage, s) <- plan.stages.zipWithIndex.dropRight(1)) {
+      val exts = stage.map(c => Extender(c.prefixPos, c.forward, index))
+      cur = extendStage(cur, exts, pruneZero = true, routing = true)
+      cur = applyPreds(cur, plan, predicates, boundPositions = s + 3)
+    }
+
+    // last stage, factorized: sorted candidate arrays per constraint key
+    val lastAttrPos = plan.numAttrs - 1
+    val lastStage = plan.stages.last
+    def adjArrays(forward: Boolean): DataFrame = {
+      val (k, v) = if (forward) ("src", "dst") else ("dst", "src")
+      consolidated.groupBy(col(k).as("k"))
+        .agg(sort_array(collect_list(col(v))).as("vs"))
+    }
+    for ((c, j) <- lastStage.zipWithIndex) {
+      val a = adjArrays(c.forward)
+        .select(col("k").as(s"_k$j"), col("vs").as(s"_vs$j"))
+      cur = cur.join(a, element_at(col("p"), c.prefixPos + 1) === col(s"_k$j"))
+        .drop(s"_k$j")
+    }
+    val inter = lastStage.indices.map(j => col(s"_vs$j"))
+      .reduceLeft((x, y) => array_intersect(x, y))
+    val lastPreds = predicates.filter(pr =>
+      math.max(plan.inverse(pr.a), plan.inverse(pr.b)) == lastAttrPos)
+    val filtered = lastPreds.foldLeft(inter) { (arr, pr) =>
+      val (lastIsA, otherAttr) =
+        if (plan.inverse(pr.a) == lastAttrPos) (true, pr.b) else (false, pr.a)
+      val other = element_at(col("p"), plan.inverse(otherAttr) + 1)
+      filter(arr, v => if (lastIsA) pr.column(v, other) else pr.column(other, v))
+    }
+    cur.select((col("w") * size(filtered).cast("long")).as("cnt"))
+      .agg(coalesce(sum("cnt"), lit(0L)).as("total"))
   }
 
   /** Static-index, streamed-queries mode (examples/q3-lean.rs:50-66,
@@ -251,13 +363,14 @@ object GenericJoin {
     * binding); callers aggregate or consolidate. */
   def deltaStep(deltas: DataFrame, oldIndex: EdgeIndex, newIndex: EdgeIndex,
                 motif: Seq[(Int, Int)], pruneZero: Boolean = true,
-                routing: Boolean = true, broadcastPrefixes: Boolean = true): DataFrame = {
+                routing: Boolean = true, broadcastPrefixes: Boolean = true,
+                predicates: Seq[Pred] = Nil): DataFrame = {
     val d = EdgeIndex.norm(deltas)
     val seed = d.select(array(col("src"), col("dst")).as("p"), col("w"))
     motif.indices.map { r =>
       val plan = Planner.planRelation(r, motif)
       runPlan(seed, plan, inclusive => if (inclusive) newIndex else oldIndex,
-        pruneZero, routing, broadcastPrefixes)
+        pruneZero, routing, broadcastPrefixes, predicates)
     }.reduce(_ unionByName _)
   }
 

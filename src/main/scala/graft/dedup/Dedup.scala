@@ -15,7 +15,15 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  import TextOps.{P, polyHash, tokens}
+  import TextOps.{P, fastHash, polyHash, tokens}
+
+  /** String-hash choice for signatures: `portable` (polyHash — bit-exact in
+    * DuckDB, used by the oracle-gated driver queries) or the production
+    * default `fast` (xxhash64 mod P — same value range, so every band/minhash
+    * expression is shared; ~10× cheaper on shingle workloads). */
+  type HashMode = Column => Column
+  val PortableHash: HashMode = polyHash
+  val FastHash: HashMode = fastHash
 
   /** Distinct n-word shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
@@ -29,8 +37,9 @@ object Dedup {
   /** k MinHash values over the shingle set: h_i(s) = ((2i+1)·H(s) + 17i+3)
     * mod P with H the portable polynomial hash. Empty shingle set → all P
     * (an impossible hash, so empty docs never collide with content). */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val hs = transform(shingleCol, s => polyHash(s)) // hash each shingle once
+  def minhashSignature(shingleCol: Column, k: Int,
+                       hash: HashMode = FastHash): Column = {
+    val hs = transform(shingleCol, s => hash(s)) // hash each shingle once
     transform(sequence(lit(0), lit(k - 1)), i =>
       coalesce(
         array_min(transform(hs, h => (h * (i * 2 + 1) + (i * 17 + 3)) % P)),
@@ -49,9 +58,10 @@ object Dedup {
 
   /** id + minhash signature per document. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 32): DataFrame =
+                        n: Int = 3, k: Int = 32,
+                        hash: HashMode = FastHash): DataFrame =
     docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+      minhashSignature(shingles(col(textCol), n), k, hash).as("sig"))
 
   /** MinHash+LSH near-duplicate pairs: shingle→minhash→band→bucket-join.
     * Output (id_a < id_b, est_jaccard ≥ threshold). The band join is the
@@ -59,9 +69,13 @@ object Dedup {
     * imply near-identical docs. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   hash: HashMode = FastHash): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k) — otherwise the " +
+        s"trailing k % bands components would be silently excluded from every band")
     val r = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k, hash)
       .withColumn("band", explode(
         transform(sequence(lit(0), lit(bands - 1)),
           j => struct(j.as("bidx"),
@@ -99,10 +113,10 @@ object Dedup {
     * (keeps all arithmetic < 2^62 → ANSI-safe and SQL-portable; banding on
     * 16-bit chunks is also exactly the hamming-LSH candidate scheme).
     * Output: array of 4 longs. */
-  def simhashBands(text: Column): Column = {
+  def simhashBands(text: Column, hash: HashMode = PortableHash): Column = {
     // hash every token once, then derive per-bit votes by cheap rehash
     // parity: bit b's vote for token h is ((h·(2b+3) + 5b+1) mod P) mod 2
-    val th = transform(tokens(text), tok => polyHash(tok))
+    val th = transform(tokens(text), tok => hash(tok))
     transform(sequence(lit(0), lit(3)), band =>
       aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, bit) => {
         val b = band * 16 + bit

@@ -1,0 +1,282 @@
+package graft.fast
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ArraySeq
+import graft.batch.GenericJoin.Pred
+
+/** Incrementally-maintained motif state with CONSTANT per-batch driver cost.
+  *
+  * Same contract as [[graft.incr.GraphState]] (exactly-once absorb, WAL
+  * before output, meta commit after sink, compaction, lineage metrics,
+  * restart-from-stateDir) but the state lives as a persisted, hash-
+  * partitioned RDD of per-node adjacency shards and the per-batch delta
+  * step is [[DeltaEngine]]'s fixed RDD pipeline — no Catalyst planning in
+  * the loop. The DataFrame engine remains the semantic oracle (tests pin
+  * batch-for-batch equality).
+  *
+  * Scale design: state is sharded by node id across `numParts` partitions
+  * (at cluster scale: ≥ executors × cores); the micro-batch delta is
+  * broadcast (the streaming regime assumes |batch| ≪ |state|); prefixes
+  * and proposals — the actual O(output) work — are exchanged between
+  * shards exactly like the reference's timely workers. Lineage is
+  * truncated with `localCheckpoint` every batch; durability comes from the
+  * driver-side WAL + versioned base parquet, not RDD recompute.
+  *
+  * Layout under `stateDir`: `meta.json`, `base/v=N/` (parquet),
+  * `wal/batch=N.bin` (12-byte-per-edge little-endian (src,dst,w) triples,
+  * fsync'd before any output), `metrics.jsonl`.
+  */
+final class FastGraphState(
+    val spark: SparkSession,
+    val motif: Seq[(Int, Int)],
+    stateDir: Option[String] = None,
+    numParts: Int = 0,
+    maxTail: Int = 12,
+    predicates: Seq[Pred] = Nil,
+    lineageMetrics: Boolean = true) extends graft.incr.MotifState {
+
+  private val sc = spark.sparkContext
+  private val parts = if (numParts > 0) numParts else sc.defaultParallelism
+  val engine = new DeltaEngine(motif, predicates, parts)
+
+  private var shards: RDD[Shard.T] = engine.emptyShards(sc)
+  private var baseVersion: Long = 0L
+  private var _lastBatchId: Long = -1L
+  private var tailIds: Vector[Long] = Vector.empty
+  private var pendingShards: List[RDD[Shard.T]] = Nil
+  private var pendingBcast: List[Broadcast[DeltaPack]] = Nil
+  shards.persist(); shards.count()
+
+  def lastBatchId: Long = _lastBatchId
+
+  stateDir.foreach(recover)
+
+  /** Bulk preload without emitting match deltas (reference
+    * `Index::initialize`). Requires empty state. */
+  def initialize(edges: DataFrame): Unit = {
+    require(_lastBatchId == -1L && tailIds.isEmpty && baseVersion == 0L,
+      "initialize requires empty state")
+    val rdd = edges.select("src", "dst", "w").rdd
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    installShards(engine.buildShards(rdd))
+    stateDir.foreach { dir =>
+      writeBase(dir)
+      writeMeta(dir)
+    }
+  }
+
+  private def installShards(next: RDD[Shard.T]): Unit = {
+    next.persist()
+    next.localCheckpoint() // truncate lineage: recovery is WAL replay, not recompute
+    next.count()
+    pendingShards ::= shards
+    shards = next
+  }
+
+  /** Absorbs one micro-batch and returns consolidated match deltas
+    * (x0..x{k-1}, w) as a DataFrame. Same exactly-once contract as
+    * GraphState: replayed batch ids return empty without state change;
+    * `sink` runs before the absorb is committed. */
+  def applyBatch(batchId: Long, deltas: DataFrame,
+                 sink: DataFrame => Unit = _ => ()): DataFrame = {
+    if (batchId <= _lastBatchId) return emptyMatches
+    val arr = collectConsolidated(deltas)
+    val rdd = applyBatchRdd(batchId, arr, df => sink(df))
+    toDF(rdd)
+  }
+
+  /** RDD-level absorb: returns the consolidated match-delta RDD; `sink`
+    * (if any) receives the DataFrame view before commit. */
+  def applyBatchRdd(batchId: Long, arr: Array[(Long, Long, Long)],
+                    sink: DataFrame => Unit = null): RDD[(ArraySeq[Long], Long)] = {
+    if (batchId <= _lastBatchId) return sc.emptyRDD[(ArraySeq[Long], Long)]
+    val t0 = System.nanoTime()
+    pendingShards.foreach(_.unpersist(false)); pendingShards = Nil
+    // NOT destroy(): the checkpointed shard RDD object keeps its (dead)
+    // closure field referencing the previous batch's broadcast, and task
+    // serialization embeds the handle — destroying it poisons every later
+    // job over the shards. unpersist drops executor copies now; the
+    // ContextCleaner reclaims the handle once the old shard RDD (its only
+    // referent after lineage truncation) is dropped below.
+    pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
+
+    stateDir.foreach(dir => writeWal(dir, batchId, arr)) // write-ahead
+    val dp = sc.broadcast(DeltaPack(arr))
+    val matches = engine.deltaStep(sc, shards, dp, arr)
+    if (sink != null) sink(toDF(matches))
+
+    installShards(engine.updateShards(shards, dp))
+    pendingBcast ::= dp
+    tailIds :+= batchId
+    _lastBatchId = batchId
+    if (tailIds.size >= maxTail) {
+      if (stateDir.isDefined) compact() else tailIds = Vector.empty
+    }
+    stateDir.foreach { dir =>
+      writeMeta(dir)
+      appendMetrics(dir, batchId, arr, t0)
+    }
+    matches
+  }
+
+  /** (consolidated match-delta rows, net weight) for one batch — the bench
+    * fast path: one RDD job, zero Catalyst. */
+  def applyBatchStats(batchId: Long, arr: Array[(Long, Long, Long)]): (Long, Long) = {
+    val m = applyBatchRdd(batchId, arr)
+    m.mapPartitions { it =>
+      var n = 0L; var s = 0L
+      for ((_, w) <- it) { n += 1; s += w }
+      Iterator.single((n, s))
+    }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+  }
+
+  /** Current consolidated edge Z-set (tests / snapshot queries). */
+  def edges: DataFrame = {
+    val rows = shards.flatMap { shard =>
+      shard.iterator.flatMap { case (k, adj) =>
+        adj.fwdVs.indices.iterator.map(i => Row(k, adj.fwdVs(i), adj.fwdWs(i)))
+      }
+    }
+    spark.createDataFrame(rows, FastGraphState.edgeSchema)
+  }
+
+  /** Rewrites the base parquet at the current state and clears the WAL tail
+    * (amortized O(|E|) — the reference's merge_to). In-memory shards are
+    * already fully consolidated; this only bounds recovery time. */
+  def compact(): Unit = stateDir.foreach { dir =>
+    val folded = tailIds
+    val oldVersion = baseVersion
+    tailIds = Vector.empty // cleared BEFORE meta persists (no double-count window)
+    writeBase(dir)
+    writeMeta(dir)
+    // post-commit GC
+    rmrf(Paths.get(dir, "base", s"v=$oldVersion").toFile)
+    folded.foreach(id => Files.deleteIfExists(Paths.get(dir, "wal", s"batch=$id.bin")))
+  }
+
+  def close(): Unit = {
+    pendingShards.foreach(_.unpersist(false)); pendingShards = Nil
+    pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
+    shards.unpersist(false)
+  }
+
+  // ---- plumbing ----
+
+  private def collectConsolidated(deltas: DataFrame): Array[(Long, Long, Long)] = {
+    val w = if (deltas.columns.contains("w"))
+      org.apache.spark.sql.functions.col("w").cast("long")
+    else org.apache.spark.sql.functions.lit(1L)
+    deltas.select(
+        org.apache.spark.sql.functions.col("src").cast("long"),
+        org.apache.spark.sql.functions.col("dst").cast("long"), w.as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  private def toDF(matches: RDD[(ArraySeq[Long], Long)]): DataFrame = {
+    val n = engine.numAttrs
+    val rows = matches.map { case (p, w) =>
+      Row.fromSeq(p.toSeq :+ w)
+    }
+    spark.createDataFrame(rows, FastGraphState.matchSchema(n))
+  }
+
+  private def emptyMatches: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      FastGraphState.matchSchema(engine.numAttrs))
+
+  private def writeBase(dir: String): Unit = {
+    baseVersion += 1
+    edges.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
+  }
+
+  private def writeWal(dir: String, batchId: Long, arr: Array[(Long, Long, Long)]): Unit = {
+    val path = Paths.get(dir, "wal", s"batch=$batchId.bin")
+    Files.createDirectories(path.getParent)
+    val buf = ByteBuffer.allocate(arr.length * 24)
+    for ((s, d, w) <- arr) { buf.putLong(s); buf.putLong(d); buf.putLong(w) }
+    buf.flip()
+    val ch = FileChannel.open(path, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try { ch.write(buf); ch.force(true) } finally ch.close()
+  }
+
+  private def readWal(dir: String, batchId: Long): Array[(Long, Long, Long)] = {
+    val bytes = Files.readAllBytes(Paths.get(dir, "wal", s"batch=$batchId.bin"))
+    val buf = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 24)((buf.getLong, buf.getLong, buf.getLong))
+  }
+
+  private def writeMeta(dir: String): Unit = {
+    val json =
+      s"""{"baseVersion":$baseVersion,"lastBatchId":${_lastBatchId},"tailBatches":[${tailIds.mkString(",")}]}"""
+    val tmp = Paths.get(dir, "meta.json.tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(dir, "meta.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def appendMetrics(dir: String, batchId: Long,
+                            arr: Array[(Long, Long, Long)], t0: Long): Unit = {
+    // per-partition lineage: delta rows routed to each state shard
+    val perPart =
+      if (lineageMetrics)
+        arr.groupBy(e => engine.partitioner.getPartition(e._1))
+          .toSeq.sortBy(_._1)
+          .map { case (p, es) => s"""{"p":$p,"rows":${es.length}}""" }
+      else Nil
+    val ms = (System.nanoTime() - t0) / 1e6
+    val line =
+      s"""{"batchId":$batchId,"inputRows":${arr.length},"wallMs":$ms,"partitions":[${perPart.mkString(",")}]}\n"""
+    Files.writeString(Paths.get(dir, "metrics.jsonl"), line,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def recover(dir: String): Unit = {
+    val metaPath = Paths.get(dir, "meta.json")
+    if (!Files.exists(metaPath)) return
+    val meta = Files.readString(metaPath)
+    def longField(name: String): Long =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong).getOrElse(0L)
+    baseVersion = longField("baseVersion")
+    _lastBatchId = longField("lastBatchId")
+    tailIds = """"tailBatches":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+      .map(_.group(1)).filter(_.nonEmpty).map(_.split(",").map(_.toLong).toVector)
+      .getOrElse(Vector.empty)
+    val baseRdd: RDD[(Long, Long, Long)] =
+      if (baseVersion > 0)
+        spark.read.parquet(s"$dir/base/v=$baseVersion").select("src", "dst", "w")
+          .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      else sc.emptyRDD
+    val tailEdges = tailIds.flatMap(id => readWal(dir, id))
+    val all = if (tailEdges.isEmpty) baseRdd
+              else baseRdd.union(sc.parallelize(tailEdges, math.max(1, parts / 4)))
+    val next = engine.buildShards(all)
+    next.persist(); next.localCheckpoint(); next.count()
+    shards.unpersist(false)
+    shards = next
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmrf) }
+    f.delete(); ()
+  }
+}
+
+object FastGraphState {
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("w", LongType)))
+
+  def matchSchema(numAttrs: Int): StructType = StructType(
+    (0 until numAttrs).map(i => StructField(s"x$i", LongType)) :+
+      StructField("w", LongType))
+}

@@ -40,7 +40,7 @@ final class GraphState(
     maxTail: Int = 12,
     pruneZero: Boolean = true,
     routing: Boolean = true,
-    lineageMetrics: Boolean = true) {
+    lineageMetrics: Boolean = true) extends MotifState {
 
   import GraphState._
 
@@ -164,13 +164,35 @@ final class GraphState(
   private def maybeCompact(): Unit =
     if (tailBatches >= maxTail || (baseRows > 0 && tailRows > baseRows / 2)) compact()
 
-  /** Folds the tail into a freshly consolidated, persisted base. */
+  /** Folds the tail into a freshly consolidated, persisted base.
+    *
+    * Crash-window discipline: tail bookkeeping is cleared BEFORE
+    * `installBase` persists `meta.json`, so the on-disk meta is never
+    * simultaneously new-base (which already contains the folded tail) +
+    * old-tail — a crash mid-compaction recovers either (old base, old tail)
+    * or (new base, no tail), never a double-counting mix. */
   def compact(): Unit = {
     if (tailRows == 0) return
     val old = base; val oldF = degFwdBase; val oldR = degRevBase; val oldTail = tail
-    installBase(EdgeIndex.consolidate(base.unionByName(tail)))
-    tail = emptyEdges(spark); tailRows = 0L; tailBatches = 0; tailIds = Vector.empty
+    val foldedIds = tailIds
+    val oldVersion = baseVersion
+    val consolidated = EdgeIndex.consolidate(base.unionByName(tail))
+    tailIds = Vector.empty; tailRows = 0L; tailBatches = 0
+    installBase(consolidated)
+    tail = emptyEdges(spark)
     old.unpersist(); oldF.unpersist(); oldR.unpersist(); oldTail.unpersist()
+    // post-commit GC (best-effort): the new meta no longer references the
+    // previous base version or the folded tail batches — delete them so a
+    // long-running stream's stateDir stays O(|E|), not O(|E| × compactions).
+    stateDir.foreach { dir =>
+      rmrf(Paths.get(dir, "base", s"v=$oldVersion").toFile)
+      foldedIds.foreach(id => rmrf(Paths.get(dir, "tail", s"batch=$id").toFile))
+    }
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmrf) }
+    f.delete(); ()
   }
 
   // ---- durability ----

@@ -96,6 +96,18 @@ object Planner {
         require(cs.nonEmpty, s"attribute at position $attr is unconstrained")
         cs.toIndexedSeq
       }
+    // Every non-seed relation must be enforced by some stage: a relation
+    // whose BOTH endpoints lie inside the seed pair (e.g. the reciprocal
+    // motif Seq((0,1),(1,0)) or a duplicated edge) would otherwise be
+    // silently dropped and the join would overcount. (The reference's
+    // plan_query shares this blind spot — we reject instead.)
+    val enforced = rel.indices.filter { idx =>
+      val (s, d) = rel(idx)
+      idx == seedRelation || s >= 2 || d >= 2
+    }.toSet
+    require(enforced.size == rel.size,
+      s"motif relations ${rel.indices.filterNot(enforced).mkString(",")} bind only the " +
+        s"seed relation's attribute pair and cannot be enforced by any extension stage")
     RelationPlan(seedRelation, order, stages)
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.incr.GraphState
+import graft.incr.{GraphState, MotifState}
 import graft.model.EdgeDelta
 
 /** End-to-end incremental motif pipeline over a streaming transcript frame:
@@ -22,10 +22,12 @@ import graft.model.EdgeDelta
   */
 object MotifStream {
 
-  final case class Pipeline(state: GraphState, query: StreamingQuery)
+  final case class Pipeline(state: MotifState, query: StreamingQuery)
 
   /** Starts the pipeline. `transcripts` must be a streaming DataFrame with
-    * the input_hint schema; `dict` a static key→id frame for `attr`. */
+    * the input_hint schema; `dict` a static key→id frame for `attr`.
+    * `fastEngine` (default) holds motif state as sharded executor RDDs with
+    * constant per-batch driver cost; false = the DataFrame delta engine. */
   def start(
       transcripts: DataFrame,
       dict: DataFrame,
@@ -34,9 +36,12 @@ object MotifStream {
       watermarkDelay: String,
       outDir: String,
       checkpointDir: String,
-      stateDir: Option[String] = None): Pipeline = {
+      stateDir: Option[String] = None,
+      fastEngine: Boolean = true): Pipeline = {
     val spark = transcripts.sparkSession
-    val state = new GraphState(spark, motif, stateDir)
+    val state: MotifState =
+      if (fastEngine) new graft.fast.FastGraphState(spark, motif, stateDir)
+      else new GraphState(spark, motif, stateDir)
     val deltas: Dataset[EdgeDelta] =
       AdjacencyDeltas.stream(
         AdjacencyDeltas.encode(

@@ -30,12 +30,26 @@ object TextOps {
 
   /** Portable polynomial string hash: fold codepoints with
     * acc = (acc*131 + code) mod P. Works on lambda variables (usable
-    * inside nested higher-order functions). */
+    * inside nested higher-order functions).
+    *
+    * ASCII-only portability: Spark's `ascii()` and DuckDB's `unicode()`
+    * agree on ASCII input but can diverge on multibyte characters — the
+    * bit-for-bit oracle parity this hash exists for holds for ASCII
+    * corpora (all driver fixtures). Normalize or strip non-ASCII before
+    * hashing if that ever changes. For the production scale path use
+    * [[fastHash]] (xxhash64) instead — ~10× cheaper, not SQL-portable. */
   def polyHash(s: Column): Column =
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, code) => (acc * B + pmod(code, lit(P))) % P)
+
+  /** Production-path string hash: xxhash64 folded into [0, P) so every
+    * downstream minhash/band expression (built for < 2^62 arithmetic) works
+    * unchanged. One codegen'd call per string — no per-character array like
+    * [[polyHash]] (measured ~10× cheaper on 3-gram shingle workloads). NOT
+    * reproducible in DuckDB; the oracle-gated queries keep polyHash. */
+  def fastHash(s: Column): Column = pmod(xxhash64(s), lit(P))
 
   /** Document fingerprint: polynomial rolling hash of the normalized text
     * (lowercased, whitespace collapsed) — an order-sensitive exact-dup /

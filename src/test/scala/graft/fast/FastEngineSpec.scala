@@ -1,0 +1,178 @@
+package graft.fast
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.batch.GenericJoin
+import graft.incr.GraphState
+import graft.plan.Planner
+
+/** Pins the RDD fast engine to the DataFrame engine batch-for-batch: same
+  * consolidated match deltas per micro-batch (including within-batch le/lt
+  * staleness, retractions, and multi-stage motifs), at any partition count,
+  * plus durable restart. */
+class FastEngineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("w", LongType)))
+
+  private def df(edges: Seq[(Long, Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      edges.map(e => Row(e._1, e._2, e._3)).asJava, edgeSchema)
+  }
+
+  /** Deterministic random ±1 edge stream over `n` nodes. */
+  private def randomBatches(nodes: Int, nBatches: Int, batchSize: Int,
+                            seed: Long, negFrac: Double = 0.2): Seq[Seq[(Long, Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    val inserted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0 until nBatches).map { _ =>
+      (0 until batchSize).map { _ =>
+        if (inserted.nonEmpty && rnd.nextDouble() < negFrac) {
+          val i = rnd.nextInt(inserted.size)
+          val (s, d) = inserted.remove(i)
+          (s, d, -1L)
+        } else {
+          var s = 0L; var d = 0L
+          while (s == d) { s = rnd.nextInt(nodes).toLong; d = rnd.nextInt(nodes).toLong }
+          inserted += ((s, d))
+          (s, d, 1L)
+        }
+      }
+    }
+  }
+
+  private def sortedRows(frame: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+    frame.collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSeq.sortBy(_.mkString(","))
+
+  private def compareEngines(motif: Seq[(Int, Int)], nodes: Int, nBatches: Int,
+                             batchSize: Int, seed: Long, parts: Int): Unit = {
+    val slow = new GraphState(spark, motif)
+    val fast = new FastGraphState(spark, motif, numParts = parts, maxTail = 3)
+    for ((batch, id) <- randomBatches(nodes, nBatches, batchSize, seed).zipWithIndex) {
+      val b = df(batch)
+      val expect = sortedRows(slow.applyBatch(id.toLong, b))
+      val got = sortedRows(fast.applyBatch(id.toLong, b))
+      assert(got == expect, s"motif=$motif batch=$id parts=$parts")
+    }
+    slow.close(); fast.close()
+  }
+
+  test("fast == sql engine per batch: triangle (with retractions)") {
+    compareEngines(Planner.triangle, nodes = 30, nBatches = 6, batchSize = 40,
+      seed = 7L, parts = 5)
+  }
+
+  test("fast == sql engine per batch: cycle3") {
+    compareEngines(Planner.cycle3, nodes = 25, nBatches = 5, batchSize = 40,
+      seed = 11L, parts = 3)
+  }
+
+  test("fast == sql engine per batch: clique4 (two extension levels)") {
+    compareEngines(Planner.clique4, nodes = 18, nBatches = 4, batchSize = 50,
+      seed = 13L, parts = 4)
+  }
+
+  test("parallelism invariance: same outputs at 2 and 8 partitions") {
+    val batches = randomBatches(24, 4, 50, seed = 17L)
+    val a = new FastGraphState(spark, Planner.triangle, numParts = 2)
+    val bb = new FastGraphState(spark, Planner.triangle, numParts = 8)
+    for ((batch, id) <- batches.zipWithIndex) {
+      val r1 = sortedRows(a.applyBatch(id.toLong, df(batch)))
+      val r2 = sortedRows(bb.applyBatch(id.toLong, df(batch)))
+      assert(r1 == r2)
+    }
+    a.close(); bb.close()
+  }
+
+  test("cumulative stream == batch enumeration (initialize + stream)") {
+    val batches = randomBatches(30, 6, 40, seed = 23L)
+    val fast = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 2)
+    fast.initialize(df(batches.head))
+    val acc = scala.collection.mutable.Map[Seq[Long], Long]()
+    for ((batch, i) <- batches.tail.zipWithIndex) {
+      for (row <- fast.applyBatch(i.toLong, df(batch)).collect()) {
+        val key = row.toSeq.dropRight(1).map(_.asInstanceOf[Long])
+        val w = row.getLong(row.length - 1)
+        acc(key) = acc.getOrElse(key, 0L) + w
+      }
+    }
+    // preload matches (not emitted) + streamed deltas == full enumeration
+    val preload = GenericJoin.enumerate(df(batches.head), Planner.triangle)
+    for (row <- preload.collect()) {
+      val key = row.toSeq.dropRight(1).map(_.asInstanceOf[Long])
+      acc(key) = acc.getOrElse(key, 0L) + row.getLong(row.length - 1)
+    }
+    val expected = GenericJoin.enumerate(df(batches.flatten), Planner.triangle)
+      .collect().map(r => r.toSeq.dropRight(1).map(_.asInstanceOf[Long]) ->
+        r.getLong(r.length - 1)).toMap
+    assert(acc.filter(_._2 != 0L).toMap == expected)
+    fast.close()
+  }
+
+  test("predicates: ordered triangle stream == ordered batch enumeration") {
+    val batches = randomBatches(25, 4, 40, seed = 29L)
+    val preds = GenericJoin.ordered(3)
+    val fast = new FastGraphState(spark, Planner.triangle, numParts = 4,
+      predicates = preds)
+    val acc = scala.collection.mutable.Map[Seq[Long], Long]()
+    for ((batch, i) <- batches.zipWithIndex) {
+      for (row <- fast.applyBatch(i.toLong, df(batch)).collect()) {
+        val key = row.toSeq.dropRight(1).map(_.asInstanceOf[Long])
+        acc(key) = acc.getOrElse(key, 0L) + row.getLong(row.length - 1)
+      }
+    }
+    val expected = GenericJoin.enumerate(df(batches.flatten), Planner.triangle, preds)
+      .collect().map(r => r.toSeq.dropRight(1).map(_.asInstanceOf[Long]) ->
+        r.getLong(r.length - 1)).toMap
+    assert(acc.filter(_._2 != 0L).toMap == expected)
+    fast.close()
+  }
+
+  test("durability: restart from stateDir resumes exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fast_state").toString
+    val batches = randomBatches(20, 5, 30, seed = 31L)
+    val s1 = new FastGraphState(spark, Planner.triangle, Some(dir),
+      numParts = 3, maxTail = 2)
+    s1.initialize(df(batches.head))
+    val out1 = batches.slice(1, 3).zipWithIndex.map { case (b, i) =>
+      sortedRows(s1.applyBatch(i.toLong, df(b)))
+    }
+    s1.close()
+
+    // restart: replayed ids are no-ops, new ids continue from durable state
+    val s2 = new FastGraphState(spark, Planner.triangle, Some(dir),
+      numParts = 3, maxTail = 2)
+    assert(s2.lastBatchId == 1L)
+    assert(s2.applyBatch(1L, df(batches(2))).collect().isEmpty) // replay → no-op
+    val out3 = sortedRows(s2.applyBatch(2L, df(batches(3))))
+
+    // reference run without restart
+    val ref = new FastGraphState(spark, Planner.triangle, numParts = 3)
+    ref.initialize(df(batches.head))
+    val refOuts = batches.slice(1, 4).zipWithIndex.map { case (b, i) =>
+      sortedRows(ref.applyBatch(i.toLong, df(b)))
+    }
+    assert(out1 == refOuts.take(2))
+    assert(out3 == refOuts(2))
+    s2.close(); ref.close()
+  }
+
+  test("applyBatchStats matches DataFrame counts") {
+    val batches = randomBatches(25, 3, 40, seed = 37L)
+    val a = new FastGraphState(spark, Planner.triangle, numParts = 4)
+    val b = new FastGraphState(spark, Planner.triangle, numParts = 4)
+    for ((batch, i) <- batches.zipWithIndex) {
+      val (n, net) = a.applyBatchStats(i.toLong,
+        batch.toArray)
+      val mdf = b.applyBatch(i.toLong, df(batch))
+      val rows = mdf.collect()
+      assert(n == rows.length)
+      assert(net == rows.map(r => r.getLong(r.length - 1)).sum)
+    }
+    a.close(); b.close()
+  }
+}
