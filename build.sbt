@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 32-thread micro-batch loop is allocation-heavy and an
+  // 8g heap puts seconds of GC in every heavy stage (measured via
+  // taskMetrics.jvmGCTime); the sandbox has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput GC for the allocation-churn micro-batch loop: G1 produced
+  // multi-second mixed/full collections mid-batch (measured via
+  // taskMetrics.jvmGCTime: 5-42s spikes); ParallelGC holds a steady
+  // ~1.8s/batch tail on the same workload. Override with SPARK_GRAFT_GC.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )

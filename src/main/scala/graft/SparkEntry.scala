@@ -96,6 +96,9 @@ object SparkEntry {
     "degree_table" -> ((s, dir) =>
       edges(s, dir).groupBy(col("src").as("k"))
         .agg(count(lit(1)).as("deg")).filter(col("deg") > 0)),
+    // degree-ordered relabel ETL (reference static_graph layout step)
+    "degree_relabel" -> ((s, dir) =>
+      graft.sources.Layout.relabel(edges(s, dir))),
 
     // ---- event-time windows [north] over the events table ----
     "window_tumbling" -> ((s, dir) =>
@@ -196,6 +199,13 @@ object SparkEntry {
     "seed_k4" -> motifOracle(Planner.clique4),
     "degree_table" ->
       s"$edgesCte SELECT src AS k, count(*) AS deg FROM edges GROUP BY src",
+    "degree_relabel" ->
+      (s"$edgesCte, deg AS (SELECT node, count(*) AS deg FROM " +
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) " +
+        "GROUP BY node), " +
+        "dict AS (SELECT node, row_number() OVER (ORDER BY deg DESC, node ASC) - 1 AS new_id FROM deg) " +
+        "SELECT a.new_id AS src, b.new_id AS dst FROM edges e " +
+        "JOIN dict a ON e.src = a.node JOIN dict b ON e.dst = b.node"),
     "window_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS win_start, event_type, " +
         "count(*) AS n FROM events GROUP BY 1, 2"),

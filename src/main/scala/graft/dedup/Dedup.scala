@@ -75,7 +75,10 @@ object Dedup {
       s"bands ($bands) must divide the signature length k ($k) — otherwise the " +
         s"trailing k % bands components would be silently excluded from every band")
     val r = k / bands
+    // persisted: both sides of the band self-join read this frame — without
+    // caching, Spark computes the shingle+signature subtree twice
     val sigs = minhashSignatures(docs, idCol, textCol, n, k, hash)
+      .persist()
       .withColumn("band", explode(
         transform(sequence(lit(0), lit(bands - 1)),
           j => struct(j.as("bidx"),
@@ -98,7 +101,8 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    // persisted: the inverted index feeds both join sides (see minhashPairs)
+    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s")).persist()
     val a = inv.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
     val b = inv.select(col("id").as("id_b"), col("nsh").as("nb"), col("s"))
     a.join(b, "s").where(col("id_a") < col("id_b"))
@@ -133,6 +137,7 @@ object Dedup {
     val hammingBand: (Column, Column) => Column = (x, y) =>
       bit_count(x.bitwiseXOR(y)).cast("long")
     val sigs = docs.select(col(idCol).as("id"), simhashBands(col(textCol)).as("sh"))
+      .persist() // both sides of the band self-join read this frame
       .withColumn("bidx", explode(sequence(lit(0), lit(3))))
       .withColumn("bkey", element_at(col("sh"), col("bidx") + 1))
     val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bidx"), col("bkey"))

@@ -30,11 +30,14 @@ object Shard {
   val empty: T = scala.collection.immutable.HashMap.empty
 }
 
-/** A micro-batch of consolidated edge deltas, pre-grouped per endpoint and
-  * value-sorted, broadcast to every index partition. Supplies (a) the
+/** A micro-batch of edge deltas, broadcast to every index partition:
+  * `edges` is the CONSOLIDATED batch in canonical (src,dst) order — the
+  * shared seed list whose indices the driver's argmin routing table refers
+  * to — and fwd/rev are per-endpoint value-sorted runs supplying (a) the
   * merge-on-read "new" view for the le staleness rule and (b) the fold-in
   * data for the post-step index update. */
 final class DeltaPack(
+    val edges: Array[(Long, Long, Long)],
     val fwd: Map[Long, DeltaPack.Run],
     val rev: Map[Long, DeltaPack.Run]) extends Serializable {
   def run(k: Long, forward: Boolean): DeltaPack.Run =
@@ -47,14 +50,20 @@ object DeltaPack {
   final case class Run(vs: Array[Long], ws: Array[Long], degSum: Long) extends Serializable
   val emptyRun: Run = Run(Array.empty, Array.empty, 0L)
 
-  def apply(edges: Array[(Long, Long, Long)]): DeltaPack = {
+  def apply(raw: Array[(Long, Long, Long)]): DeltaPack = {
+    // consolidate to a canonical seed list (sum weights per (src,dst),
+    // drop zeros, sort) — sound by Z-set bilinearity
+    val edges = raw.groupBy(e => (e._1, e._2)).iterator
+      .map { case ((s, d), es) => (s, d, es.iterator.map(_._3).sum) }
+      .filter(_._3 != 0L)
+      .toArray.sortBy(e => (e._1, e._2))
     def group(keyOf: ((Long, Long, Long)) => Long,
               valOf: ((Long, Long, Long)) => Long): Map[Long, Run] =
       edges.groupBy(keyOf).map { case (k, es) =>
         val run = IndexState.consolidate(es.map(e => (valOf(e), e._3)))
         k -> Run(run.map(_._1), run.map(_._2), es.iterator.map(_._3).sum)
       }
-    new DeltaPack(group(_._1, _._2), group(_._2, _._1))
+    new DeltaPack(edges, group(_._1, _._2), group(_._2, _._1))
   }
 }
 
@@ -107,6 +116,23 @@ final class DeltaEngine(
       }.toIndexedSeq
     }
 
+  /** predsOk for the final level without materializing the extended prefix:
+    * the last position's value is supplied as `last`. */
+  private def predsOkWithLast(rel: Int, p: Array[Long], last: Long,
+                              boundPositions: Int): Boolean = {
+    val prs = predTable(rel)(boundPositions - 2)
+    val lastPos = boundPositions - 1
+    var i = 0
+    while (i < prs.length) {
+      val (pa, pb, op) = prs(i)
+      val a = if (pa == lastPos) last else p(pa)
+      val b = if (pb == lastPos) last else p(pb)
+      if (!DeltaEngine.evalOp(op, a, b)) return false
+      i += 1
+    }
+    true
+  }
+
   private def predsOk(rel: Int, p: Array[Long], boundPositions: Int): Boolean = {
     val prs = predTable(rel)(boundPositions - 2)
     var i = 0
@@ -118,19 +144,25 @@ final class DeltaEngine(
     true
   }
 
-  import DeltaEngine.{Pfx, Prop}
+  import DeltaEngine.{HotMap, Pfx, Prop}
 
-  // ---- executor-side lookups (base shard ⊎ broadcast delta) ----
+  // ---- executor-side lookups (hot replica ⊎ base shard, ⊎ broadcast delta) ----
+  // Hot hub keys are checked FIRST: a scattered row lands on an arbitrary
+  // partition whose shard does not hold its key; the hot replica does.
 
-  private def degAt(shard: Shard.T, dp: DeltaPack, k: Long,
+  private def degAt(shard: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
                     forward: Boolean, inclusive: Boolean): Long = {
-    val base = shard.get(k) match { case Some(a) => a.deg(forward); case None => 0L }
+    val h = hot.get(k)
+    val base =
+      if (h != null) h.deg(forward)
+      else shard.get(k) match { case Some(a) => a.deg(forward); case None => 0L }
     if (inclusive) base + dp.run(k, forward).degSum else base
   }
 
-  private def adjAt(shard: Shard.T, dp: DeltaPack, k: Long,
+  private def adjAt(shard: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
                     forward: Boolean, inclusive: Boolean): (Array[Long], Array[Long]) = {
-    val a = shard.get(k)
+    val h = hot.get(k)
+    val a = if (h != null) Some(h) else shard.get(k)
     val bvs = a.map(_.vs(forward)).getOrElse(Array.empty[Long])
     val bws = a.map(_.ws(forward)).getOrElse(Array.empty[Long])
     if (!inclusive) (bvs, bws)
@@ -140,14 +172,155 @@ final class DeltaEngine(
     }
   }
 
-  /** One extension level: count chain → pruneZero → propose → intersects →
-    * explode (+ inline predicates). `s` is the stage index (binds prefix
-    * position s+2). */
-  private def level(shards: RDD[Shard.T], dp: Broadcast[DeltaPack],
-                    cur: RDD[Pfx], s: Int): RDD[Pfx] = {
+  /** Routing key for a lookup on `k`: cold keys go to their shard's
+    * partition; HOT (replicated) keys scatter by prefix-content hash — the
+    * skew treatment the north rule requires. Without it the Zipf hubs pull
+    * whole levels onto one partition and core-count scaling inverts
+    * (measured: the hub partition processed ~90% of a batch's bytes). */
+  private def routeKey(k: Long, hot: HotMap, p: Array[Long], salt: Int): Long =
+    if (hot.containsKey(k)) DeltaEngine.scatterKey(p, salt) else k
+
+  /** Level 0 without any prefix exchange: the seed set IS the broadcast
+    * delta, so (a) cold-key degrees are computed by their owning shard
+    * partition in one tiny collect job, (b) hot-key degrees come from the
+    * driver's replica directly, (c) the argmin routing table (one byte-ish
+    * per seed×relation) is broadcast, and (d) each partition emits exactly
+    * the proposals assigned to it, in place. Replaces a parallelize + E
+    * count exchanges + a propose exchange — the per-batch stage floor that
+    * capped core-count scaling at small batch sizes. */
+  private def seedPropose(sc: SparkContext, shards: RDD[Shard.T],
+                          hot: Broadcast[HotMap], hotLocal: HotMap,
+                          dp: Broadcast[DeltaPack], dpLocal: DeltaPack): RDD[Prop] = {
+    val stage0 = plans.map(_.stages(0))
+    val engine = this
+    // (a) cold degrees, one job over the shards
+    val coldDegs = shards.mapPartitionsWithIndex { (pid, it) =>
+      val shard = it.next()
+      val d = dp.value
+      val h = hot.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+      var j = 0
+      while (j < d.edges.length) {
+        val (s0, d0, _) = d.edges(j)
+        val p = Array(s0, d0)
+        var r = 0
+        while (r < engine.numRels) {
+          if (engine.predsOk(r, p, 2)) {
+            val cs = stage0(r)
+            var i = 0
+            while (i < cs.size) {
+              val k = p(cs(i).prefixPos)
+              if (!h.containsKey(k) &&
+                  engine.partitioner.getPartition(k) == pid) {
+                out += ((j, r, i,
+                  degAt(shard, h, d, k, cs(i).forward, cs(i).inclusive)))
+              }
+              i += 1
+            }
+          }
+          r += 1
+        }
+        j += 1
+      }
+      out.iterator
+    }.collect()
+
+    // (b)+(c) driver: gather every (seed, rel, ext) degree (hot from the
+    // replica, cold from the collect), then argmin in extender order —
+    // exactly the DataFrame engine's least(struct(deg, i)): strictly
+    // smaller wins, ties keep the lowest extender id. pruneZero → -1.
+    val maxE0 = stage0.map(_.size).max
+    val nE = dpLocal.edges.length
+    val degs = Array.fill(nE * numRels * maxE0)(0L)
+    var j = 0
+    while (j < nE) {
+      val (s0, d0, _) = dpLocal.edges(j)
+      val p = Array(s0, d0)
+      var r = 0
+      while (r < numRels) {
+        if (predsOk(r, p, 2)) {
+          val cs = stage0(r)
+          var i = 0
+          while (i < cs.size) {
+            val k = p(cs(i).prefixPos)
+            if (hotLocal.containsKey(k))
+              degs((j * numRels + r) * maxE0 + i) =
+                degAt(Shard.empty, hotLocal, dpLocal, k, cs(i).forward, cs(i).inclusive)
+            i += 1
+          }
+        }
+        r += 1
+      }
+      j += 1
+    }
+    coldDegs.foreach { case (cj, cr, ci, deg) =>
+      degs((cj * numRels + cr) * maxE0 + ci) = deg
+    }
+    val routing = Array.fill(nE * numRels)(-1)
+    j = 0
+    while (j < nE) {
+      val (s0, d0, _) = dpLocal.edges(j)
+      val p = Array(s0, d0)
+      var r = 0
+      while (r < numRels) {
+        if (predsOk(r, p, 2)) {
+          val cs = stage0(r)
+          var best = Long.MaxValue
+          var bestI = -1
+          var i = 0
+          while (i < cs.size) {
+            val dgi = degs((j * numRels + r) * maxE0 + i)
+            if (dgi < best) { best = dgi; bestI = i }
+            i += 1
+          }
+          if (best > 0L) routing(j * numRels + r) = bestI // pruneZero
+        }
+        r += 1
+      }
+      j += 1
+    }
+    val routeB = sc.broadcast(routing)
+
+    // (d) propose in place on the assigned partition
+    shards.mapPartitionsWithIndex { (pid, it) =>
+      val shard = it.next()
+      val d = dp.value
+      val h = hot.value
+      val route = routeB.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Prop]
+      var j = 0
+      while (j < d.edges.length) {
+        val (s0, d0, w) = d.edges(j)
+        var r = 0
+        while (r < engine.numRels) {
+          val i = route(j * engine.numRels + r)
+          if (i >= 0) {
+            val p = Array(s0, d0)
+            val cst = stage0(r)(i)
+            val k = p(cst.prefixPos)
+            val assigned =
+              if (h.containsKey(k))
+                DeltaEngine.partOf(DeltaEngine.scatterKey(p, 3), engine.numParts) == pid
+              else engine.partitioner.getPartition(k) == pid
+            if (assigned) {
+              val (vs, ws) = adjAt(shard, h, d, k, cst.forward, cst.inclusive)
+              if (vs.nonEmpty) out += Prop(r, p, w, i, vs, ws)
+            }
+          }
+          r += 1
+        }
+        j += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Count chain + propose for levels ≥ 1 (prefixes already distributed). */
+  private def countPropose(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+                           dp: Broadcast[DeltaPack],
+                           cur: RDD[Pfx], s: Int): RDD[Prop] = {
     val stages = plans.map(_.stages(s))
     val maxE = stages.map(_.size).max
-    val boundAfter = s + 3
 
     // count: thread the running argmin through one exchange per extender
     // slot (the reference's count chain, /root/reference/src/index.rs:343-384)
@@ -155,17 +328,20 @@ final class DeltaEngine(
     for (i <- 0 until maxE) {
       c = c.map { pfx =>
           val cs = stages(pfx.rel)
-          val key = if (i < cs.size) pfx.p(cs(i).prefixPos) else pfx.p(0)
+          val key =
+            if (i < cs.size) routeKey(pfx.p(cs(i).prefixPos), hot.value, pfx.p, s * 7 + i)
+            else DeltaEngine.scatterKey(pfx.p, s * 7 + i)
           (key, pfx)
         }
         .partitionBy(partitioner)
         .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
           val shard = sh.next()
-          it.map { case (k, pfx) =>
+          it.map { case (_, pfx) =>
             val cs = stages(pfx.rel)
             if (i < cs.size) {
               val cst = cs(i)
-              val d = degAt(shard, dp.value, k, cst.forward, cst.inclusive)
+              val d = degAt(shard, hot.value, dp.value, pfx.p(cst.prefixPos),
+                cst.forward, cst.inclusive)
               if (d < pfx.minDeg) pfx.copy(minDeg = d, minExt = i) else pfx
             } else pfx
           }
@@ -175,46 +351,65 @@ final class DeltaEngine(
 
     // propose from the argmin extender's adjacency run
     var pr: RDD[Prop] = c.map { pfx =>
-        (pfx.p(stages(pfx.rel)(pfx.minExt).prefixPos), pfx)
+        val key = routeKey(pfx.p(stages(pfx.rel)(pfx.minExt).prefixPos),
+          hot.value, pfx.p, s * 7 + 5)
+        (key, pfx)
       }
       .partitionBy(partitioner)
       .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
         val shard = sh.next()
-        it.flatMap { case (k, pfx) =>
+        it.flatMap { case (_, pfx) =>
           val cst = stages(pfx.rel)(pfx.minExt)
-          val (vs, ws) = adjAt(shard, dp.value, k, cst.forward, cst.inclusive)
+          val (vs, ws) = adjAt(shard, hot.value, dp.value, pfx.p(cst.prefixPos),
+            cst.forward, cst.inclusive)
           if (vs.isEmpty) None
-          else Some(Prop(pfx.rel, pfx.p, pfx.w, pfx.minExt, vs, ws.clone()))
+          else Some(Prop(pfx.rel, pfx.p, pfx.w, pfx.minExt, vs, ws))
         }
       }
+    pr
+  }
 
-    // intersect against every non-proposing extender, galloping the index run
+  /** Intersect chain for level `s`: validate each proposal against every
+    * non-proposing extender, galloping the index run. */
+  private def intersectChain(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+                             dp: Broadcast[DeltaPack],
+                             props: RDD[Prop], s: Int): RDD[Prop] = {
+    val stages = plans.map(_.stages(s))
+    val maxE = stages.map(_.size).max
+    var pr = props
     for (j <- 0 until maxE - 1) {
       pr = pr.map { prop =>
           val cs = stages(prop.rel)
-          if (j < cs.size - 1) {
-            val o = if (j < prop.minExt) j else j + 1
-            (prop.p(cs(o).prefixPos), prop)
-          } else (prop.p(0), prop) // single-extender relation: pass through
+          val key =
+            if (j < cs.size - 1) {
+              val o = if (j < prop.minExt) j else j + 1
+              routeKey(prop.p(cs(o).prefixPos), hot.value, prop.p, s * 7 + 6 + j)
+            } else DeltaEngine.scatterKey(prop.p, s * 7 + 6 + j)
+          (key, prop)
         }
         .partitionBy(partitioner)
         .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
           val shard = sh.next()
-          it.flatMap { case (k, prop) =>
+          it.flatMap { case (_, prop) =>
             val cs = stages(prop.rel)
             if (j < cs.size - 1) {
               val o = if (j < prop.minExt) j else j + 1
               val cst = cs(o)
-              val (avs, aws) = adjAt(shard, dp.value, k, cst.forward, cst.inclusive)
+              val (avs, aws) = adjAt(shard, hot.value, dp.value,
+                prop.p(cst.prefixPos), cst.forward, cst.inclusive)
               val (nvs, nws) = DeltaEngine.intersectRuns(prop.cands, prop.candWs, avs, aws)
               if (nvs.isEmpty) None else Some(prop.copy(cands = nvs, candWs = nws))
             } else Some(prop)
           }
         }
     }
+    pr
+  }
 
-    // explode + earliest-stage predicates
-    pr.flatMap { prop =>
+  /** Explode validated level-`s` proposals into next-level prefixes. */
+  private def explodeToPfx(props: RDD[Prop], s: Int): RDD[Pfx] = {
+    val boundAfter = s + 3
+    props.flatMap { prop =>
       val out = Vector.newBuilder[Pfx]
       var i = 0
       while (i < prop.cands.length) {
@@ -234,25 +429,125 @@ final class DeltaEngine(
   /** Runs one batch's delta step. Returns the CONSOLIDATED motif match
     * deltas, un-permuted to original attribute order: (bindings x0..x{k-1},
     * net weight ≠ 0). */
-  def deltaStep(sc: SparkContext, shards: RDD[Shard.T], dp: Broadcast[DeltaPack],
-                seeds: Array[(Long, Long, Long)]): RDD[(ArraySeq[Long], Long)] = {
-    val nSlices = math.max(1, math.min(numParts, seeds.length / 64 + 1))
-    var cur: RDD[Pfx] = sc.parallelize(ArraySeq.unsafeWrapArray(seeds), nSlices)
-      .flatMap { case (s, d, w) =>
-        (0 until numRels).iterator
-          .map(r => Pfx(r, Array(s, d), w, Long.MaxValue, -1))
-          .filter(pfx => predsOk(pfx.rel, pfx.p, 2))
+  def deltaStep(sc: SparkContext, shards: RDD[Shard.T], hot: Broadcast[HotMap],
+                hotLocal: HotMap, dp: Broadcast[DeltaPack],
+                dpLocal: DeltaPack): RDD[(ArraySeq[Long], Long)] = {
+    val inverses = plans.map(_.inverse.toArray)
+    if (numAttrs == 2) {
+      // single-relation motif: the seeds ARE the matches
+      val seeds = dpLocal.edges
+      val nSlices = math.max(1, math.min(numParts, seeds.length / 64 + 1))
+      return sc.parallelize(ArraySeq.unsafeWrapArray(seeds), nSlices)
+        .flatMap { case (s, d, w) =>
+          (0 until numRels).iterator
+            .map(r => Pfx(r, Array(s, d), w, Long.MaxValue, -1))
+            .filter(pfx => predsOk(pfx.rel, pfx.p, 2))
+        }
+        .map { pfx =>
+          val inv = inverses(pfx.rel)
+          (ArraySeq.unsafeWrapArray(Array(pfx.p(inv(0)), pfx.p(inv(1)))), pfx.w)
+        }
+        .reduceByKey(new HashPartitioner(numParts), _ + _)
+        .filter(_._2 != 0L)
+    }
+    // level 0 fused over the broadcast seed set; levels ≥ 1 over the
+    // distributed prefix stream
+    var pr: RDD[Prop] = intersectChain(shards, hot, dp,
+      seedPropose(sc, shards, hot, hotLocal, dp, dpLocal), 0)
+    for (s <- 1 to numAttrs - 3) {
+      val cur = explodeToPfx(pr, s - 1)
+      pr = intersectChain(shards, hot, dp,
+        countPropose(shards, hot, dp, cur, s), s)
+    }
+
+    // Final level: explode straight into per-target-partition PACKED blocks
+    // of [x0..x{k-1}, w] longs — the consolidation exchange then moves ~P²
+    // big primitive arrays instead of millions of tiny records. Measured:
+    // record-at-a-time consolidation cost ~6µs/match (Kryo + per-record
+    // allocation, memory-bound, no core scaling); packed blocks serialize at
+    // memcpy speed with ZERO map-side allocation per match.
+    val n = numAttrs
+    val lastPos = n - 1
+    val np = numParts
+    // bounded chunk size: multi-MB blocks are G1-humongous allocations and
+    // were fragmenting the heap into multi-second full-GC storms (measured
+    // gc=27-42s inside single stages); 256KB chunks stay in normal regions
+    val rec = n + 1
+    val chunkCap = (32768 / rec) * rec
+    val packed: RDD[(Int, Array[Long])] =
+      pr.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
+        val bufs = new Array[Array[Long]](np)
+        val lens = new Array[Int](np)
+        while (it.hasNext) {
+          val prop = it.next()
+          val inv = inverses(prop.rel)
+          var i = 0
+          while (i < prop.cands.length) {
+            val w = prop.w * prop.candWs(i)
+            if (w != 0L) {
+              val cand = prop.cands(i)
+              if (predsOkWithLast(prop.rel, prop.p, cand, n)) {
+                var h = 0L
+                var a = 0
+                while (a < n) {
+                  val v = if (inv(a) == lastPos) cand else prop.p(inv(a))
+                  h = h * 0x9e3779b97f4a7c15L + v + 1
+                  a += 1
+                }
+                h ^= h >>> 32
+                val pid = ((h % np) + np).toInt % np
+                var buf = bufs(pid)
+                if (buf == null) { buf = new Array[Long](chunkCap); bufs(pid) = buf }
+                var off = lens(pid)
+                a = 0
+                while (a < n) {
+                  buf(off) = if (inv(a) == lastPos) cand else prop.p(inv(a))
+                  off += 1; a += 1
+                }
+                buf(off) = w
+                lens(pid) = off + 1
+                if (off + 1 == chunkCap) {
+                  out += ((pid, buf)); bufs(pid) = null; lens(pid) = 0
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        var pid = 0
+        while (pid < np) {
+          if (lens(pid) > 0)
+            out += ((pid, java.util.Arrays.copyOf(bufs(pid), lens(pid))))
+          pid += 1
+        }
+        out.iterator
       }
-    for (s <- 0 until numAttrs - 2) cur = level(shards, dp, cur, s)
-    cur.map { pfx =>
-        val inv = plans(pfx.rel).inverse
-        val out = new Array[Long](numAttrs)
-        var a = 0
-        while (a < numAttrs) { out(a) = pfx.p(inv(a)); a += 1 }
-        (ArraySeq.unsafeWrapArray(out), pfx.w)
-      }
-      .reduceByKey(new HashPartitioner(numParts), _ + _)
-      .filter(_._2 != 0L)
+    packed
+      .partitionBy(DeltaEngine.identityPartitioner(np))
+      .mapPartitions({ it =>
+        val m = new java.util.HashMap[ArraySeq[Long], java.lang.Long](1 << 20)
+        while (it.hasNext) {
+          val block = it.next()._2
+          var off = 0
+          while (off < block.length) {
+            val key = ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(block, off, off + n))
+            val w = block(off + n)
+            val prev = m.get(key)
+            if (prev == null) m.put(key, w)
+            else {
+              val s = prev.longValue() + w
+              if (s == 0L) m.remove(key) else m.put(key, java.lang.Long.valueOf(s))
+            }
+            off += n + 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala
+          .map(e => (e.getKey, e.getValue.longValue()))
+          .filter(_._2 != 0L)
+      }, preservesPartitioning = false)
   }
 
   /** Folds the broadcast delta into the sharded index (copy-on-write per
@@ -318,6 +613,26 @@ final class DeltaEngine(
 }
 
 object DeltaEngine {
+  /** Broadcast replica of the hottest keys' adjacency (Zipf hubs): lookups
+    * on these keys run wherever the row already is, so no partition ever
+    * concentrates hub traffic. Maintained by [[FastGraphState]] in lockstep
+    * with the shards (same merge rules, copy-on-write snapshot per batch). */
+  type HotMap = java.util.HashMap[Long, Adj]
+
+  /** Deterministic balance key for rows whose lookup key is hot-replicated:
+    * mixes the prefix content so records spread evenly; `salt` decorrelates
+    * consecutive hops. */
+  def scatterKey(p: Array[Long], salt: Int): Long = {
+    var h = salt * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
+    var i = 0
+    while (i < p.length) {
+      h = (h ^ p(i)) * 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      i += 1
+    }
+    h
+  }
+
   /** Prefix in flight: relation id, bound values (reordered positions),
     * Z-set weight, and the running (min degree, argmin extender).
     * Top-level (NOT inner to the engine) so shuffled records never drag an
@@ -330,6 +645,21 @@ object DeltaEngine {
                         cands: Array[Long], candWs: Array[Long])
 
   val emptyAdj = new Adj(Array.empty, Array.empty, 0L, Array.empty, Array.empty, 0L)
+
+  /** Partition of a raw long key, matching HashPartitioner over boxed
+    * Longs: nonNegativeMod(Long.hashCode(k), n). */
+  def partOf(k: Long, n: Int): Int = {
+    val h = (k ^ (k >>> 32)).toInt
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+
+  /** Partitioner for pre-routed (pid, block) pairs. */
+  def identityPartitioner(n: Int): org.apache.spark.Partitioner =
+    new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
 
   def opCode(op: String): Int = op match {
     case "<" => 0; case "<=" => 1; case ">" => 2; case ">=" => 3; case "!=" => 4

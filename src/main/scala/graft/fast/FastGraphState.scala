@@ -39,18 +39,24 @@ final class FastGraphState(
     numParts: Int = 0,
     maxTail: Int = 12,
     predicates: Seq[Pred] = Nil,
-    lineageMetrics: Boolean = true) extends graft.incr.MotifState {
+    lineageMetrics: Boolean = true,
+    hotKeys: Int = -1) extends graft.incr.MotifState {
 
   private val sc = spark.sparkContext
   private val parts = if (numParts > 0) numParts else sc.defaultParallelism
+  /** Size of the broadcast hot-hub replica (0 disables). */
+  private val hotK = if (hotKeys >= 0) hotKeys else 8 * parts
   val engine = new DeltaEngine(motif, predicates, parts)
 
   private var shards: RDD[Shard.T] = engine.emptyShards(sc)
+  /** Driver-held snapshot of the hottest keys' adjacency; replaced (never
+    * mutated) per batch so in-flight broadcasts stay consistent. */
+  private var hotAdj: DeltaEngine.HotMap = new DeltaEngine.HotMap()
   private var baseVersion: Long = 0L
   private var _lastBatchId: Long = -1L
   private var tailIds: Vector[Long] = Vector.empty
   private var pendingShards: List[RDD[Shard.T]] = Nil
-  private var pendingBcast: List[Broadcast[DeltaPack]] = Nil
+  private var pendingBcast: List[Broadcast[_]] = Nil
   shards.persist(); shards.count()
 
   def lastBatchId: Long = _lastBatchId
@@ -65,10 +71,51 @@ final class FastGraphState(
     val rdd = edges.select("src", "dst", "w").rdd
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     installShards(engine.buildShards(rdd))
+    rebuildHot()
     stateDir.foreach { dir =>
       writeBase(dir)
       writeMeta(dir)
     }
+  }
+
+  /** (Re)selects the hot-hub replica: the `hotK` largest adjacencies by row
+    * count. Runs at initialize / recover / compaction — hot-set membership
+    * may drift between compactions (a perf heuristic only: membership never
+    * affects results, because replica content is maintained exactly). */
+  private def rebuildHot(): Unit = {
+    hotAdj = new DeltaEngine.HotMap()
+    if (hotK == 0) return
+    val top = shards.flatMap(_.iterator.map { case (k, adj) =>
+        (k, adj.fwdVs.length + adj.revVs.length)
+      }).top(hotK)(Ordering.by(_._2))
+    val keys = top.map(_._1).toSet
+    val entries = shards.flatMap(_.iterator.filter(e => keys.contains(e._1))).collect()
+    entries.foreach { case (k, adj) => hotAdj.put(k, adj) }
+  }
+
+  /** Folds the batch delta into a fresh hot snapshot (same merge rules as
+    * [[DeltaEngine.updateShards]]) so replica and shards stay in lockstep. */
+  private def updateHot(dp: DeltaPack): Unit = {
+    if (hotAdj.isEmpty) return
+    val next = new DeltaEngine.HotMap(hotAdj)
+    val it = hotAdj.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val fr = dp.run(k, forward = true)
+      val rr = dp.run(k, forward = false)
+      if (fr.vs.nonEmpty || rr.vs.nonEmpty) {
+        val old = next.get(k)
+        val (fvs, fws) =
+          if (fr.vs.isEmpty) (old.fwdVs, old.fwdWs)
+          else DeltaEngine.mergeRuns(old.fwdVs, old.fwdWs, fr.vs, fr.ws)
+        val (rvs, rws) =
+          if (rr.vs.isEmpty) (old.revVs, old.revWs)
+          else DeltaEngine.mergeRuns(old.revVs, old.revWs, rr.vs, rr.ws)
+        next.put(k, new Adj(fvs, fws, old.degFwd + fr.degSum,
+          rvs, rws, old.degRev + rr.degSum))
+      }
+    }
+    hotAdj = next
   }
 
   private def installShards(next: RDD[Shard.T]): Unit = {
@@ -107,16 +154,25 @@ final class FastGraphState(
     pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
 
     stateDir.foreach(dir => writeWal(dir, batchId, arr)) // write-ahead
-    val dp = sc.broadcast(DeltaPack(arr))
-    val matches = engine.deltaStep(sc, shards, dp, arr)
+    val t1 = System.nanoTime()
+    val pack = DeltaPack(arr)
+    val dp = sc.broadcast(pack)
+    val hot = sc.broadcast(hotAdj)
+    val matches = engine.deltaStep(sc, shards, hot, hotAdj, dp, pack)
     if (sink != null) sink(toDF(matches))
-
+    val t2 = System.nanoTime()
     installShards(engine.updateShards(shards, dp))
+    updateHot(pack)
+    if (FastGraphState.profile)
+      System.err.println(f"[fastprof] batch=$batchId wal=${(t1 - t0) / 1e6}%.0fms " +
+        f"step+sink=${(t2 - t1) / 1e6}%.0fms update=${(System.nanoTime() - t2) / 1e6}%.0fms")
     pendingBcast ::= dp
+    pendingBcast ::= hot
     tailIds :+= batchId
     _lastBatchId = batchId
     if (tailIds.size >= maxTail) {
-      if (stateDir.isDefined) compact() else tailIds = Vector.empty
+      if (stateDir.isDefined) compact()
+      else { tailIds = Vector.empty; rebuildHot() }
     }
     stateDir.foreach { dir =>
       writeMeta(dir)
@@ -128,12 +184,18 @@ final class FastGraphState(
   /** (consolidated match-delta rows, net weight) for one batch — the bench
     * fast path: one RDD job, zero Catalyst. */
   def applyBatchStats(batchId: Long, arr: Array[(Long, Long, Long)]): (Long, Long) = {
+    val t0 = System.nanoTime()
     val m = applyBatchRdd(batchId, arr)
-    m.mapPartitions { it =>
+    val t1 = System.nanoTime()
+    val out = m.mapPartitions { it =>
       var n = 0L; var s = 0L
       for ((_, w) <- it) { n += 1; s += w }
       Iterator.single((n, s))
     }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    if (FastGraphState.profile)
+      System.err.println(f"[fastprof] batch=$batchId absorb=${(t1 - t0) / 1e6}%.0fms " +
+        f"statsJob=${(System.nanoTime() - t1) / 1e6}%.0fms")
+    out
   }
 
   /** Current consolidated edge Z-set (tests / snapshot queries). */
@@ -153,6 +215,7 @@ final class FastGraphState(
     val folded = tailIds
     val oldVersion = baseVersion
     tailIds = Vector.empty // cleared BEFORE meta persists (no double-count window)
+    rebuildHot() // re-select hub membership at compaction boundaries
     writeBase(dir)
     writeMeta(dir)
     // post-commit GC
@@ -263,6 +326,7 @@ final class FastGraphState(
     next.persist(); next.localCheckpoint(); next.count()
     shards.unpersist(false)
     shards = next
+    rebuildHot()
   }
 
   private def rmrf(f: java.io.File): Unit = {
@@ -272,6 +336,9 @@ final class FastGraphState(
 }
 
 object FastGraphState {
+  /** Per-batch phase timing to stderr (diagnostics only). */
+  val profile: Boolean = sys.env.getOrElse("SPARK_GRAFT_FAST_PROFILE", "0") == "1"
+
   val edgeSchema: StructType = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType),
     StructField("w", LongType)))
