@@ -89,6 +89,29 @@ object Bench {
     out
   }
 
+  /** Writes the deterministic (idx, src, dst, w) event-time-ordered edge
+    * stream for a fixture config to /tmp once (generated at local[32]);
+    * returns the parquet path. */
+  def ensureFixture(current: SparkSession, nConvs: Int, turns: Int, nTools: Int): String = {
+    val path = s"/tmp/graft_bench_fixture_${nConvs}_${turns}_$nTools"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val spark = if (current != null) current else SparkSession.builder()
+        .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      val ts = TranscriptGen.generate(spark, TranscriptGen.Config(nConvs, turns, nTools)).toDF()
+      val edges = TranscriptEdges.toolToolEdges(ts).select("src", "dst", "w", "ts")
+      val ordered = edges.orderBy("ts", "src", "dst")
+        .select("src", "dst", "w").rdd
+        .zipWithIndex().map { case (r, i) => Row(i, r.getLong(0), r.getLong(1), r.getLong(2)) }
+      spark.createDataFrame(ordered, StructType(Seq(
+          StructField("idx", LongType), StructField("src", LongType),
+          StructField("dst", LongType), StructField("w", LongType))))
+        .write.mode("overwrite").parquet(path)
+      if (current == null) spark.stop()
+    }
+    path
+  }
+
   def streamBench(cores: Int, nConvs: Int, turns: Int, nTools: Int,
                   batchSize: Int, durable: Boolean): StreamResult = {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "1") == "1"
@@ -127,12 +150,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ts = TranscriptGen.generate(spark, TranscriptGen.Config(nConvs, turns, nTools)).toDF()
-    val edges = TranscriptEdges.toolToolEdges(ts).select("src", "dst", "w", "ts")
-    // deterministic event-time order + split: 90% preload, rest in batches
-    val ordered = edges.orderBy("ts", "src", "dst")
-      .select("src", "dst", "w").rdd
-      .zipWithIndex().map { case (r, i) => (i, r.getLong(0), r.getLong(1), r.getLong(2)) }
+    // fixture pre-generated once at 32 cores (see ensureFixture) so the
+    // low-core levels don't pay generation time; content is deterministic
+    // and identical regardless of who generated it
+    val ordered = spark.read.parquet(ensureFixture(spark, nConvs, turns, nTools))
+      .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val total = ordered.count()
     val preloadN = (total * 0.9).toLong
     val schema = StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
@@ -224,9 +246,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ts = TranscriptGen.generate(spark, TranscriptGen.Config(nConvs, turns, nTools)).toDF()
     val edges = graft.batch.EdgeIndex.consolidate(
-      TranscriptEdges.toolToolEdges(ts).select("src", "dst", "w")).persist()
+      spark.read.parquet(ensureFixture(spark, nConvs, turns, nTools))
+        .select("src", "dst", "w")).persist()
     edges.count() // exclude generation from the measured window
     val t0 = System.nanoTime()
     // count-only path: no per-binding consolidation shuffle (each binding is
@@ -248,6 +270,17 @@ object Bench {
     val durable = sys.env.getOrElse("SPARK_GRAFT_BENCH_DURABLE", "1") == "1"
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
+
+    // pre-generate every fixture once at local[32] so low-core levels
+    // measure streaming, not data generation
+    val sConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_CONVS", (nConvs * 2).toString).toInt
+    val eConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 2).toString).toInt
+    val eToolsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
+    ensureFixture(null, nConvs, turns, nTools)
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
+      ensureFixture(null, sConvsPre, turns, nTools)
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
+      ensureFixture(null, eConvsPre, turns, eToolsPre)
 
     val q = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1")
       headlineQueries(sfDir, cpus) else Map.empty[String, Double]
@@ -273,9 +306,11 @@ object Bench {
     // 0.16 "efficiency" was an Amdahl artifact of a ~7s total job)
     val eConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 2).toString).toInt
     val eTools = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
+    val eLevels = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
     val enumResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
-        sLevels.map(c => c -> enumerateBench(c, eConvs, turns, eTools))
+        eLevels.map(c => c -> enumerateBench(c, eConvs, turns, eTools))
       else Nil
 
     def sr(r: StreamResult): String =

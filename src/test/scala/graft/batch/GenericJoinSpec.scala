@@ -120,6 +120,37 @@ class GenericJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(GenericJoin.countMatches(c5) == 6L)
   }
 
+  test("6-clique via the generic planner on K7 (reference README.md:150-176 mode)") {
+    val clique6 = for (a <- 0 until 6; b <- a + 1 until 6) yield (a, b)
+    val k7 = for (a <- 0L until 7L; b <- a + 1 until 7L) yield (a, b)
+    val c6 = GenericJoin.enumerate(edgesDF(k7), clique6)
+    assert(GenericJoin.countMatches(c6) == 7L) // C(7,6)
+    // factorized count agrees without materializing bindings
+    val fact = GenericJoin.enumerateFactorizedCount(edgesDF(k7), clique6)
+    assert(fact.collect()(0).getLong(0) == 7L)
+  }
+
+  test("inline predicates: ordered clique4 = one canonical binding per clique") {
+    val edges = erdosRenyi(14, 110, 37L)
+    val all = GenericJoin.enumerate(edgesDF(edges), Planner.clique4)
+      .select("x0", "x1", "x2", "x3").collect().map(_.toSeq.map(_.asInstanceOf[Long]))
+    val ordered = GenericJoin.enumerate(edgesDF(edges), Planner.clique4,
+      GenericJoin.ordered(4))
+      .select("x0", "x1", "x2", "x3").collect().map(_.toSeq.map(_.asInstanceOf[Long]))
+    assert(ordered.toSet == all.filter(b => b == b.sorted).toSet)
+    assert(ordered.forall(b => b == b.sorted))
+  }
+
+  test("factorized count equals materialized count on random graphs") {
+    for ((motif, seed) <- Seq((Planner.triangle, 41L), (Planner.clique4, 43L))) {
+      val edges = erdosRenyi(18, 140, seed)
+      val full = GenericJoin.countMatches(GenericJoin.enumerate(edgesDF(edges), motif))
+      val fact = GenericJoin.enumerateFactorizedCount(edgesDF(edges), motif)
+        .collect()(0).getLong(0)
+      assert(fact == full, s"motif=$motif")
+    }
+  }
+
   test("static-index streamed queries (q3-lean mode)") {
     val idx = EdgeIndex(EdgeIndex.consolidate(edgesDF(k4)))
     val queries = edgesDF(Seq((0L, 1L)))
