@@ -274,7 +274,7 @@ object Bench {
     // pre-generate every fixture once at local[32] so low-core levels
     // measure streaming, not data generation
     val sConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_CONVS", (nConvs * 2).toString).toInt
-    val eConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 2).toString).toInt
+    val eConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 4).toString).toInt
     val eToolsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
     ensureFixture(null, nConvs, turns, nTools)
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
@@ -304,9 +304,9 @@ object Bench {
     // enumerate scaling probe may use a LARGER fixture than the stream so
     // parallel join work dominates the per-query serial floor (the r01 run's
     // 0.16 "efficiency" was an Amdahl artifact of a ~7s total job)
-    val eConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 2).toString).toInt
+    val eConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 4).toString).toInt
     val eTools = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
-    val eLevels = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_LEVELS", "8,32")
+    val eLevels = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_LEVELS", "2,8")
       .split(",").map(_.trim.toInt).toSeq
     val enumResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")

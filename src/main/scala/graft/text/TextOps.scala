@@ -38,7 +38,14 @@ object TextOps {
     * corpora (all driver fixtures). Normalize or strip non-ASCII before
     * hashing if that ever changes. For the production scale path use
     * [[fastHash]] (xxhash64) instead — ~10× cheaper, not SQL-portable. */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = graft.functions.PolyHash(s)
+
+  /** The original pure-`functions` formulation of [[polyHash]] (split →
+    * transform → aggregate). Identical results; kept as the equality oracle
+    * for the native expression and as the no-custom-code fallback. The
+    * native form is one codegen'd loop; this one allocates a per-character
+    * array and evaluates three nested HOFs per string. */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),
