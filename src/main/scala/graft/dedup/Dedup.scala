@@ -38,7 +38,16 @@ object Dedup {
     * mod P with H the portable polynomial hash. Empty shingle set → all P
     * (an impossible hash, so empty docs never collide with content). */
   def minhashSignature(shingleCol: Column, k: Int,
-                       hash: HashMode = FastHash): Column = {
+                       hash: HashMode = FastHash): Column =
+    // hash each shingle once, then ONE native pass computing all k minima
+    // (graft.functions.MinHashSig — bit-identical to the k-interpreted-pass
+    // HOF formulation it replaced; see minhashSignatureHof)
+    graft.functions.MinHashSig(transform(shingleCol, s => hash(s)), k)
+
+  /** The original pure-`functions` formulation (k interpreted array passes);
+    * kept as the equality oracle for the native expression. */
+  def minhashSignatureHof(shingleCol: Column, k: Int,
+                          hash: HashMode = FastHash): Column = {
     val hs = transform(shingleCol, s => hash(s)) // hash each shingle once
     transform(sequence(lit(0), lit(k - 1)), i =>
       coalesce(

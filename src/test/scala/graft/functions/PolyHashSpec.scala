@@ -42,6 +42,19 @@ class PolyHashSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("native MinHashSig == HOF formulation (incl. empty shingle sets)") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val docs = (strings :+ "" :+ "one two").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val rows = docs.select(
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 16,
+        Dedup.PortableHash).as("native"),
+      Dedup.minhashSignatureHof(Dedup.shingles(col("text"), 3), 16,
+        Dedup.PortableHash).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
   test("usable inside higher-order-function lambdas (minhash path)") {
     import spark.implicits._
     val df = Seq(Seq("ab", "cd", "ef")).toDF("arr")
