@@ -92,8 +92,12 @@ object Bench {
   /** Writes the deterministic (idx, src, dst, w) event-time-ordered edge
     * stream for a fixture config to /tmp once (generated at local[32]);
     * returns the parquet path. */
+  /** Bump when TranscriptGen/TranscriptEdges derivation changes — stale
+    * cached fixtures would otherwise silently survive across rounds. */
+  private val fixtureVersion = 1
+
   def ensureFixture(current: SparkSession, nConvs: Int, turns: Int, nTools: Int): String = {
-    val path = s"/tmp/graft_bench_fixture_${nConvs}_${turns}_$nTools"
+    val path = s"/tmp/graft_bench_fixture_v${fixtureVersion}_${nConvs}_${turns}_$nTools"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val spark = if (current != null) current else SparkSession.builder()
         .master("local[32]").config("spark.sql.shuffle.partitions", "32")
