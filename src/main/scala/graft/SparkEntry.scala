@@ -67,19 +67,27 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----
-    "wco_triangle" -> motifQuery(Planner.triangle),
-    "wco_cycle3" -> motifQuery(Planner.cycle3),
+    // headline motifs run the fast RDD engine's batch mode (packed-block
+    // count/propose/intersect against sharded state); the DataFrame engine
+    // covers the remaining motif entries below, so BOTH engines stay
+    // correctness-gated every round
+    "wco_triangle" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edges(s, dir), Planner.triangle)),
+    "wco_cycle3" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edges(s, dir), Planner.cycle3)),
     "wco_clique4" -> motifQuery(Planner.clique4),
     // count-only fast path: no per-binding consolidation shuffle
     "wco_triangle_count" -> ((s, dir) =>
-      GenericJoin.enumerateAgg(edges(s, dir), Planner.triangle)),
+      graft.fast.FastBatch.enumerateAgg(edges(s, dir), Planner.triangle)),
     // 5-variable motifs on the denser K5-modulus graph (zero matches at K)
     "wco_clique5" -> motifQuery(Planner.clique5, m = K5),
     "wco_clique_hat" -> motifQuery(Planner.cliqueHat),
     // symmetry-broken / filtered enumeration (reference q6-lean retain
-    // filters + diamonds.rs ordered mode)
-    "wco_clique4_ordered" -> motifQuery(Planner.clique4, m = K,
-      predicates = GenericJoin.ordered(4)),
+    // filters + diamonds.rs ordered mode); the ordered predicates are
+    // galloped into the candidate runs, never propose-then-discard
+    "wco_clique4_ordered" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edges(s, dir), Planner.clique4,
+        GenericJoin.ordered(4))),
     "wco_clique_hat_filtered" -> motifQuery(Planner.cliqueHat, m = K,
       predicates = Seq(GenericJoin.Pred(1, 4, "!="), GenericJoin.Pred(2, 4, "<"))),
     // factorized counting (seed-q5-lean mode): last attribute never exploded

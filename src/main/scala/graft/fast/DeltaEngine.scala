@@ -49,6 +49,7 @@ object DeltaPack {
   /** Sorted (v, w) run for one key plus its net degree contribution. */
   final case class Run(vs: Array[Long], ws: Array[Long], degSum: Long) extends Serializable
   val emptyRun: Run = Run(Array.empty, Array.empty, 0L)
+  val empty: DeltaPack = apply(Array.empty)
 
   def apply(raw: Array[(Long, Long, Long)]): DeltaPack = {
     // consolidate to a canonical seed list (sum weights per (src,dst),
@@ -85,6 +86,15 @@ object DeltaPack {
   * against mutable keyed state reused across batches) has no declarative
   * DataFrame form with constant plan cost.
   *
+  * EXCHANGE FORMAT: every count/propose/intersect hop ships per-target-
+  * partition PACKED blocks of longs ((pid, Array[Long]) chunks, ≤256KB),
+  * not record-at-a-time case classes. Record-at-a-time exchanges cost
+  * ~6µs/record (serializer + per-record allocation, memory-bound, no core
+  * scaling — BENCH_r02's ≥32-core latency inversion); packed blocks
+  * serialize at memcpy speed under ANY spark.serializer. Record layouts:
+  *   prefix  (pLen known per level): [rel, w, minDeg, minExt, p×pLen]
+  *   proposal: [rel, w, minExt, p×pLen, nc, cands×nc, candWs×nc]
+  *
   * Semantics are EXACTLY [[graft.batch.GenericJoin.deltaStep]] (pinned by
   * FastEngineSpec): for each motif relation r, seed that relation's delta
   * dataflow with the batch; constraints from relations before r read
@@ -93,6 +103,14 @@ object DeltaPack {
   * change appears exactly once. Extension = count → argmin → propose →
   * intersect per level, ties to the lowest extender id, zero-degree
   * prefixes pruned; inline predicates fire at the earliest bound level.
+  *
+  * PREDICATE PUSHDOWN: ordered/range predicates whose late side is the
+  * level's NEW attribute are applied at propose time as a gallop to the
+  * allowed window of the value-sorted candidate run (the reference's
+  * ordered enumeration via `gallop_gt` over sorted adjacency,
+  * /root/reference/naive/src/lib.rs:70-115) — candidates outside the range
+  * are never generated, instead of propose-then-discard. All predicates are
+  * still re-checked at explode time, so slicing is a pure optimization.
   */
 final class DeltaEngine(
     val motif: Seq[(Int, Int)],
@@ -103,6 +121,8 @@ final class DeltaEngine(
   val numAttrs: Int = plans.head.numAttrs
   val numRels: Int = motif.size
   val partitioner = new HashPartitioner(numParts)
+
+  import DeltaEngine._
 
   /** predTable(rel)(boundPositions - 2) = predicates fully bound exactly at
     * that prefix length, as (posA, posB, opCode). */
@@ -115,6 +135,57 @@ final class DeltaEngine(
         }.toArray
       }.toIndexedSeq
     }
+
+  /** rangeTable(rel)(boundPositions - 2) = ordered predicates between the
+    * newly bound position and an earlier one, normalized to a bound on the
+    * NEW value: (earlierPos, rangeCode) with rangeCode ∈
+    * {0: new < p(pos), 1: new <= p(pos), 2: new > p(pos), 3: new >= p(pos)}.
+    * Drives the propose-time gallop slice of sorted candidate runs. */
+  private val rangeTable: IndexedSeq[IndexedSeq[Array[(Int, Int)]]] =
+    plans.map { plan =>
+      (2 to numAttrs).map { bound =>
+        val lastPos = bound - 1
+        predicates.flatMap { pr =>
+          val aPos = plan.inverse(pr.a)
+          val bPos = plan.inverse(pr.b)
+          if (math.max(aPos, bPos) != lastPos || math.min(aPos, bPos) == lastPos) None
+          else if (aPos == lastPos) pr.op match { // new `op` p(bPos)
+            case "<" => Some((bPos, 0)); case "<=" => Some((bPos, 1))
+            case ">" => Some((bPos, 2)); case ">=" => Some((bPos, 3))
+            case _ => None // "!=" is not a range; re-checked at explode
+          } else pr.op match { // p(aPos) `op` new
+            case "<" => Some((aPos, 2)); case "<=" => Some((aPos, 3))
+            case ">" => Some((aPos, 0)); case ">=" => Some((aPos, 1))
+            case _ => None
+          }
+        }.toArray
+      }.toIndexedSeq
+    }
+
+  /** Window [from, until) of the sorted candidate run `vs` allowed by the
+    * range predicates due when position `boundPositions-1` binds; prefix
+    * values are read from `p(pOff + pos)`. */
+  private def sliceRangeAt(rel: Int, boundPositions: Int, p: Array[Long],
+                           pOff: Int, vs: Array[Long]): (Int, Int) = {
+    val rs = rangeTable(rel)(boundPositions - 2)
+    var from = 0
+    var until = vs.length
+    var i = 0
+    while (i < rs.length && from < until) {
+      val (pos, code) = rs(i)
+      val b = p(pOff + pos)
+      code match {
+        case 0 => until = math.min(until, IndexState.gallop(vs, b))
+        case 1 => if (b != Long.MaxValue)
+          until = math.min(until, IndexState.gallop(vs, b + 1))
+        case 2 => from =
+          if (b == Long.MaxValue) until else math.max(from, IndexState.gallop(vs, b + 1))
+        case _ => from = math.max(from, IndexState.gallop(vs, b))
+      }
+      i += 1
+    }
+    (from, math.max(from, until))
+  }
 
   /** predsOk for the final level without materializing the extended prefix:
     * the last position's value is supplied as `last`. */
@@ -143,8 +214,6 @@ final class DeltaEngine(
     }
     true
   }
-
-  import DeltaEngine.{HotMap, Pfx, Prop}
 
   // ---- executor-side lookups (hot replica ⊎ base shard, ⊎ broadcast delta) ----
   // Hot hub keys are checked FIRST: a scattered row lands on an arbitrary
@@ -177,8 +246,35 @@ final class DeltaEngine(
     * skew treatment the north rule requires. Without it the Zipf hubs pull
     * whole levels onto one partition and core-count scaling inverts
     * (measured: the hub partition processed ~90% of a batch's bytes). */
-  private def routeKey(k: Long, hot: HotMap, p: Array[Long], salt: Int): Long =
-    if (hot.containsKey(k)) DeltaEngine.scatterKey(p, salt) else k
+  private def routeKeyAt(k: Long, hot: HotMap, p: Array[Long], pOff: Int,
+                         pLen: Int, salt: Int): Long =
+    if (hot.containsKey(k)) DeltaEngine.scatterKeyAt(p, pOff, pLen, salt) else k
+
+  /** Target partition for count slot `i` of stage `s` (out-of-range slots
+    * pass through, scattered for balance). */
+  private def countPid(stages: IndexedSeq[IndexedSeq[Planner.Constraint]],
+                       hot: HotMap, rel: Int, p: Array[Long], pOff: Int,
+                       pLen: Int, s: Int, i: Int): Int = {
+    val cs = stages(rel)
+    val key =
+      if (i < cs.size) routeKeyAt(p(pOff + cs(i).prefixPos), hot, p, pOff, pLen, s * 7 + i)
+      else DeltaEngine.scatterKeyAt(p, pOff, pLen, s * 7 + i)
+    DeltaEngine.partOf(key, numParts)
+  }
+
+  /** Target partition for intersect hop `j` of stage `s` (the j-th
+    * non-proposing extender; pass-throughs scattered). */
+  private def isectPid(stages: IndexedSeq[IndexedSeq[Planner.Constraint]],
+                       hot: HotMap, rel: Int, minExt: Int, p: Array[Long],
+                       pOff: Int, pLen: Int, s: Int, j: Int): Int = {
+    val cs = stages(rel)
+    val key =
+      if (j < cs.size - 1) {
+        val o = if (j < minExt) j else j + 1
+        routeKeyAt(p(pOff + cs(o).prefixPos), hot, p, pOff, pLen, s * 7 + 6 + j)
+      } else DeltaEngine.scatterKeyAt(p, pOff, pLen, s * 7 + 6 + j)
+    DeltaEngine.partOf(key, numParts)
+  }
 
   /** Level 0 without any prefix exchange: the seed set IS the broadcast
     * delta, so (a) cold-key degrees are computed by their owning shard
@@ -190,7 +286,7 @@ final class DeltaEngine(
     * capped core-count scaling at small batch sizes. */
   private def seedPropose(sc: SparkContext, shards: RDD[Shard.T],
                           hot: Broadcast[HotMap], hotLocal: HotMap,
-                          dp: Broadcast[DeltaPack], dpLocal: DeltaPack): RDD[Prop] = {
+                          dp: Broadcast[DeltaPack], dpLocal: DeltaPack): RDD[(Int, Array[Long])] = {
     val stage0 = plans.map(_.stages(0))
     val engine = this
     // (a) cold degrees, one job over the shards
@@ -281,13 +377,16 @@ final class DeltaEngine(
     }
     val routeB = sc.broadcast(routing)
 
-    // (d) propose in place on the assigned partition
+    // (d) propose in place on the assigned partition, emitting proposal
+    // blocks routed for intersect hop 0 (or kept local when the stage has a
+    // single extender — nothing left to validate)
+    val maxE = stage0.map(_.size).max
     shards.mapPartitionsWithIndex { (pid, it) =>
       val shard = it.next()
       val d = dp.value
       val h = hot.value
       val route = routeB.value
-      val out = scala.collection.mutable.ArrayBuffer.empty[Prop]
+      val bb = new BlockBuf(engine.numParts)
       var j = 0
       while (j < d.edges.length) {
         val (s0, d0, w) = d.edges(j)
@@ -300,129 +399,247 @@ final class DeltaEngine(
             val k = p(cst.prefixPos)
             val assigned =
               if (h.containsKey(k))
-                DeltaEngine.partOf(DeltaEngine.scatterKey(p, 3), engine.numParts) == pid
+                DeltaEngine.partOf(DeltaEngine.scatterKeyAt(p, 0, 2, 3), engine.numParts) == pid
               else engine.partitioner.getPartition(k) == pid
             if (assigned) {
               val (vs, ws) = adjAt(shard, h, d, k, cst.forward, cst.inclusive)
-              if (vs.nonEmpty) out += Prop(r, p, w, i, vs, ws)
+              val (from, until) = sliceRangeAt(r, 3, p, 0, vs)
+              if (until > from) {
+                val tPid =
+                  if (maxE >= 2) isectPid(stage0, h, r, i, p, 0, 2, 0, 0)
+                  else pid
+                putProp(bb, tPid, r, w, i, p, 0, 2, vs, ws, from, until)
+              }
             }
           }
           r += 1
         }
         j += 1
       }
-      out.iterator
+      bb.result()
     }
   }
 
-  /** Count chain + propose for levels ≥ 1 (prefixes already distributed). */
+  /** Count chain + propose for one level over distributed prefix blocks
+    * (input routed for count slot 0; output = proposal blocks routed for
+    * intersect hop 0, or kept local when the stage has a single extender). */
   private def countPropose(shards: RDD[Shard.T], hot: Broadcast[HotMap],
                            dp: Broadcast[DeltaPack],
-                           cur: RDD[Pfx], s: Int): RDD[Prop] = {
+                           cur: RDD[(Int, Array[Long])], s: Int): RDD[(Int, Array[Long])] = {
     val stages = plans.map(_.stages(s))
     val maxE = stages.map(_.size).max
+    val pLen = s + 2
+    val rec = pLen + 4
+    val engine = this
+    val np = numParts
 
     // count: thread the running argmin through one exchange per extender
     // slot (the reference's count chain, /root/reference/src/index.rs:343-384)
     var c = cur
     for (i <- 0 until maxE) {
-      c = c.map { pfx =>
-          val cs = stages(pfx.rel)
-          val key =
-            if (i < cs.size) routeKey(pfx.p(cs(i).prefixPos), hot.value, pfx.p, s * 7 + i)
-            else DeltaEngine.scatterKey(pfx.p, s * 7 + i)
-          (key, pfx)
-        }
-        .partitionBy(partitioner)
+      val last = i == maxE - 1
+      c = c.partitionBy(DeltaEngine.identityPartitioner(np))
         .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
           val shard = sh.next()
-          it.map { case (_, pfx) =>
-            val cs = stages(pfx.rel)
-            if (i < cs.size) {
-              val cst = cs(i)
-              val d = degAt(shard, hot.value, dp.value, pfx.p(cst.prefixPos),
-                cst.forward, cst.inclusive)
-              if (d < pfx.minDeg) pfx.copy(minDeg = d, minExt = i) else pfx
-            } else pfx
+          val h = hot.value
+          val d = dp.value
+          val bb = new BlockBuf(np)
+          while (it.hasNext) {
+            val block = it.next()._2
+            var off = 0
+            while (off < block.length) {
+              val rel = block(off).toInt
+              val w = block(off + 1)
+              var minDeg = block(off + 2)
+              var minExt = block(off + 3).toInt
+              val pOff = off + 4
+              val cs = stages(rel)
+              if (i < cs.size) {
+                val cst = cs(i)
+                val deg = engine.degAt(shard, h, d, block(pOff + cst.prefixPos),
+                  cst.forward, cst.inclusive)
+                if (deg < minDeg) { minDeg = deg; minExt = i }
+              }
+              if (!last) {
+                val pid = engine.countPid(stages, h, rel, block, pOff, pLen, s, i + 1)
+                putPfx(bb, pid, rel, w, minDeg, minExt, block, pOff, pLen)
+              } else if (minDeg > 0L) { // pruneZero (net multiplicities non-negative)
+                // route for the propose lookup on the argmin extender's key
+                val k = block(pOff + cs(minExt).prefixPos)
+                val key = engine.routeKeyAt(k, h, block, pOff, pLen, s * 7 + 5)
+                putPfx(bb, DeltaEngine.partOf(key, np), rel, w, minDeg, minExt,
+                  block, pOff, pLen)
+              }
+              off += rec
+            }
           }
+          bb.result()
         }
     }
-    c = c.filter(_.minDeg > 0L) // pruneZero (net multiplicities non-negative)
 
-    // propose from the argmin extender's adjacency run
-    var pr: RDD[Prop] = c.map { pfx =>
-        val key = routeKey(pfx.p(stages(pfx.rel)(pfx.minExt).prefixPos),
-          hot.value, pfx.p, s * 7 + 5)
-        (key, pfx)
-      }
-      .partitionBy(partitioner)
+    // propose from the argmin extender's adjacency run, sliced to the
+    // window allowed by this level's range predicates (gallop pushdown)
+    c.partitionBy(DeltaEngine.identityPartitioner(np))
       .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
         val shard = sh.next()
-        it.flatMap { case (_, pfx) =>
-          val cst = stages(pfx.rel)(pfx.minExt)
-          val (vs, ws) = adjAt(shard, hot.value, dp.value, pfx.p(cst.prefixPos),
-            cst.forward, cst.inclusive)
-          if (vs.isEmpty) None
-          else Some(Prop(pfx.rel, pfx.p, pfx.w, pfx.minExt, vs, ws))
+        val h = hot.value
+        val d = dp.value
+        val bb = new BlockBuf(np)
+        var myPid = -1
+        while (it.hasNext) {
+          val kv = it.next()
+          if (myPid < 0) myPid = kv._1
+          val block = kv._2
+          var off = 0
+          while (off < block.length) {
+            val rel = block(off).toInt
+            val w = block(off + 1)
+            val minExt = block(off + 3).toInt
+            val pOff = off + 4
+            val cst = stages(rel)(minExt)
+            val (vs, ws) = engine.adjAt(shard, h, d, block(pOff + cst.prefixPos),
+              cst.forward, cst.inclusive)
+            val (from, until) = engine.sliceRangeAt(rel, pLen + 1, block, pOff, vs)
+            if (until > from) {
+              val pid =
+                if (maxE >= 2) engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, 0)
+                else myPid
+              putProp(bb, pid, rel, w, minExt, block, pOff, pLen, vs, ws, from, until)
+            }
+            off += rec
+          }
         }
+        bb.result()
       }
-    pr
   }
 
   /** Intersect chain for level `s`: validate each proposal against every
-    * non-proposing extender, galloping the index run. */
+    * non-proposing extender, galloping the index run. Input = proposal
+    * blocks (routed for hop 0 when any hop exists); output = decoded
+    * proposals, already on their final partition (no further exchange). */
   private def intersectChain(shards: RDD[Shard.T], hot: Broadcast[HotMap],
                              dp: Broadcast[DeltaPack],
-                             props: RDD[Prop], s: Int): RDD[Prop] = {
+                             props: RDD[(Int, Array[Long])], s: Int): RDD[Prop] = {
     val stages = plans.map(_.stages(s))
     val maxE = stages.map(_.size).max
-    var pr = props
-    for (j <- 0 until maxE - 1) {
-      pr = pr.map { prop =>
-          val cs = stages(prop.rel)
-          val key =
-            if (j < cs.size - 1) {
-              val o = if (j < prop.minExt) j else j + 1
-              routeKey(prop.p(cs(o).prefixPos), hot.value, prop.p, s * 7 + 6 + j)
-            } else DeltaEngine.scatterKey(prop.p, s * 7 + 6 + j)
-          (key, prop)
-        }
-        .partitionBy(partitioner)
+    val nIsect = maxE - 1
+    val pLen = s + 2
+    val engine = this
+    val np = numParts
+
+    if (nIsect == 0)
+      return props.mapPartitions(_.flatMap(b => decodeProps(b._2, pLen)))
+
+    var cur = props
+    for (j <- 0 until nIsect - 1) {
+      cur = cur.partitionBy(DeltaEngine.identityPartitioner(np))
         .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
           val shard = sh.next()
-          it.flatMap { case (_, prop) =>
-            val cs = stages(prop.rel)
-            if (j < cs.size - 1) {
-              val o = if (j < prop.minExt) j else j + 1
-              val cst = cs(o)
-              val (avs, aws) = adjAt(shard, hot.value, dp.value,
-                prop.p(cst.prefixPos), cst.forward, cst.inclusive)
-              val (nvs, nws) = DeltaEngine.intersectRuns(prop.cands, prop.candWs, avs, aws)
-              if (nvs.isEmpty) None else Some(prop.copy(cands = nvs, candWs = nws))
-            } else Some(prop)
+          val h = hot.value
+          val d = dp.value
+          val bb = new BlockBuf(np)
+          while (it.hasNext) {
+            val block = it.next()._2
+            var off = 0
+            while (off < block.length) {
+              val rel = block(off).toInt
+              val w = block(off + 1)
+              val minExt = block(off + 2).toInt
+              val pOff = off + 3
+              val ncOff = pOff + pLen
+              val nc = block(ncOff).toInt
+              val cOff = ncOff + 1
+              val wOff = cOff + nc
+              off = wOff + nc
+              val cs = stages(rel)
+              if (j < cs.size - 1) {
+                val o = if (j < minExt) j else j + 1
+                val cst = cs(o)
+                val (avs, aws) = engine.adjAt(shard, h, d, block(pOff + cst.prefixPos),
+                  cst.forward, cst.inclusive)
+                val (nvs, nws) = DeltaEngine.intersectRunsAt(block, cOff, wOff, nc, avs, aws)
+                if (nvs.length > 0) {
+                  val pid = engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, j + 1)
+                  putProp(bb, pid, rel, w, minExt, block, pOff, pLen, nvs, nws, 0, nvs.length)
+                }
+              } else {
+                val pid = engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, j + 1)
+                putPropFromBlock(bb, pid, rel, w, minExt, block, pOff, pLen, block, cOff, wOff, nc)
+              }
+            }
           }
+          bb.result()
         }
     }
-    pr
+    // final hop: decode straight to Prop objects, consumed in place by
+    // explode / the packed output stage (both narrow)
+    val j = nIsect - 1
+    cur.partitionBy(DeltaEngine.identityPartitioner(np))
+      .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
+        val shard = sh.next()
+        val h = hot.value
+        val d = dp.value
+        it.flatMap { case (_, block) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Prop]
+          var off = 0
+          while (off < block.length) {
+            val rel = block(off).toInt
+            val w = block(off + 1)
+            val minExt = block(off + 2).toInt
+            val pOff = off + 3
+            val ncOff = pOff + pLen
+            val nc = block(ncOff).toInt
+            val cOff = ncOff + 1
+            val wOff = cOff + nc
+            off = wOff + nc
+            val p = java.util.Arrays.copyOfRange(block, pOff, pOff + pLen)
+            val cs = stages(rel)
+            if (j < cs.size - 1) {
+              val o = if (j < minExt) j else j + 1
+              val cst = cs(o)
+              val (avs, aws) = engine.adjAt(shard, h, d, block(pOff + cst.prefixPos),
+                cst.forward, cst.inclusive)
+              val (nvs, nws) = DeltaEngine.intersectRunsAt(block, cOff, wOff, nc, avs, aws)
+              if (nvs.length > 0) out += Prop(rel, p, w, minExt, nvs, nws)
+            } else {
+              out += Prop(rel, p, w, minExt,
+                java.util.Arrays.copyOfRange(block, cOff, cOff + nc),
+                java.util.Arrays.copyOfRange(block, wOff, wOff + nc))
+            }
+          }
+          out.iterator
+        }
+      }
   }
 
-  /** Explode validated level-`s` proposals into next-level prefixes. */
-  private def explodeToPfx(props: RDD[Prop], s: Int): RDD[Pfx] = {
+  /** Explode validated level-`s` proposals into next-level prefix blocks,
+    * routed for level s+1's count slot 0. */
+  private def explodeToPfxBlocks(props: RDD[Prop], hot: Broadcast[HotMap],
+                                 s: Int): RDD[(Int, Array[Long])] = {
     val boundAfter = s + 3
-    props.flatMap { prop =>
-      val out = Vector.newBuilder[Pfx]
-      var i = 0
-      while (i < prop.cands.length) {
-        val w = prop.w * prop.candWs(i)
-        if (w != 0L) {
-          val p2 = java.util.Arrays.copyOf(prop.p, prop.p.length + 1)
-          p2(prop.p.length) = prop.cands(i)
-          if (predsOk(prop.rel, p2, boundAfter))
-            out += Pfx(prop.rel, p2, w, Long.MaxValue, -1)
+    val nextStages = plans.map(_.stages(s + 1))
+    val engine = this
+    val np = numParts
+    props.mapPartitions { it =>
+      val h = hot.value
+      val bb = new BlockBuf(np)
+      while (it.hasNext) {
+        val prop = it.next()
+        var i = 0
+        while (i < prop.cands.length) {
+          val w = prop.w * prop.candWs(i)
+          if (w != 0L) {
+            val p2 = java.util.Arrays.copyOf(prop.p, prop.p.length + 1)
+            p2(prop.p.length) = prop.cands(i)
+            if (engine.predsOk(prop.rel, p2, boundAfter)) {
+              val pid = engine.countPid(nextStages, h, prop.rel, p2, 0, p2.length, s + 1, 0)
+              putPfx(bb, pid, prop.rel, w, Long.MaxValue, -1, p2, 0, p2.length)
+            }
+          }
+          i += 1
         }
-        i += 1
       }
-      out.result()
+      bb.result()
     }
   }
 
@@ -455,17 +672,20 @@ final class DeltaEngine(
     var pr: RDD[Prop] = intersectChain(shards, hot, dp,
       seedPropose(sc, shards, hot, hotLocal, dp, dpLocal), 0)
     for (s <- 1 to numAttrs - 3) {
-      val cur = explodeToPfx(pr, s - 1)
       pr = intersectChain(shards, hot, dp,
-        countPropose(shards, hot, dp, cur, s), s)
+        countPropose(shards, hot, dp, explodeToPfxBlocks(pr, hot, s - 1), s), s)
     }
+    consolidateProps(pr)
+  }
 
-    // Final level: explode straight into per-target-partition PACKED blocks
-    // of [x0..x{k-1}, w] longs — the consolidation exchange then moves ~P²
-    // big primitive arrays instead of millions of tiny records. Measured:
-    // record-at-a-time consolidation cost ~6µs/match (Kryo + per-record
-    // allocation, memory-bound, no core scaling); packed blocks serialize at
-    // memcpy speed with ZERO map-side allocation per match.
+  /** Final level: explode straight into per-target-partition PACKED blocks
+    * of [x0..x{k-1}, w] longs — the consolidation exchange then moves ~P²
+    * big primitive arrays instead of millions of tiny records. Measured:
+    * record-at-a-time consolidation cost ~6µs/match (Kryo + per-record
+    * allocation, memory-bound, no core scaling); packed blocks serialize at
+    * memcpy speed with ZERO map-side allocation per match. */
+  private def consolidateProps(pr: RDD[Prop]): RDD[(ArraySeq[Long], Long)] = {
+    val inverses = plans.map(_.inverse.toArray)
     val n = numAttrs
     val lastPos = n - 1
     val np = numParts
@@ -550,6 +770,141 @@ final class DeltaEngine(
       }, preservesPartitioning = false)
   }
 
+  // ---- batch (static-index) enumeration ----
+
+  /** Seed blocks for batch enumeration: the FULL consolidated edge RDD as
+    * relation 0's bindings, routed for stage 0's count slot 0 — the
+    * distributed complement of `seedPropose`'s broadcast regime. */
+  private def batchSeedBlocks(edges: RDD[(Long, Long, Long)],
+                              hot: Broadcast[HotMap]): RDD[(Int, Array[Long])] = {
+    val stage0 = plans.map(_.stages(0))
+    val engine = this
+    val np = numParts
+    edges.mapPartitions { it =>
+      val h = hot.value
+      val bb = new BlockBuf(np)
+      val p = new Array[Long](2)
+      while (it.hasNext) {
+        val (s0, d0, w) = it.next()
+        if (w != 0L) {
+          p(0) = s0; p(1) = d0
+          if (engine.predsOk(0, p, 2)) {
+            val pid = engine.countPid(stage0, h, 0, p, 0, 2, 0, 0)
+            putPfx(bb, pid, 0, w, Long.MaxValue, -1, p, 0, 2)
+          }
+        }
+      }
+      bb.result()
+    }
+  }
+
+  /** Batch enumeration over a static CONSOLIDATED edge set against
+    * initialized shards — the fast-engine analog of the reference's
+    * static-index serving mode (/root/reference/static_graph/src/lib.rs:73-137)
+    * and of [[graft.batch.GenericJoin.enumerate]]. Seeds are the distributed
+    * edge RDD itself (relation 0's bindings); every constraint reads the
+    * same fully-built index (`dp` must be the empty DeltaPack) — none of
+    * deltaStep's |delta| ≪ |state| broadcast assumptions apply. Relation 0's
+    * plan alone enforces every motif relation, and one pipeline over a
+    * consolidated Z-set emits each binding exactly once, so the output
+    * needs NO consolidation shuffle. */
+  private def batchProps(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+                         dp: Broadcast[DeltaPack],
+                         edges: RDD[(Long, Long, Long)]): RDD[Prop] = {
+    require(numAttrs >= 3, "batch enumeration needs at least one extension stage")
+    var pr: RDD[Prop] = null
+    for (s <- 0 to numAttrs - 3) {
+      val cur =
+        if (s == 0) batchSeedBlocks(edges, hot)
+        else explodeToPfxBlocks(pr, hot, s - 1)
+      pr = intersectChain(shards, hot, dp, countPropose(shards, hot, dp, cur, s), s)
+    }
+    pr
+  }
+
+  /** Batch-enumerated match rows (x0..x{k-1} un-permuted, weight), emitted
+    * directly as UnsafeRows — one compact allocation per match, no external
+    * Row boxing (measured: the Row + ArraySeq emit path cost ~1µs/match and
+    * dominated full-enumeration wall time once the pipeline got fast). */
+  def enumerateInternalRows(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+                            dp: Broadcast[DeltaPack],
+                            edges: RDD[(Long, Long, Long)]): RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+    val n = numAttrs
+    val engine = this
+    if (n == 2)
+      return edges.mapPartitions { it =>
+        val writer = new UnsafeRowWriter(3)
+        it.flatMap { case (s0, d0, w) =>
+          if (w != 0L && engine.predsOk(0, Array(s0, d0), 2)) {
+            writer.reset()
+            writer.write(0, s0); writer.write(1, d0); writer.write(2, w)
+            Iterator.single(writer.getRow.copy(): InternalRow)
+          } else Iterator.empty
+        }
+      }
+    val inv = plans(0).inverse.toArray
+    batchProps(shards, hot, dp, edges).mapPartitions { it =>
+      val writer = new UnsafeRowWriter(n + 1)
+      it.flatMap { prop =>
+        var i = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        while (i < prop.cands.length) {
+          val w = prop.w * prop.candWs(i)
+          val cand = prop.cands(i)
+          if (w != 0L && engine.predsOkWithLast(0, prop.p, cand, n)) {
+            writer.reset()
+            var a = 0
+            while (a < n) {
+              writer.write(a, if (inv(a) == n - 1) cand else prop.p(inv(a)))
+              a += 1
+            }
+            writer.write(n, w)
+            out += writer.getRow.copy()
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** Batch-enumerated (distinct match count, net Z-set weight) WITHOUT
+    * materializing any match row — the count-only fast path. */
+  def enumerateAggRdd(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+                      dp: Broadcast[DeltaPack],
+                      edges: RDD[(Long, Long, Long)]): (Long, Long) = {
+    val n = numAttrs
+    val engine = this
+    val perPart =
+      if (n == 2)
+        edges.mapPartitions { it =>
+          var cnt = 0L; var tot = 0L
+          while (it.hasNext) {
+            val (s0, d0, w) = it.next()
+            if (w != 0L && engine.predsOk(0, Array(s0, d0), 2)) { cnt += 1; tot += w }
+          }
+          Iterator.single((cnt, tot))
+        }
+      else batchProps(shards, hot, dp, edges).mapPartitions { it =>
+        var cnt = 0L; var tot = 0L
+        while (it.hasNext) {
+          val prop = it.next()
+          var i = 0
+          while (i < prop.cands.length) {
+            val w = prop.w * prop.candWs(i)
+            if (w != 0L && engine.predsOkWithLast(0, prop.p, prop.cands(i), n)) {
+              cnt += 1; tot += w
+            }
+            i += 1
+          }
+        }
+        Iterator.single((cnt, tot))
+      }
+    perPart.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+  }
+
   /** Folds the broadcast delta into the sharded index (copy-on-write per
     * touched key — the reference's `Index::update`,
     * /root/reference/src/index.rs:226-260). Partitioning preserved. */
@@ -619,18 +974,144 @@ object DeltaEngine {
     * with the shards (same merge rules, copy-on-write snapshot per batch). */
   type HotMap = java.util.HashMap[Long, Adj]
 
+  /** Selects the `hotK` largest adjacencies (by stored row count) from the
+    * shards as the hot-hub replica — used at initialize / recover /
+    * compaction and by batch enumeration. Membership is a perf heuristic
+    * only; replica CONTENT is always exact. */
+  def buildHot(shards: RDD[Shard.T], hotK: Int): HotMap = {
+    val m = new HotMap()
+    if (hotK <= 0) return m
+    val top = shards.flatMap(_.iterator.map { case (k, adj) =>
+        (k, adj.fwdVs.length + adj.revVs.length)
+      }).top(hotK)(Ordering.by(_._2))
+    val keys = top.map(_._1).toSet
+    val entries = shards.flatMap(_.iterator.filter(e => keys.contains(e._1))).collect()
+    entries.foreach { case (k, adj) => m.put(k, adj) }
+    m
+  }
+
   /** Deterministic balance key for rows whose lookup key is hot-replicated:
     * mixes the prefix content so records spread evenly; `salt` decorrelates
-    * consecutive hops. */
-  def scatterKey(p: Array[Long], salt: Int): Long = {
+    * consecutive hops. Window form so packed blocks never allocate. */
+  def scatterKeyAt(p: Array[Long], off: Int, len: Int, salt: Int): Long = {
     var h = salt * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
-    var i = 0
-    while (i < p.length) {
+    var i = off
+    val end = off + len
+    while (i < end) {
       h = (h ^ p(i)) * 0xff51afd7ed558ccdL
       h ^= h >>> 33
       i += 1
     }
     h
+  }
+
+  def scatterKey(p: Array[Long], salt: Int): Long = scatterKeyAt(p, 0, p.length, salt)
+
+  /** Per-target-partition packed long-block builder: records are appended
+    * into ≤`chunkLongs`-long chunks (256KB — big enough for memcpy-speed
+    * shuffle, small enough to stay out of G1's humongous regions). */
+  private[fast] final class BlockBuf(np: Int, chunkLongs: Int = 32768) {
+    private val bufs = new Array[Array[Long]](np)
+    private val lens = new Array[Int](np)
+    private val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
+    /** Buffer with ≥ `need` free longs for `pid`; write at `off(pid)`. */
+    def reserve(pid: Int, need: Int): Array[Long] = {
+      var b = bufs(pid)
+      if (b == null || lens(pid) + need > b.length) {
+        if (b != null && lens(pid) > 0)
+          done += ((pid, java.util.Arrays.copyOf(b, lens(pid))))
+        b = new Array[Long](math.max(chunkLongs, need))
+        bufs(pid) = b
+        lens(pid) = 0
+      }
+      b
+    }
+    def off(pid: Int): Int = lens(pid)
+    def advance(pid: Int, n: Int): Unit = lens(pid) += n
+    def result(): Iterator[(Int, Array[Long])] = {
+      var pid = 0
+      while (pid < np) {
+        if (lens(pid) > 0)
+          done += ((pid, java.util.Arrays.copyOf(bufs(pid), lens(pid))))
+        bufs(pid) = null
+        lens(pid) = 0
+        pid += 1
+      }
+      done.iterator
+    }
+  }
+
+  /** Append a prefix record [rel, w, minDeg, minExt, p×pLen]. */
+  private[fast] def putPfx(bb: BlockBuf, pid: Int, rel: Int, w: Long,
+                           minDeg: Long, minExt: Int,
+                           p: Array[Long], pOff: Int, pLen: Int): Unit = {
+    val b = bb.reserve(pid, 4 + pLen)
+    var o = bb.off(pid)
+    b(o) = rel; b(o + 1) = w; b(o + 2) = minDeg; b(o + 3) = minExt
+    o += 4
+    System.arraycopy(p, pOff, b, o, pLen)
+    bb.advance(pid, 4 + pLen)
+  }
+
+  /** Append a proposal record [rel, w, minExt, p×pLen, nc, cands, candWs]
+    * from candidate arrays sliced to [from, until). */
+  private[fast] def putProp(bb: BlockBuf, pid: Int, rel: Int, w: Long, minExt: Int,
+                            p: Array[Long], pOff: Int, pLen: Int,
+                            vs: Array[Long], ws: Array[Long],
+                            from: Int, until: Int): Unit = {
+    val nc = until - from
+    val b = bb.reserve(pid, 3 + pLen + 1 + 2 * nc)
+    var o = bb.off(pid)
+    b(o) = rel; b(o + 1) = w; b(o + 2) = minExt
+    o += 3
+    System.arraycopy(p, pOff, b, o, pLen)
+    o += pLen
+    b(o) = nc
+    o += 1
+    System.arraycopy(vs, from, b, o, nc)
+    System.arraycopy(ws, from, b, o + nc, nc)
+    bb.advance(pid, 3 + pLen + 1 + 2 * nc)
+  }
+
+  /** Append a proposal record whose candidates live in a source BLOCK at
+    * [cOff, cOff+nc) / [wOff, wOff+nc) (pass-through without re-slicing). */
+  private[fast] def putPropFromBlock(bb: BlockBuf, pid: Int, rel: Int, w: Long, minExt: Int,
+                                     p: Array[Long], pOff: Int, pLen: Int,
+                                     src: Array[Long],
+                                     cOff: Int, wOff: Int, nc: Int): Unit = {
+    val b = bb.reserve(pid, 3 + pLen + 1 + 2 * nc)
+    var o = bb.off(pid)
+    b(o) = rel; b(o + 1) = w; b(o + 2) = minExt
+    o += 3
+    System.arraycopy(p, pOff, b, o, pLen)
+    o += pLen
+    b(o) = nc
+    o += 1
+    System.arraycopy(src, cOff, b, o, nc)
+    System.arraycopy(src, wOff, b, o + nc, nc)
+    bb.advance(pid, 3 + pLen + 1 + 2 * nc)
+  }
+
+  /** Decode every proposal record in `block` (prefix length `pLen`). */
+  private[fast] def decodeProps(block: Array[Long], pLen: Int): Iterator[Prop] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Prop]
+    var off = 0
+    while (off < block.length) {
+      val rel = block(off).toInt
+      val w = block(off + 1)
+      val minExt = block(off + 2).toInt
+      val pOff = off + 3
+      val ncOff = pOff + pLen
+      val nc = block(ncOff).toInt
+      val cOff = ncOff + 1
+      val wOff = cOff + nc
+      off = wOff + nc
+      out += Prop(rel,
+        java.util.Arrays.copyOfRange(block, pOff, pOff + pLen), w, minExt,
+        java.util.Arrays.copyOfRange(block, cOff, cOff + nc),
+        java.util.Arrays.copyOfRange(block, wOff, wOff + nc))
+    }
+    out.iterator
   }
 
   /** Prefix in flight: relation id, bound values (reordered positions),
@@ -695,30 +1176,42 @@ object DeltaEngine {
     * adaptive intersect, /root/reference/static_graph/src/graph.rs:110).
     * Output weight = candW × indexW. */
   def intersectRuns(cvs: Array[Long], cws: Array[Long],
-                    avs: Array[Long], aws: Array[Long]): (Array[Long], Array[Long]) = {
-    if (cvs.isEmpty || avs.isEmpty) return (Array.empty, Array.empty)
-    val vs = new Array[Long](math.min(cvs.length, avs.length))
+                    avs: Array[Long], aws: Array[Long]): (Array[Long], Array[Long]) =
+    intersectWindow(cvs, 0, cws, 0, cvs.length, avs, aws)
+
+  /** Candidate side read from a packed block window (zero-copy input). */
+  private[fast] def intersectRunsAt(block: Array[Long], cOff: Int, wOff: Int, nc: Int,
+                                    avs: Array[Long], aws: Array[Long]): (Array[Long], Array[Long]) =
+    intersectWindow(block, cOff, block, wOff, nc, avs, aws)
+
+  private def intersectWindow(cvsArr: Array[Long], cvsOff: Int,
+                              cwsArr: Array[Long], cwsOff: Int, nc: Int,
+                              avs: Array[Long], aws: Array[Long]): (Array[Long], Array[Long]) = {
+    if (nc == 0 || avs.isEmpty) return (Array.empty, Array.empty)
+    val vs = new Array[Long](math.min(nc, avs.length))
     val ws = new Array[Long](vs.length)
     var o = 0
-    if (cvs.length < avs.length / 4) {
+    if (nc < avs.length / 4) {
       var i = 0; var off = 0
-      while (i < cvs.length && off < avs.length) {
-        off = IndexState.gallop(avs, cvs(i), off)
-        if (off < avs.length && avs(off) == cvs(i)) {
-          val w = cws(i) * aws(off)
-          if (w != 0L) { vs(o) = cvs(i); ws(o) = w; o += 1 }
+      while (i < nc && off < avs.length) {
+        val c = cvsArr(cvsOff + i)
+        off = IndexState.gallop(avs, c, off)
+        if (off < avs.length && avs(off) == c) {
+          val w = cwsArr(cwsOff + i) * aws(off)
+          if (w != 0L) { vs(o) = c; ws(o) = w; o += 1 }
           off += 1
         }
         i += 1
       }
     } else {
       var i = 0; var j = 0
-      while (i < cvs.length && j < avs.length) {
-        if (cvs(i) < avs(j)) i += 1
-        else if (cvs(i) > avs(j)) j += 1
+      while (i < nc && j < avs.length) {
+        val c = cvsArr(cvsOff + i)
+        if (c < avs(j)) i += 1
+        else if (c > avs(j)) j += 1
         else {
-          val w = cws(i) * aws(j)
-          if (w != 0L) { vs(o) = cvs(i); ws(o) = w; o += 1 }
+          val w = cwsArr(cwsOff + i) * aws(j)
+          if (w != 0L) { vs(o) = c; ws(o) = w; o += 1 }
           i += 1; j += 1
         }
       }

@@ -29,7 +29,7 @@ import graft.batch.GenericJoin.Pred
   * driver-side WAL + versioned base parquet, not RDD recompute.
   *
   * Layout under `stateDir`: `meta.json`, `base/v=N/` (parquet),
-  * `wal/batch=N.bin` (12-byte-per-edge little-endian (src,dst,w) triples,
+  * `wal/batch=N.bin` (24-byte-per-edge big-endian (src,dst,w) long triples,
   * fsync'd before any output), `metrics.jsonl`.
   */
 final class FastGraphState(
@@ -82,16 +82,8 @@ final class FastGraphState(
     * count. Runs at initialize / recover / compaction — hot-set membership
     * may drift between compactions (a perf heuristic only: membership never
     * affects results, because replica content is maintained exactly). */
-  private def rebuildHot(): Unit = {
-    hotAdj = new DeltaEngine.HotMap()
-    if (hotK == 0) return
-    val top = shards.flatMap(_.iterator.map { case (k, adj) =>
-        (k, adj.fwdVs.length + adj.revVs.length)
-      }).top(hotK)(Ordering.by(_._2))
-    val keys = top.map(_._1).toSet
-    val entries = shards.flatMap(_.iterator.filter(e => keys.contains(e._1))).collect()
-    entries.foreach { case (k, adj) => hotAdj.put(k, adj) }
-  }
+  private def rebuildHot(): Unit =
+    hotAdj = DeltaEngine.buildHot(shards, hotK)
 
   /** Folds the batch delta into a fresh hot snapshot (same merge rules as
     * [[DeltaEngine.updateShards]]) so replica and shards stay in lockstep. */
@@ -129,7 +121,11 @@ final class FastGraphState(
   /** Absorbs one micro-batch and returns consolidated match deltas
     * (x0..x{k-1}, w) as a DataFrame. Same exactly-once contract as
     * GraphState: replayed batch ids return empty without state change;
-    * `sink` runs before the absorb is committed. */
+    * `sink` runs before the absorb is committed.
+    *
+    * Contract (same as GraphState.applyBatch): consume (or persist) the
+    * returned frame before the next `applyBatch` call — its plan reads the
+    * pre-batch shard RDD, which is unpersisted on the next absorb. */
   def applyBatch(batchId: Long, deltas: DataFrame,
                  sink: DataFrame => Unit = _ => ()): DataFrame = {
     if (batchId <= _lastBatchId) return emptyMatches
