@@ -18,6 +18,9 @@ object SparkEntry {
   /** Denser modulus for the 5-variable motifs: at K=2000 the sf graphs have
     * zero 5-cliques, so those queries would pass vacuously. */
   val K5 = 900L
+  /** Modulus for the 6-clique entry (density-controlled like K5 so the
+    * count is non-zero at sf0.01 yet the staged DuckDB oracle stays fast). */
+  val K6 = 900L
 
   /** Deterministic derived edge graph over the driver tables. */
   def edgesM(m: Long)(s: SparkSession, dir: String): DataFrame =
@@ -99,6 +102,18 @@ object SparkEntry {
     // composite-key triangle-seeded K4 (reference examples/seed.rs mode);
     // binding set must equal the clique4 oracle
     "seed_k4" -> ((s, dir) => graft.batch.SeedQueries.seededK4(edges(s, dir))),
+    // triangle-seeded FACTORIZED K4 count (seed-q5-lean mode): the benchable
+    // scale-safe form — triangles from the fast engine, completions counted
+    // from adjacency intersections, no K4 row materialized
+    "seed_k4_count" -> ((s, dir) => {
+      val e = edges(s, dir)
+      graft.batch.SeedQueries.seededK4Count(e,
+        graft.fast.FastBatch.enumerate(e, Planner.triangle))
+    }),
+    // 6-clique (reference README.md:150-176) as a count on the denser
+    // K6-modulus graph, via the fast engine's batch mode
+    "wco_clique6_count" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerateAgg(edgesM(K6)(s, dir), Planner.clique6)),
 
     // ---- degree / consolidation (reference count op + index consolidation) ----
     "degree_table" -> ((s, dir) =>
@@ -183,6 +198,24 @@ object SparkEntry {
       "JOIN edges s ON s.src = k1.d AND s.dst = k2.d) " +
       s"SELECT $sel FROM k5"
 
+  /** Staged 6-clique oracle (tri → K4 → K5 → K6 via shared-prefix pairs),
+    * same construction one level deeper than [[clique5Oracle]]. */
+  private def clique6Oracle(sel: String): String =
+    s"${edgesCteM(K6)}, " +
+      "tri AS MATERIALIZED (SELECT e0.src AS a, e0.dst AS b, e1.dst AS c " +
+      "FROM edges e0 JOIN edges e1 ON e1.src = e0.src " +
+      "JOIN edges e2 ON e2.src = e0.dst AND e2.dst = e1.dst), " +
+      "k4 AS MATERIALIZED (SELECT t1.a, t1.b, t1.c, t2.c AS d " +
+      "FROM tri t1 JOIN tri t2 ON t1.a = t2.a AND t1.b = t2.b " +
+      "JOIN edges z ON z.src = t1.c AND z.dst = t2.c), " +
+      "k5 AS MATERIALIZED (SELECT k1.a, k1.b, k1.c, k1.d, k2.d AS e " +
+      "FROM k4 k1 JOIN k4 k2 ON k1.a = k2.a AND k1.b = k2.b AND k1.c = k2.c " +
+      "JOIN edges s ON s.src = k1.d AND s.dst = k2.d), " +
+      "k6 AS (SELECT k1.a, k1.b, k1.c, k1.d, k1.e, k2.e AS f " +
+      "FROM k5 k1 JOIN k5 k2 ON k1.a = k2.a AND k1.b = k2.b AND k1.c = k2.c AND k1.d = k2.d " +
+      "JOIN edges s ON s.src = k1.e AND s.dst = k2.e) " +
+      s"SELECT $sel FROM k6"
+
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "wco_cycle3" -> motifOracle(Planner.cycle3),
@@ -205,6 +238,15 @@ object SparkEntry {
         "(SELECT e0.src FROM edges e0, edges e1, edges e2, edges e3 " +
         "WHERE e1.src = e0.dst AND e2.src = e1.dst AND e3.src = e2.dst AND e3.dst = e0.src)"),
     "seed_k4" -> motifOracle(Planner.clique4),
+    "seed_k4_count" ->
+      (edgesCte + ", tri AS MATERIALIZED (SELECT e0.src AS a, e0.dst AS b, e1.dst AS c " +
+        "FROM edges e0 JOIN edges e1 ON e1.src = e0.src " +
+        "JOIN edges e2 ON e2.src = e0.dst AND e2.dst = e1.dst) " +
+        "SELECT CAST(count(*) AS BIGINT) AS total FROM tri t1 " +
+        "JOIN tri t2 ON t1.a = t2.a AND t1.b = t2.b " +
+        "JOIN edges z ON z.src = t1.c AND z.dst = t2.c"),
+    "wco_clique6_count" ->
+      clique6Oracle("CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS total"),
     "degree_table" ->
       s"$edgesCte SELECT src AS k, count(*) AS deg FROM edges GROUP BY src",
     "degree_relabel" ->

@@ -31,6 +31,17 @@ object TrainingQueries {
     "WITH docs2 AS (SELECT doc_id, text FROM documents " +
       "UNION ALL SELECT doc_id + 100000, text || ' xyzzy' FROM documents)"
 
+  /** docs2 with a PLANTED corpus-wide hot phrase appended to every doc —
+    * the adversarial input for the shingle-frequency cap (its shingles have
+    * document frequency = |corpus| and would otherwise make the inverted-
+    * index join quadratic). */
+  private def docs3(s: SparkSession, dir: String): DataFrame =
+    docs2(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" zq0 zq1 zq2 zq3")).as("text"))
+
+  private val docs3Cte = docs2Cte +
+    ", docs3 AS (SELECT doc_id, text || ' zq0 zq1 zq2 zq3' AS text FROM docs2)"
+
   // shared DuckDB fragments mirroring TextOps/Dedup arithmetic exactly
   private val phLambda = // portable polynomial string hash as a DuckDB lambda body on `s`
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(s, ''), " +
@@ -114,6 +125,12 @@ object TrainingQueries {
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    // document-frequency cut: the corpus-wide planted phrase is dropped
+    // from the inverted index, so the hot shingle never joins
+    "ngram_jaccard_pairs_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
+          maxShingleFreq = 100L)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ---- similarity search ----
     "embedding_norms" -> ((s, dir) =>
@@ -194,6 +211,16 @@ object TrainingQueries {
         "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
         "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
         "count(*) AS inter FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"),
+    "ngram_jaccard_pairs_capped" ->
+      (docs3Cte + ", " + tokCte("docs3") + ", " + shCte + ", " +
+        "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
+        "keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 100), " +
+        "cinv AS (SELECT i.doc_id, i.nsh, i.s FROM inv i JOIN keep USING (s)), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
+        "count(*) AS inter FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2, 3, 4) " +
         "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
         "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"),

@@ -299,11 +299,20 @@ object GenericJoin {
     * edge Z-set (adjacency arrays carry no multiplicities). Returns one row
     * (total: long). Predicates touching the last attribute are applied as
     * array filters before counting — still never materialized. */
+  /** Fails fast when a consolidated edge frame is not a 0/1 Z-set —
+    * factorized counting builds adjacency ARRAYS (collect_list drops
+    * multiplicities), so weighted/multi edges would silently miscount. */
+  private[batch] def require01(consolidated: DataFrame, who: String): DataFrame = {
+    require(consolidated.where(col("w") =!= 1L).isEmpty,
+      s"$who requires a 0/1 edge Z-set (found rows with weight != 1)")
+    consolidated
+  }
+
   def enumerateFactorizedCount(edges: DataFrame, motif: Seq[(Int, Int)],
                                predicates: Seq[Pred] = Nil): DataFrame = {
     val plan = Planner.planRelation(0, motif)
     require(plan.numAttrs >= 3, "factorized counting needs at least one extension stage")
-    val consolidated = EdgeIndex.consolidate(edges)
+    val consolidated = require01(EdgeIndex.consolidate(edges), "enumerateFactorizedCount")
     val index = EdgeIndex(consolidated)
     val seed = index.fwd.select(array(col("k"), col("v")).as("p"), col("ew").as("w"))
 

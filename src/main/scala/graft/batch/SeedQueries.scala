@@ -21,6 +21,31 @@ object SeedQueries {
   def triangles(edges: DataFrame): DataFrame =
     GenericJoin.enumerate(edges, Planner.triangle).select("x0", "x1", "x2")
 
+  /** Triangle-seeded FACTORIZED 4-clique count — the reference's
+    * seed-q5-lean mode one clique size down
+    * (/root/reference/examples/seed-q5-lean.rs:86-104): per triangle
+    * (a,b,c) the K4 completions are |adj(a) ∩ adj(b) ∩ adj(c)|, counted
+    * from sorted adjacency arrays without ever materializing a K4 row —
+    * the scale-safe form of [[seededK4]]'s full output (117M rows at
+    * sf0.1). `tri` is the materialized triangle relation (x0,x1,x2);
+    * callers supply it so the fast engine can produce it. The adjacency
+    * side joins un-hinted: AQE broadcasts it when |V| is small and falls
+    * back to a shuffle join at scale. Requires a 0/1 edge Z-set. */
+  def seededK4Count(edges: DataFrame, tri: DataFrame): DataFrame = {
+    val consolidated = GenericJoin.require01(EdgeIndex.consolidate(edges),
+      "seededK4Count")
+    val adj = consolidated.groupBy(col("src").as("k"))
+      .agg(sort_array(collect_list("dst")).as("vs"))
+    var cur = tri.select("x0", "x1", "x2")
+    for ((x, i) <- Seq("x0", "x1", "x2").zipWithIndex) {
+      cur = cur.join(adj.select(col("k").as(s"_k$i"), col("vs").as(s"_vs$i")),
+        col(x) === col(s"_k$i")).drop(s"_k$i")
+    }
+    cur.select(size(array_intersect(array_intersect(col("_vs0"), col("_vs1")),
+        col("_vs2"))).cast("long").as("cnt"))
+      .agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+  }
+
   /** Triangle-seeded 4-cliques (x0,x1,x2,x3,w=1) over a 0/1 edge set.
     * The triangle relation feeds seed/propose/intersect — three subplans —
     * so it is persisted once here; without this the full WCO triangle

@@ -17,10 +17,14 @@ object Dedup {
 
   import TextOps.{P, fastHash, polyHash, tokens}
 
-  /** String-hash choice for signatures: `portable` (polyHash — bit-exact in
-    * DuckDB, used by the oracle-gated driver queries) or the production
-    * default `fast` (xxhash64 mod P — same value range, so every band/minhash
-    * expression is shared; ~10× cheaper on shingle workloads). */
+  /** String-hash choice for signatures. The DEFAULT everywhere is
+    * `PortableHash` (polyHash — bit-exact in DuckDB, so persisted
+    * signatures and oracle comparisons are stable across versions);
+    * production pipelines opt into `FastHash` (xxhash64 mod P — same value
+    * range, so every band/minhash expression is shared; ~10× cheaper on
+    * shingle workloads) explicitly at the call site, as Bench's
+    * minhash_lsh_pairs_fast does. One default for every signature family —
+    * a mixed default would silently produce incomparable signatures. */
   type HashMode = Column => Column
   val PortableHash: HashMode = polyHash
   val FastHash: HashMode = fastHash
@@ -35,19 +39,22 @@ object Dedup {
   }
 
   /** k MinHash values over the shingle set: h_i(s) = ((2i+1)·H(s) + 17i+3)
-    * mod P with H the portable polynomial hash. Empty shingle set → all P
-    * (an impossible hash, so empty docs never collide with content). */
+    * mod P with H the portable polynomial hash. Empty OR NULL shingle set →
+    * all P (an impossible hash, so empty docs never collide with content) —
+    * the null case is normalized here so the native expression and the HOF
+    * form agree on null-text documents. */
   def minhashSignature(shingleCol: Column, k: Int,
-                       hash: HashMode = FastHash): Column =
+                       hash: HashMode = PortableHash): Column =
     // hash each shingle once, then ONE native pass computing all k minima
     // (graft.functions.MinHashSig — bit-identical to the k-interpreted-pass
     // HOF formulation it replaced; see minhashSignatureHof)
-    graft.functions.MinHashSig(transform(shingleCol, s => hash(s)), k)
+    graft.functions.MinHashSig(
+      coalesce(transform(shingleCol, s => hash(s)), array().cast("array<bigint>")), k)
 
   /** The original pure-`functions` formulation (k interpreted array passes);
     * kept as the equality oracle for the native expression. */
   def minhashSignatureHof(shingleCol: Column, k: Int,
-                          hash: HashMode = FastHash): Column = {
+                          hash: HashMode = PortableHash): Column = {
     val hs = transform(shingleCol, s => hash(s)) // hash each shingle once
     transform(sequence(lit(0), lit(k - 1)), i =>
       coalesce(
@@ -68,7 +75,7 @@ object Dedup {
   /** id + minhash signature per document. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32,
-                        hash: HashMode = FastHash): DataFrame =
+                        hash: HashMode = PortableHash): DataFrame =
     docs.select(col(idCol).as("id"),
       minhashSignature(shingles(col(textCol), n), k, hash).as("sig"))
 
@@ -79,15 +86,19 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5,
-                   hash: HashMode = FastHash): DataFrame = {
+                   hash: HashMode = PortableHash): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide the signature length k ($k) — otherwise the " +
         s"trailing k % bands components would be silently excluded from every band")
     val r = k / bands
-    // persisted: both sides of the band self-join read this frame — without
-    // caching, Spark computes the shingle+signature subtree twice
+    // materialized once (localCheckpoint, eager): both sides of the band
+    // self-join read this frame — without it Spark computes the
+    // shingle+signature subtree twice. localCheckpoint, unlike persist,
+    // does not pin the frame in the session CacheManager, so long-lived
+    // drivers don't accumulate a cached frame per invocation; the blocks
+    // are reclaimed with the frame itself.
     val sigs = minhashSignatures(docs, idCol, textCol, n, k, hash)
-      .persist()
+      .localCheckpoint()
       .withColumn("band", explode(
         transform(sequence(lit(0), lit(bands - 1)),
           j => struct(j.as("bidx"),
@@ -105,13 +116,33 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold, via shared-shingle candidate
-    * join (inverted index), never all-pairs. */
+    * join (inverted index), never all-pairs.
+    *
+    * `maxShingleFreq` (> 0) drops shingles occurring in more than that many
+    * documents from the inverted index BEFORE the candidate join — the
+    * standard document-frequency cut for at-scale dedup: one stop-phrase
+    * shingle shared by 10^6 docs otherwise creates a quadratic candidate
+    * bucket. Semantics under the cut: `inter` counts only surviving shared
+    * shingles (denominators keep the full shingle counts), so a pair whose
+    * ONLY shared shingles are ultra-common may fall below threshold — the
+    * usual df-cut trade, mirrored exactly by the driver oracle. 0 = exact
+    * (no cut). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleFreq: Long = 0L): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
-    // persisted: the inverted index feeds both join sides (see minhashPairs)
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s")).persist()
+    // materialized once (localCheckpoint — not persist, see minhashPairs):
+    // the inverted index feeds both join sides
+    val invAll = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    val inv =
+      if (maxShingleFreq <= 0L) invAll
+      else invAll.join(
+        // shingles are distinct per doc, so count(*) per shingle = doc freq
+        invAll.groupBy("s").agg(count(lit(1)).as("_df"))
+          .where(col("_df") <= maxShingleFreq).select("s"),
+        "s")
     val a = inv.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
     val b = inv.select(col("id").as("id_b"), col("nsh").as("nb"), col("s"))
     a.join(b, "s").where(col("id_a") < col("id_b"))
@@ -146,7 +177,7 @@ object Dedup {
     val hammingBand: (Column, Column) => Column = (x, y) =>
       bit_count(x.bitwiseXOR(y)).cast("long")
     val sigs = docs.select(col(idCol).as("id"), simhashBands(col(textCol)).as("sh"))
-      .persist() // both sides of the band self-join read this frame
+      .localCheckpoint() // both sides read this; not persist (see minhashPairs)
       .withColumn("bidx", explode(sequence(lit(0), lit(3))))
       .withColumn("bkey", element_at(col("sh"), col("bidx") + 1))
     val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bidx"), col("bkey"))

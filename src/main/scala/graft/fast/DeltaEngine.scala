@@ -285,7 +285,7 @@ final class DeltaEngine(
     * count exchanges + a propose exchange — the per-batch stage floor that
     * capped core-count scaling at small batch sizes. */
   private def seedPropose(sc: SparkContext, shards: RDD[Shard.T],
-                          hot: Broadcast[HotMap], hotLocal: HotMap,
+                          hot: DeltaEngine.HotProvider, hotLocal: HotMap,
                           dp: Broadcast[DeltaPack], dpLocal: DeltaPack): RDD[(Int, Array[Long])] = {
     val stage0 = plans.map(_.stages(0))
     val engine = this
@@ -423,7 +423,7 @@ final class DeltaEngine(
   /** Count chain + propose for one level over distributed prefix blocks
     * (input routed for count slot 0; output = proposal blocks routed for
     * intersect hop 0, or kept local when the stage has a single extender). */
-  private def countPropose(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+  private def countPropose(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                            dp: Broadcast[DeltaPack],
                            cur: RDD[(Int, Array[Long])], s: Int): RDD[(Int, Array[Long])] = {
     val stages = plans.map(_.stages(s))
@@ -517,7 +517,7 @@ final class DeltaEngine(
     * non-proposing extender, galloping the index run. Input = proposal
     * blocks (routed for hop 0 when any hop exists); output = decoded
     * proposals, already on their final partition (no further exchange). */
-  private def intersectChain(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+  private def intersectChain(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                              dp: Broadcast[DeltaPack],
                              props: RDD[(Int, Array[Long])], s: Int): RDD[Prop] = {
     val stages = plans.map(_.stages(s))
@@ -614,7 +614,7 @@ final class DeltaEngine(
 
   /** Explode validated level-`s` proposals into next-level prefix blocks,
     * routed for level s+1's count slot 0. */
-  private def explodeToPfxBlocks(props: RDD[Prop], hot: Broadcast[HotMap],
+  private def explodeToPfxBlocks(props: RDD[Prop], hot: DeltaEngine.HotProvider,
                                  s: Int): RDD[(Int, Array[Long])] = {
     val boundAfter = s + 3
     val nextStages = plans.map(_.stages(s + 1))
@@ -646,7 +646,7 @@ final class DeltaEngine(
   /** Runs one batch's delta step. Returns the CONSOLIDATED motif match
     * deltas, un-permuted to original attribute order: (bindings x0..x{k-1},
     * net weight ≠ 0). */
-  def deltaStep(sc: SparkContext, shards: RDD[Shard.T], hot: Broadcast[HotMap],
+  def deltaStep(sc: SparkContext, shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                 hotLocal: HotMap, dp: Broadcast[DeltaPack],
                 dpLocal: DeltaPack): RDD[(ArraySeq[Long], Long)] = {
     val inverses = plans.map(_.inverse.toArray)
@@ -776,7 +776,7 @@ final class DeltaEngine(
     * relation 0's bindings, routed for stage 0's count slot 0 — the
     * distributed complement of `seedPropose`'s broadcast regime. */
   private def batchSeedBlocks(edges: RDD[(Long, Long, Long)],
-                              hot: Broadcast[HotMap]): RDD[(Int, Array[Long])] = {
+                              hot: DeltaEngine.HotProvider): RDD[(Int, Array[Long])] = {
     val stage0 = plans.map(_.stages(0))
     val engine = this
     val np = numParts
@@ -808,7 +808,7 @@ final class DeltaEngine(
     * plan alone enforces every motif relation, and one pipeline over a
     * consolidated Z-set emits each binding exactly once, so the output
     * needs NO consolidation shuffle. */
-  private def batchProps(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+  private def batchProps(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                          dp: Broadcast[DeltaPack],
                          edges: RDD[(Long, Long, Long)]): RDD[Prop] = {
     require(numAttrs >= 3, "batch enumeration needs at least one extension stage")
@@ -826,7 +826,7 @@ final class DeltaEngine(
     * directly as UnsafeRows — one compact allocation per match, no external
     * Row boxing (measured: the Row + ArraySeq emit path cost ~1µs/match and
     * dominated full-enumeration wall time once the pipeline got fast). */
-  def enumerateInternalRows(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+  def enumerateInternalRows(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                             dp: Broadcast[DeltaPack],
                             edges: RDD[(Long, Long, Long)]): RDD[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -872,7 +872,7 @@ final class DeltaEngine(
 
   /** Batch-enumerated (distinct match count, net Z-set weight) WITHOUT
     * materializing any match row — the count-only fast path. */
-  def enumerateAggRdd(shards: RDD[Shard.T], hot: Broadcast[HotMap],
+  def enumerateAggRdd(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                       dp: Broadcast[DeltaPack],
                       edges: RDD[(Long, Long, Long)]): (Long, Long) = {
     val n = numAttrs
@@ -973,6 +973,96 @@ object DeltaEngine {
     * concentrates hub traffic. Maintained by [[FastGraphState]] in lockstep
     * with the shards (same merge rules, copy-on-write snapshot per batch). */
   type HotMap = java.util.HashMap[Long, Adj]
+
+  /** Task-side source of the hot replica. Two regimes:
+    *  - [[BcastHot]]: a plain broadcast snapshot (batch enumeration; the
+    *    replica is built once and never changes).
+    *  - [[ChainHot]]: streaming. The driver broadcasts the FULL replica only
+    *    at (re)build time (initialize / recover / compaction); per batch it
+    *    ships nothing hot-specific — executors fold the already-broadcast
+    *    batch DeltaPacks into a locally cached copy ([[HotCache]]). This
+    *    makes per-batch broadcast bytes independent of hub degree: at
+    *    LiveJournal-scale hubs the old full-replica re-broadcast was
+    *    hundreds of MB of driver→executor traffic per batch for state the
+    *    executors could derive themselves. */
+  sealed trait HotProvider extends Serializable { def value: HotMap }
+
+  final case class BcastHot(b: Broadcast[HotMap]) extends HotProvider {
+    def value: HotMap = b.value
+  }
+
+  /** `gen` identifies the base snapshot (bumped per rebuild); `chain` holds
+    * the broadcast DeltaPacks absorbed since that rebuild, in fold order —
+    * `base` folded by all of `chain` IS the current replica. A fresh
+    * executor (or one that missed batches) reconstructs from `base` +
+    * whatever chain suffix it has not folded yet, so late joiners are
+    * correct, not just lucky. */
+  final case class ChainHot(id: String, gen: Long, base: Broadcast[HotMap],
+                            chain: IndexedSeq[Broadcast[DeltaPack]]) extends HotProvider {
+    def value: HotMap = HotCache.resolve(this)
+  }
+
+  /** Per-executor fold cache for [[ChainHot]]: one entry per live state id,
+    * advanced incrementally (one DeltaPack fold per batch in the steady
+    * state). Folding is copy-on-write so an earlier epoch's map, if still
+    * referenced by a straggler task, is never mutated. */
+  object HotCache {
+    private final case class Entry(gen: Long, epoch: Int, map: HotMap)
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+    def resolve(ref: ChainHot): HotMap = {
+      val want = ref.chain.size
+      val cur = cache.get(ref.id)
+      if (cur != null && cur.gen == ref.gen && cur.epoch == want) return cur.map
+      cache.synchronized {
+        val c2 = cache.get(ref.id)
+        if (c2 != null && c2.gen == ref.gen && c2.epoch == want) return c2.map
+        var epoch = 0
+        var m = ref.base.value
+        if (c2 != null && c2.gen == ref.gen && c2.epoch < want) {
+          epoch = c2.epoch; m = c2.map
+        }
+        while (epoch < want) {
+          m = foldHot(m, ref.chain(epoch).value)
+          epoch += 1
+        }
+        cache.put(ref.id, Entry(ref.gen, want, m))
+        m
+      }
+    }
+
+    /** Drop a state's entry (called from the driver's close() in local
+      * mode; on a cluster entries are bounded by live states per executor). */
+    def invalidate(id: String): Unit = { cache.remove(id); () }
+  }
+
+  /** Folds one batch delta into a hot snapshot, copy-on-write (same merge
+    * rules as [[DeltaEngine.updateShards]]) — replica membership is fixed;
+    * only existing keys' runs are advanced. Used by the driver (its local
+    * copy) and by [[HotCache]] (executor copies), keeping both in lockstep
+    * with the shards. */
+  def foldHot(hot: HotMap, dp: DeltaPack): HotMap = {
+    if (hot.isEmpty) return hot
+    val next = new HotMap(hot)
+    val it = hot.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val fr = dp.run(k, forward = true)
+      val rr = dp.run(k, forward = false)
+      if (fr.vs.nonEmpty || rr.vs.nonEmpty) {
+        val old = next.get(k)
+        val (fvs, fws) =
+          if (fr.vs.isEmpty) (old.fwdVs, old.fwdWs)
+          else mergeRuns(old.fwdVs, old.fwdWs, fr.vs, fr.ws)
+        val (rvs, rws) =
+          if (rr.vs.isEmpty) (old.revVs, old.revWs)
+          else mergeRuns(old.revVs, old.revWs, rr.vs, rr.ws)
+        next.put(k, new Adj(fvs, fws, old.degFwd + fr.degSum,
+          rvs, rws, old.degRev + rr.degSum))
+      }
+    }
+    next
+  }
 
   /** Selects the `hotK` largest adjacencies (by stored row count) from the
     * shards as the hot-hub replica — used at initialize / recover /

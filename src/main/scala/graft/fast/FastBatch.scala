@@ -34,8 +34,7 @@ object FastBatch {
 
   private def withState[T](edges: DataFrame, motif: Seq[(Int, Int)],
                            predicates: Seq[Pred], numParts: Int, hotKeys: Int)
-                          (body: (DeltaEngine, RDD[Shard.T],
-                                  org.apache.spark.broadcast.Broadcast[DeltaEngine.HotMap],
+                          (body: (DeltaEngine, RDD[Shard.T], DeltaEngine.HotProvider,
                                   org.apache.spark.broadcast.Broadcast[DeltaPack],
                                   RDD[(Long, Long, Long)]) => T): T = {
     val spark = edges.sparkSession
@@ -50,7 +49,7 @@ object FastBatch {
     val hotK = if (hotKeys >= 0) hotKeys else 8 * parts
     val hot = sc.broadcast(DeltaEngine.buildHot(shards, hotK))
     val dp = sc.broadcast(DeltaPack.empty)
-    try body(engine, shards, hot, dp, e)
+    try body(engine, shards, DeltaEngine.BcastHot(hot), dp, e)
     finally {
       shards.unpersist(false); e.unpersist(false)
       hot.unpersist(false); dp.unpersist(false)

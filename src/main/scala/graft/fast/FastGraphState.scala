@@ -50,8 +50,17 @@ final class FastGraphState(
 
   private var shards: RDD[Shard.T] = engine.emptyShards(sc)
   /** Driver-held snapshot of the hottest keys' adjacency; replaced (never
-    * mutated) per batch so in-flight broadcasts stay consistent. */
+    * mutated) per batch so in-flight references stay consistent. */
   private var hotAdj: DeltaEngine.HotMap = new DeltaEngine.HotMap()
+  /** Hot-replica distribution state: the FULL replica is broadcast only at
+    * (re)build/re-base time; per batch the executors fold the (already
+    * broadcast) DeltaPack chain into their own cached copy — per-batch
+    * broadcast bytes are independent of hub degree (see
+    * [[DeltaEngine.ChainHot]]). */
+  private val stateId = java.util.UUID.randomUUID().toString
+  private var hotGen: Long = 0L
+  private var hotBase: Broadcast[DeltaEngine.HotMap] = sc.broadcast(hotAdj)
+  private var dpChain: Vector[Broadcast[DeltaPack]] = Vector.empty
   private var baseVersion: Long = 0L
   private var _lastBatchId: Long = -1L
   private var tailIds: Vector[Long] = Vector.empty
@@ -82,32 +91,19 @@ final class FastGraphState(
     * count. Runs at initialize / recover / compaction — hot-set membership
     * may drift between compactions (a perf heuristic only: membership never
     * affects results, because replica content is maintained exactly). */
-  private def rebuildHot(): Unit =
+  private def rebuildHot(): Unit = {
     hotAdj = DeltaEngine.buildHot(shards, hotK)
+    rebaseHot()
+  }
 
-  /** Folds the batch delta into a fresh hot snapshot (same merge rules as
-    * [[DeltaEngine.updateShards]]) so replica and shards stay in lockstep. */
-  private def updateHot(dp: DeltaPack): Unit = {
-    if (hotAdj.isEmpty) return
-    val next = new DeltaEngine.HotMap(hotAdj)
-    val it = hotAdj.keySet().iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      val fr = dp.run(k, forward = true)
-      val rr = dp.run(k, forward = false)
-      if (fr.vs.nonEmpty || rr.vs.nonEmpty) {
-        val old = next.get(k)
-        val (fvs, fws) =
-          if (fr.vs.isEmpty) (old.fwdVs, old.fwdWs)
-          else DeltaEngine.mergeRuns(old.fwdVs, old.fwdWs, fr.vs, fr.ws)
-        val (rvs, rws) =
-          if (rr.vs.isEmpty) (old.revVs, old.revWs)
-          else DeltaEngine.mergeRuns(old.revVs, old.revWs, rr.vs, rr.ws)
-        next.put(k, new Adj(fvs, fws, old.degFwd + fr.degSum,
-          rvs, rws, old.degRev + rr.degSum))
-      }
-    }
-    hotAdj = next
+  /** Re-broadcasts the driver's current replica as the new chain base and
+    * retires the old base + DeltaPack chain (unpersisted on the next
+    * absorb, preserving the consume-before-next-applyBatch contract). */
+  private def rebaseHot(): Unit = {
+    pendingBcast = hotBase :: dpChain.toList ::: pendingBcast
+    hotGen += 1
+    hotBase = sc.broadcast(hotAdj)
+    dpChain = Vector.empty
   }
 
   private def installShards(next: RDD[Shard.T]): Unit = {
@@ -153,17 +149,22 @@ final class FastGraphState(
     val t1 = System.nanoTime()
     val pack = DeltaPack(arr)
     val dp = sc.broadcast(pack)
-    val hot = sc.broadcast(hotAdj)
-    val matches = engine.deltaStep(sc, shards, hot, hotAdj, dp, pack)
+    // NO per-batch hot broadcast: tasks resolve the replica from the chain
+    // (base snapshot + the dp broadcasts already in flight)
+    val hotRef = DeltaEngine.ChainHot(stateId, hotGen, hotBase, dpChain)
+    val matches = engine.deltaStep(sc, shards, hotRef, hotAdj, dp, pack)
     if (sink != null) sink(toDF(matches))
     val t2 = System.nanoTime()
     installShards(engine.updateShards(shards, dp))
-    updateHot(pack)
+    hotAdj = DeltaEngine.foldHot(hotAdj, pack)
+    dpChain :+= dp
+    // bound the fold chain even when compaction is far away: re-broadcast
+    // the driver's folded replica and retire the chain
+    if (dpChain.size >= FastGraphState.maxHotChain) rebaseHot()
     if (FastGraphState.profile)
       System.err.println(f"[fastprof] batch=$batchId wal=${(t1 - t0) / 1e6}%.0fms " +
-        f"step+sink=${(t2 - t1) / 1e6}%.0fms update=${(System.nanoTime() - t2) / 1e6}%.0fms")
-    pendingBcast ::= dp
-    pendingBcast ::= hot
+        f"step+sink=${(t2 - t1) / 1e6}%.0fms update=${(System.nanoTime() - t2) / 1e6}%.0fms " +
+        f"chain=${dpChain.size}")
     tailIds :+= batchId
     _lastBatchId = batchId
     if (tailIds.size >= maxTail) {
@@ -222,6 +223,9 @@ final class FastGraphState(
   def close(): Unit = {
     pendingShards.foreach(_.unpersist(false)); pendingShards = Nil
     pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
+    hotBase.unpersist(false)
+    dpChain.foreach(_.unpersist(false)); dpChain = Vector.empty
+    DeltaEngine.HotCache.invalidate(stateId)
     shards.unpersist(false)
   }
 
@@ -334,6 +338,11 @@ final class FastGraphState(
 object FastGraphState {
   /** Per-batch phase timing to stderr (diagnostics only). */
   val profile: Boolean = sys.env.getOrElse("SPARK_GRAFT_FAST_PROFILE", "0") == "1"
+
+  /** Longest DeltaPack chain a hot-replica resolve may fold before the
+    * driver re-bases with a fresh full broadcast (bounds fresh-executor
+    * catch-up work and retained broadcast count when compaction is rare). */
+  val maxHotChain: Int = 48
 
   val edgeSchema: StructType = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType),

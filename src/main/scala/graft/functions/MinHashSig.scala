@@ -30,9 +30,29 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
           s"minhash_sig requires array<bigint>, got $other")
     }
 
+  // NULL contract: a null INPUT array returns null (UnaryExpression's
+  // null-safe shortcut) — the Column-level wrapper (Dedup.minhashSignature)
+  // normalizes null shingle sets to empty arrays upstream so null-text docs
+  // get the all-P signature, matching the HOF formulation. Null ELEMENTS
+  // are skipped (a null shingle hash contributes no minimum), in both the
+  // interpreted and the codegen path.
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
-    new GenericArrayData(MinHashSig.signature(hs.toLongArray(), k))
+    val sig = Array.fill(k)(MinHashSig.P)
+    var j = 0
+    while (j < hs.numElements()) {
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (h * (2L * i + 1L) + (17L * i + 3L)) % MinHashSig.P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,10 +66,12 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, ${MinHashSig.P}L);
          |for (int $j = 0; $j < $c.numElements(); $j++) {
-         |  long $h = $c.getLong($j);
-         |  for (int $i = 0; $i < $k; $i++) {
-         |    long $v = ($h * (2L * $i + 1L) + (17L * $i + 3L)) % ${MinHashSig.P}L;
-         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  if (!$c.isNullAt($j)) {
+         |    long $h = $c.getLong($j);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $v = ($h * (2L * $i + 1L) + (17L * $i + 3L)) % ${MinHashSig.P}L;
+         |      if ($v < $sig[$i]) $sig[$i] = $v;
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -62,23 +84,6 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
 object MinHashSig {
   val P = 1000003L
-
-  /** Driver-side mirror of eval/codegen (shared by the interpreted path). */
-  def signature(hs: Array[Long], k: Int): Array[Long] = {
-    val sig = Array.fill(k)(P)
-    var j = 0
-    while (j < hs.length) {
-      val h = hs(j)
-      var i = 0
-      while (i < k) {
-        val v = (h * (2L * i + 1L) + (17L * i + 3L)) % P
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-      j += 1
-    }
-    sig
-  }
 
   def apply(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), k))

@@ -40,7 +40,8 @@ final class GraphState(
     maxTail: Int = 12,
     pruneZero: Boolean = true,
     routing: Boolean = true,
-    lineageMetrics: Boolean = true) extends MotifState {
+    lineageMetrics: Boolean = true,
+    predicates: Seq[GenericJoin.Pred] = Nil) extends MotifState {
 
   import GraphState._
 
@@ -144,7 +145,8 @@ final class GraphState(
     val oldIdx = mkIndex(tail, hadTail)
     val newIdx = mkIndex(newTail, hasTail = true)
     val matches = GenericJoin.consolidateMatches(
-      GenericJoin.deltaStep(delta, oldIdx, newIdx, motif, pruneZero, routing))
+      GenericJoin.deltaStep(delta, oldIdx, newIdx, motif, pruneZero, routing,
+        predicates = predicates))
     sink(matches)
 
     if (hadTail) pendingUnpersist ::= tail

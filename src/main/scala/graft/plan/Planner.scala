@@ -126,6 +126,10 @@ object Planner {
   /** Directed 5-clique (all a<b edges). */
   val clique5: Seq[(Int, Int)] =
     for (a <- 0 until 5; b <- a + 1 until 5) yield (a, b)
+  /** Directed 6-clique (all a<b edges) — the README's 6-clique story
+    * (/root/reference/README.md:150-176). */
+  val clique6: Seq[(Int, Int)] =
+    for (a <- 0 until 6; b <- a + 1 until 6) yield (a, b)
   /** Four-cycle / diamond (x0,x1),(x1,x2),(x3,x2),(x0,x3)-style: here the
     * directed 4-cycle (0,1),(1,2),(2,3),(3,0). */
   val cycle4: Seq[(Int, Int)] = Seq((0, 1), (1, 2), (2, 3), (3, 0))

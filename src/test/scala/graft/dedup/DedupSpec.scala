@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Pins the shingle-frequency cap (document-frequency cut) of jaccardPairs
+  * against a brute-force Scala mirror, on a corpus with a PLANTED hot
+  * shingle shared by every document. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  /** Two near-dup clusters + singletons, every doc carrying the same hot
+    * 3-token phrase (one shared shingle across the whole corpus). */
+  private def corpus: Seq[(Long, String)] = {
+    val hot = "hot hot hot"
+    val clusterA = (0 until 4).map(i =>
+      (i.toLong, s"$hot alpha beta gamma delta epsilon zeta eta theta v$i"))
+    val clusterB = (0 until 4).map(i =>
+      (10L + i, s"$hot one two three four five six seven w$i"))
+    val singles = (0 until 6).map(i =>
+      (20L + i, s"$hot s${i}a s${i}b s${i}c s${i}d s${i}e s${i}f s${i}g"))
+    clusterA ++ clusterB ++ singles
+  }
+
+  private def shinglesOf(text: String, n: Int): Set[String] = {
+    val t = text.trim.split("\\s+").toSeq
+    if (t.size < n) Set.empty
+    else (0 to t.size - n).map(i => t.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  /** Brute-force df-cut jaccard pairs (the contract jaccardPairs implements). */
+  private def expectedPairs(docs: Seq[(Long, String)], n: Int, threshold: Double,
+                            cap: Long): Set[(Long, Long, Double)] = {
+    val sh = docs.map { case (id, t) => id -> shinglesOf(t, n) }.toMap
+    val df = sh.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val keep: Set[String] =
+      if (cap <= 0) df.keySet.toSet
+      else df.filter(_._2 <= cap).keySet.toSet
+    (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      inter = (sa intersect sb intersect keep).size
+      if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= threshold
+    } yield (a, b, j)).toSet
+  }
+
+  private def run(cap: Long): Set[(Long, Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      corpus.map { case (id, t) => Row(id, t) }.asJava, docSchema)
+    Dedup.jaccardPairs(df, "id", "text", n = 3, threshold = 0.3, maxShingleFreq = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("uncapped: hot shingle creates cross-cluster candidate pairs") {
+    val got = run(0L)
+    assert(got == expectedPairs(corpus, 3, 0.3, 0L))
+    // the hot shingle alone is not enough to cross the threshold, but the
+    // within-cluster near-dups are found
+    assert(got.exists { case (a, b, _) => a < 10 && b < 10 })
+  }
+
+  test("capped: df-cut drops the planted hot shingle, pairs match the mirror") {
+    val got = run(5L)
+    val expect = expectedPairs(corpus, 3, 0.3, 5L)
+    assert(got == expect)
+    assert(expect.nonEmpty) // within-cluster pairs survive the cut
+    // the cut changes scores: capped jaccard of a surviving pair is lower
+    val gotMap = got.map(t => (t._1, t._2) -> t._3).toMap
+    val uncapped = run(0L).map(t => (t._1, t._2) -> t._3).toMap
+    val shared = gotMap.keySet intersect uncapped.keySet
+    assert(shared.nonEmpty && shared.forall(k => gotMap(k) <= uncapped(k)))
+  }
+}

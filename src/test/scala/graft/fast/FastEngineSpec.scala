@@ -49,9 +49,11 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
     frame.collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSeq.sortBy(_.mkString(","))
 
   private def compareEngines(motif: Seq[(Int, Int)], nodes: Int, nBatches: Int,
-                             batchSize: Int, seed: Long, parts: Int): Unit = {
-    val slow = new GraphState(spark, motif)
-    val fast = new FastGraphState(spark, motif, numParts = parts, maxTail = 3)
+                             batchSize: Int, seed: Long, parts: Int,
+                             preds: Seq[GenericJoin.Pred] = Nil): Unit = {
+    val slow = new GraphState(spark, motif, predicates = preds)
+    val fast = new FastGraphState(spark, motif, numParts = parts, maxTail = 3,
+      predicates = preds)
     for ((batch, id) <- randomBatches(nodes, nBatches, batchSize, seed).zipWithIndex) {
       val b = df(batch)
       val expect = sortedRows(slow.applyBatch(id.toLong, b))
@@ -74,6 +76,11 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
   test("fast == sql engine per batch: clique4 (two extension levels)") {
     compareEngines(Planner.clique4, nodes = 18, nBatches = 4, batchSize = 50,
       seed = 13L, parts = 4)
+  }
+
+  test("fast == sql engine per batch: ordered clique4 (predicates in BOTH engines)") {
+    compareEngines(Planner.clique4, nodes = 18, nBatches = 4, batchSize = 50,
+      seed = 13L, parts = 4, preds = GenericJoin.ordered(4))
   }
 
   test("parallelism invariance: same outputs at 2 and 8 partitions") {
@@ -130,6 +137,26 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
         r.getLong(r.length - 1)).toMap
     assert(acc.filter(_._2 != 0L).toMap == expected)
     fast.close()
+  }
+
+  test("hot-replica chain fold: membership-stable run (no compaction) == sql engine") {
+    // maxTail high enough that the hot base is broadcast ONCE (at
+    // initialize) and every subsequent batch is served by executors folding
+    // the DeltaPack chain — the per-batch path that must stay in lockstep
+    // with the shards
+    val batches = randomBatches(30, 9, 40, seed = 43L)
+    val slow = new GraphState(spark, Planner.triangle)
+    val fast = new FastGraphState(spark, Planner.triangle, numParts = 4,
+      maxTail = 1000, hotKeys = 1000) // every preloaded key hot → chain-folded
+    slow.initialize(df(batches.head))
+    fast.initialize(df(batches.head))
+    for ((batch, id) <- batches.tail.zipWithIndex) {
+      val b = df(batch)
+      val expect = sortedRows(slow.applyBatch(id.toLong, b))
+      val got = sortedRows(fast.applyBatch(id.toLong, b))
+      assert(got == expect, s"batch=$id")
+    }
+    slow.close(); fast.close()
   }
 
   test("durability: restart from stateDir resumes exactly-once") {
