@@ -286,11 +286,16 @@ final class DeltaEngine(
     * capped core-count scaling at small batch sizes. */
   private def seedPropose(sc: SparkContext, shards: RDD[Shard.T],
                           hot: DeltaEngine.HotProvider, hotLocal: HotMap,
-                          dp: Broadcast[DeltaPack], dpLocal: DeltaPack): RDD[(Int, Array[Long])] = {
+                          dp: Broadcast[DeltaPack], dpLocal: DeltaPack,
+                          degMirror: Option[(Long, Boolean) => Long]): RDD[(Int, Array[Long])] = {
     val stage0 = plans.map(_.stages(0))
     val engine = this
-    // (a) cold degrees, one job over the shards
-    val coldDegs = shards.mapPartitionsWithIndex { (pid, it) =>
+    // (a) cold degrees — ONE job over the shards, skipped entirely when the
+    // driver maintains an exact degree mirror (the common streaming case:
+    // degrees are just folded degSums, O(|touched keys|) driver work per
+    // batch, vs a scheduler round-trip here)
+    val coldDegs = if (degMirror.isDefined) Array.empty[(Int, Int, Int, Long)]
+    else shards.mapPartitionsWithIndex { (pid, it) =>
       val shard = it.next()
       val d = dp.value
       val h = hot.value
@@ -339,9 +344,17 @@ final class DeltaEngine(
           var i = 0
           while (i < cs.size) {
             val k = p(cs(i).prefixPos)
-            if (hotLocal.containsKey(k))
-              degs((j * numRels + r) * maxE0 + i) =
-                degAt(Shard.empty, hotLocal, dpLocal, k, cs(i).forward, cs(i).inclusive)
+            degMirror match {
+              case Some(f) =>
+                val base = f(k, cs(i).forward)
+                degs((j * numRels + r) * maxE0 + i) =
+                  if (cs(i).inclusive) base + dpLocal.run(k, cs(i).forward).degSum
+                  else base
+              case None =>
+                if (hotLocal.containsKey(k))
+                  degs((j * numRels + r) * maxE0 + i) =
+                    degAt(Shard.empty, hotLocal, dpLocal, k, cs(i).forward, cs(i).inclusive)
+            }
             i += 1
           }
         }
@@ -648,7 +661,8 @@ final class DeltaEngine(
     * net weight ≠ 0). */
   def deltaStep(sc: SparkContext, shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
                 hotLocal: HotMap, dp: Broadcast[DeltaPack],
-                dpLocal: DeltaPack): RDD[(ArraySeq[Long], Long)] = {
+                dpLocal: DeltaPack,
+                degMirror: Option[(Long, Boolean) => Long] = None): RDD[(ArraySeq[Long], Long)] = {
     val inverses = plans.map(_.inverse.toArray)
     if (numAttrs == 2) {
       // single-relation motif: the seeds ARE the matches
@@ -670,7 +684,7 @@ final class DeltaEngine(
     // level 0 fused over the broadcast seed set; levels ≥ 1 over the
     // distributed prefix stream
     var pr: RDD[Prop] = intersectChain(shards, hot, dp,
-      seedPropose(sc, shards, hot, hotLocal, dp, dpLocal), 0)
+      seedPropose(sc, shards, hot, hotLocal, dp, dpLocal, degMirror), 0)
     for (s <- 1 to numAttrs - 3) {
       pr = intersectChain(shards, hot, dp,
         countPropose(shards, hot, dp, explodeToPfxBlocks(pr, hot, s - 1), s), s)
@@ -1002,38 +1016,49 @@ object DeltaEngine {
     def value: HotMap = HotCache.resolve(this)
   }
 
-  /** Per-executor fold cache for [[ChainHot]]: one entry per live state id,
-    * advanced incrementally (one DeltaPack fold per batch in the steady
-    * state). Folding is copy-on-write so an earlier epoch's map, if still
-    * referenced by a straggler task, is never mutated. */
+  /** Per-executor fold cache for [[ChainHot]]: keyed by (state, gen, epoch)
+    * so tasks of OVERLAPPING micro-batches (pipelined epochs) each resolve
+    * their own snapshot without thrashing — the last few epochs are
+    * retained, older ones evicted. Folding is copy-on-write so an earlier
+    * epoch's map, if still referenced by a straggler task, is never
+    * mutated. */
   object HotCache {
-    private final case class Entry(gen: Long, epoch: Int, map: HotMap)
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    private val retain = 4
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), HotMap]()
 
     def resolve(ref: ChainHot): HotMap = {
       val want = ref.chain.size
-      val cur = cache.get(ref.id)
-      if (cur != null && cur.gen == ref.gen && cur.epoch == want) return cur.map
+      val hit = cache.get((ref.id, ref.gen, want))
+      if (hit != null) return hit
       cache.synchronized {
-        val c2 = cache.get(ref.id)
-        if (c2 != null && c2.gen == ref.gen && c2.epoch == want) return c2.map
+        val again = cache.get((ref.id, ref.gen, want))
+        if (again != null) return again
+        // fold forward from the nearest retained earlier epoch (or base)
         var epoch = 0
         var m = ref.base.value
-        if (c2 != null && c2.gen == ref.gen && c2.epoch < want) {
-          epoch = c2.epoch; m = c2.map
+        var e = want - 1
+        while (e > 0 && epoch == 0) {
+          val c = cache.get((ref.id, ref.gen, e))
+          if (c != null) { epoch = e; m = c }
+          e -= 1
         }
         while (epoch < want) {
           m = foldHot(m, ref.chain(epoch).value)
           epoch += 1
         }
-        cache.put(ref.id, Entry(ref.gen, want, m))
+        cache.put((ref.id, ref.gen, want), m)
+        if (want - retain >= 0) cache.remove((ref.id, ref.gen, want - retain))
         m
       }
     }
 
-    /** Drop a state's entry (called from the driver's close() in local
+    /** Drop a state's entries (called from the driver's close() in local
       * mode; on a cluster entries are bounded by live states per executor). */
-    def invalidate(id: String): Unit = { cache.remove(id); () }
+    def invalidate(id: String): Unit = {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == id) it.remove()
+    }
   }
 
   /** Folds one batch delta into a hot snapshot, copy-on-write (same merge

@@ -40,7 +40,9 @@ final class FastGraphState(
     maxTail: Int = 12,
     predicates: Seq[Pred] = Nil,
     lineageMetrics: Boolean = true,
-    hotKeys: Int = -1) extends graft.incr.MotifState {
+    hotKeys: Int = -1,
+    driverDegrees: Boolean = true,
+    pipelineDepth: Int = 1) extends graft.incr.MotifState {
 
   private val sc = spark.sparkContext
   private val parts = if (numParts > 0) numParts else sc.defaultParallelism
@@ -61,10 +63,51 @@ final class FastGraphState(
   private var hotGen: Long = 0L
   private var hotBase: Broadcast[DeltaEngine.HotMap] = sc.broadcast(hotAdj)
   private var dpChain: Vector[Broadcast[DeltaPack]] = Vector.empty
+  /** Driver-held EXACT signed-degree mirror (fwd, rev per key): folded from
+    * the same DeltaPack degSums the shards fold, so the seed phase needs no
+    * cluster job at all for its count stage. O(|V|) driver memory (16B/key)
+    * — disable via `driverDegrees=false` for graphs whose key set outgrows
+    * the driver; the engine then falls back to the cold-degree collect. */
+  private val degF = new java.util.HashMap[Long, java.lang.Long]()
+  private val degR = new java.util.HashMap[Long, java.lang.Long]()
+  private def degFn: Option[(Long, Boolean) => Long] =
+    if (!driverDegrees) None
+    else Some((k, fwd) => {
+      val v = (if (fwd) degF else degR).get(k)
+      if (v == null) 0L else v.longValue()
+    })
+  private def foldDegMirror(dp: DeltaPack): Unit = if (driverDegrees) {
+    def fold(m: java.util.HashMap[Long, java.lang.Long], runs: Map[Long, DeltaPack.Run]): Unit =
+      runs.foreach { case (k, r) =>
+        if (r.degSum != 0L) {
+          val cur = m.get(k)
+          val next = (if (cur == null) 0L else cur.longValue()) + r.degSum
+          if (next == 0L) m.remove(k) else m.put(k, java.lang.Long.valueOf(next))
+        }
+      }
+    fold(degF, dp.fwd); fold(degR, dp.rev)
+  }
+  private def rebuildDegMirror(): Unit = if (driverDegrees) {
+    degF.clear(); degR.clear()
+    shards.flatMap(_.iterator.map { case (k, adj) => (k, adj.degFwd, adj.degRev) })
+      .collect()
+      .foreach { case (k, f, r) =>
+        if (f != 0L) degF.put(k, java.lang.Long.valueOf(f))
+        if (r != 0L) degR.put(k, java.lang.Long.valueOf(r))
+      }
+  }
   private var baseVersion: Long = 0L
   private var _lastBatchId: Long = -1L
   private var tailIds: Vector[Long] = Vector.empty
-  private var pendingShards: List[RDD[Shard.T]] = Nil
+  /** Superseded shard RDDs tagged with the absorb sequence that replaced
+    * them; unpersisted `retireLag` absorbs later. Lag = pipelineDepth + 1:
+    * with k micro-batch jobs allowed in flight (see [[applyBatchAsync]]),
+    * the state read by the OLDEST in-flight job must survive until that job
+    * has drained — dropping a localCheckpoint'ed RDD's blocks mid-job is
+    * unrecoverable (its lineage was truncated by design). */
+  private val retireLag = math.max(1, pipelineDepth) + 1
+  private var retired: List[(Long, RDD[Shard.T])] = Nil
+  private var absorbSeq: Long = 0L
   private var pendingBcast: List[Broadcast[_]] = Nil
   shards.persist(); shards.count()
 
@@ -81,6 +124,7 @@ final class FastGraphState(
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     installShards(engine.buildShards(rdd))
     rebuildHot()
+    rebuildDegMirror()
     stateDir.foreach { dir =>
       writeBase(dir)
       writeMeta(dir)
@@ -106,11 +150,22 @@ final class FastGraphState(
     dpChain = Vector.empty
   }
 
+  /** Installs the post-batch shards WITHOUT an eager materialization job:
+    * the next batch's first job over the shards computes + caches them (one
+    * cheap HAMT fold) and completes the localCheckpoint — saving one
+    * scheduler round-trip per batch, which is real money at the batch=1000
+    * latency floor. Consequence for unpersist discipline: the PREVIOUS
+    * shards must stay alive until the new ones are materialized, i.e. until
+    * the NEXT batch's job has run — so retirement is deferred two absorbs
+    * (`retiringShards` → `pendingShards` → unpersist). */
   private def installShards(next: RDD[Shard.T]): Unit = {
     next.persist()
     next.localCheckpoint() // truncate lineage: recovery is WAL replay, not recompute
-    next.count()
-    pendingShards ::= shards
+    // single-relation motifs never run a per-batch job over the shards
+    // (seeds ARE the matches), so nothing would materialize `next` before
+    // its ancestor retires — materialize eagerly in that case only
+    if (engine.numAttrs == 2) next.count()
+    retired ::= (absorbSeq, shards)
     shards = next
   }
 
@@ -136,7 +191,13 @@ final class FastGraphState(
                     sink: DataFrame => Unit = null): RDD[(ArraySeq[Long], Long)] = {
     if (batchId <= _lastBatchId) return sc.emptyRDD[(ArraySeq[Long], Long)]
     val t0 = System.nanoTime()
-    pendingShards.foreach(_.unpersist(false)); pendingShards = Nil
+    // lagged retirement: an RDD superseded at absorb s is dropped only at
+    // absorb s + retireLag, by which point every job allowed to read it
+    // (the in-flight window) has drained and its successor is materialized
+    absorbSeq += 1
+    val (drop, keep) = retired.partition(_._1 <= absorbSeq - retireLag)
+    drop.foreach(_._2.unpersist(false))
+    retired = keep
     // NOT destroy(): the checkpointed shard RDD object keeps its (dead)
     // closure field referencing the previous batch's broadcast, and task
     // serialization embeds the handle — destroying it poisons every later
@@ -152,11 +213,12 @@ final class FastGraphState(
     // NO per-batch hot broadcast: tasks resolve the replica from the chain
     // (base snapshot + the dp broadcasts already in flight)
     val hotRef = DeltaEngine.ChainHot(stateId, hotGen, hotBase, dpChain)
-    val matches = engine.deltaStep(sc, shards, hotRef, hotAdj, dp, pack)
+    val matches = engine.deltaStep(sc, shards, hotRef, hotAdj, dp, pack, degFn)
     if (sink != null) sink(toDF(matches))
     val t2 = System.nanoTime()
     installShards(engine.updateShards(shards, dp))
     hotAdj = DeltaEngine.foldHot(hotAdj, pack)
+    foldDegMirror(pack)
     dpChain :+= dp
     // bound the fold chain even when compaction is far away: re-broadcast
     // the driver's folded replica and retire the chain
@@ -176,6 +238,30 @@ final class FastGraphState(
       appendMetrics(dir, batchId, arr, t0)
     }
     matches
+  }
+
+  /** Pipelined absorb — the fast-engine analog of the reference's
+    * overlapping timely epochs: the driver-side absorb (WAL, broadcast,
+    * state install — a few ms) runs synchronously, but the batch's match
+    * job is SUBMITTED asynchronously and the per-partition (rows, net)
+    * stats come back as a future. Callers may keep up to `pipelineDepth`
+    * futures in flight and MUST drain the oldest before absorbing beyond
+    * that window — the retirement lag sizes shard-snapshot lifetime to
+    * exactly that window. Overlapping jobs are what give >8 cores real
+    * work at small batch sizes, where a single 1000-edge batch cannot fill
+    * the machine (measured: the whole sync batch is one ~300ms 3-stage
+    * job at 32 cores). Exactly-once is unchanged (WAL + meta precede any
+    * output, replayed ids return an immediately-complete empty future). */
+  def applyBatchStatsAsync(batchId: Long, arr: Array[(Long, Long, Long)])
+      : org.apache.spark.FutureAction[Seq[(Long, Long)]] = {
+    val m = applyBatchRdd(batchId, arr)
+    val stats = m.mapPartitions { it =>
+      var n = 0L; var s = 0L
+      for ((_, w) <- it) { n += 1; s += w }
+      Iterator.single((n, s))
+    }
+    import org.apache.spark.rdd.RDD.rddToAsyncRDDActions
+    stats.collectAsync()
   }
 
   /** (consolidated match-delta rows, net weight) for one batch — the bench
@@ -221,7 +307,7 @@ final class FastGraphState(
   }
 
   def close(): Unit = {
-    pendingShards.foreach(_.unpersist(false)); pendingShards = Nil
+    retired.foreach(_._2.unpersist(false)); retired = Nil
     pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
     hotBase.unpersist(false)
     dpChain.foreach(_.unpersist(false)); dpChain = Vector.empty
@@ -327,6 +413,7 @@ final class FastGraphState(
     shards.unpersist(false)
     shards = next
     rebuildHot()
+    rebuildDegMirror()
   }
 
   private def rmrf(f: java.io.File): Unit = {

@@ -83,6 +83,19 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
       seed = 13L, parts = 4, preds = GenericJoin.ordered(4))
   }
 
+  test("driver degree mirror off (cold-degree collect fallback) == mirror on") {
+    val batches = randomBatches(26, 5, 40, seed = 47L)
+    val a = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 3)
+    val b = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 3,
+      driverDegrees = false)
+    for ((batch, id) <- batches.zipWithIndex) {
+      val r1 = sortedRows(a.applyBatch(id.toLong, df(batch)))
+      val r2 = sortedRows(b.applyBatch(id.toLong, df(batch)))
+      assert(r1 == r2, s"batch=$id")
+    }
+    a.close(); b.close()
+  }
+
   test("parallelism invariance: same outputs at 2 and 8 partitions") {
     val batches = randomBatches(24, 4, 50, seed = 17L)
     val a = new FastGraphState(spark, Planner.triangle, numParts = 2)
@@ -186,6 +199,31 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
     assert(out1 == refOuts.take(2))
     assert(out3 == refOuts(2))
     s2.close(); ref.close()
+  }
+
+  test("pipelined async absorb (depth 3, overlapping jobs) == sync stats") {
+    val batches = randomBatches(25, 8, 40, seed = 53L)
+    val sync = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 3)
+    val async = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 3,
+      pipelineDepth = 3)
+    val expected = batches.zipWithIndex.map { case (b, i) =>
+      sync.applyBatchStats(i.toLong, b.toArray)
+    }
+    val futs = scala.collection.mutable.Queue
+      .empty[(Int, org.apache.spark.FutureAction[Seq[(Long, Long)]])]
+    val got = new Array[(Long, Long)](batches.size)
+    def drain(): Unit = {
+      val (i, f) = futs.dequeue()
+      val parts = scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      got(i) = (parts.map(_._1).sum, parts.map(_._2).sum)
+    }
+    for ((b, i) <- batches.zipWithIndex) {
+      while (futs.size >= 3) drain()
+      futs += ((i, async.applyBatchStatsAsync(i.toLong, b.toArray)))
+    }
+    while (futs.nonEmpty) drain()
+    assert(got.toSeq == expected)
+    sync.close(); async.close()
   }
 
   test("applyBatchStats matches DataFrame counts") {
