@@ -156,8 +156,17 @@ object Dedup {
   /** 64-bit SimHash over tokens, materialized as 4×16-bit band values
     * (keeps all arithmetic < 2^62 → ANSI-safe and SQL-portable; banding on
     * 16-bit chunks is also exactly the hamming-LSH candidate scheme).
-    * Output: array of 4 longs. */
-  def simhashBands(text: Column, hash: HashMode = PortableHash): Column = {
+    * Output: array of 4 longs. Null text → all-zero bands (normalized here,
+    * matching the minhash convention). One native codegen'd pass
+    * ([[graft.functions.SimHashSig]]); [[simhashBandsHof]] is its equality
+    * oracle. */
+  def simhashBands(text: Column, hash: HashMode = PortableHash): Column =
+    graft.functions.SimHashSig(
+      coalesce(transform(tokens(text), tok => hash(tok)), array().cast("array<bigint>")))
+
+  /** The original nested-HOF formulation (64 interpreted array passes);
+    * kept as the equality oracle for the native expression. */
+  def simhashBandsHof(text: Column, hash: HashMode = PortableHash): Column = {
     // hash every token once, then derive per-bit votes by cheap rehash
     // parity: bit b's vote for token h is ((h·(2b+3) + 5b+1) mod P) mod 2
     val th = transform(tokens(text), tok => hash(tok))
