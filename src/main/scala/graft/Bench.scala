@@ -82,12 +82,19 @@ object Bench {
       }))
     val out = names.map { n =>
       val times = (1 to reps).map { r =>
+        // release blocks pinned by the previous repetition (FastBatch
+        // localCheckpoints its result; three reps of a 21M-row query
+        // otherwise hold ~2GB each until the ContextCleaner's GC cycle —
+        // measured as a 4-5× slowdown of whatever query ran behind them)
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         // a failed query must NOT read as a fast success: record a sentinel
         try {
           val cnt = (extra ++ SparkEntry.queries)(n)(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[bench] $n rep$r: $sec%.1fs ($cnt rows)")
+          val after = spark.sparkContext.getPersistentRDDs
+          (after.keySet -- before).foreach(id => after(id).unpersist(false))
           sec
         } catch {
           case e: Throwable =>
@@ -314,7 +321,7 @@ object Bench {
     // pre-generate every fixture once at local[32] so low-core levels
     // measure streaming, not data generation
     val sConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_CONVS", (nConvs * 2).toString).toInt
-    val eConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 4).toString).toInt
+    val eConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 8).toString).toInt
     val eToolsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
     ensureFixture(null, nConvs, turns, nTools)
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
@@ -366,14 +373,21 @@ object Bench {
     // enumerate scaling probe may use a LARGER fixture than the stream so
     // parallel join work dominates the per-query serial floor (the r01 run's
     // 0.16 "efficiency" was an Amdahl artifact of a ~7s total job)
-    val eConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 4).toString).toInt
+    val eConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 8).toString).toInt
     val eTools = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
     val eLevels = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_LEVELS", "2,8")
       .split(",").map(_.trim.toInt).toSeq
+    // interleaved medians, same rationale as the stream phases
+    val enumReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_REPS", "2").toInt)
     val enumResults =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
-        eLevels.map(c => c -> enumerateBench(c, eConvs, turns, eTools))
-      else Nil
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1") {
+        val runs = for (r <- 1 to enumReps; c <- eLevels)
+          yield c -> enumerateBench(c, eConvs, turns, eTools)
+        eLevels.map { c =>
+          val rs = runs.filter(_._1 == c).map(_._2).sortBy(_._1)
+          c -> rs(rs.size / 2)
+        }
+      } else Nil
 
     def sr(r: StreamResult, spread: Map[Int, (Double, Double)]): String = {
       val (mn, mx) = spread.getOrElse(r.cores, (r.matchesPerSec, r.matchesPerSec))

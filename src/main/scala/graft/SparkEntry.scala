@@ -64,9 +64,11 @@ object SparkEntry {
     s"${edgesCteM(m)} SELECT $sel, CAST(1 AS BIGINT) AS w FROM $from$where"
   }
 
-  /** Flagship: WCO triangles on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: WCO triangles on sf0.001 via the fast engine's batch mode;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    motifQuery(Planner.triangle)(spark, "/root/testdata/sf0.001")
+    graft.fast.FastBatch.enumerate(
+      edges(spark, "/root/testdata/sf0.001"), Planner.triangle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----

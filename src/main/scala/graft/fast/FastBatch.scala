@@ -41,16 +41,25 @@ object FastBatch {
     val sc = spark.sparkContext
     val parts = if (numParts > 0) numParts else sc.defaultParallelism
     val engine = new DeltaEngine(motif, predicates, parts)
+    val t0 = System.nanoTime()
     val e = EdgeIndex.consolidate(edges).select("src", "dst", "w").rdd
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .persist()
     val shards = engine.buildShards(e).persist()
     shards.count()
+    val t1 = System.nanoTime()
     val hotK = if (hotKeys >= 0) hotKeys else 8 * parts
     val hot = sc.broadcast(DeltaEngine.buildHot(shards, hotK))
     val dp = sc.broadcast(DeltaPack.empty)
-    try body(engine, shards, DeltaEngine.BcastHot(hot), dp, e)
-    finally {
+    val t2 = System.nanoTime()
+    try {
+      val r = body(engine, shards, DeltaEngine.BcastHot(hot), dp, e)
+      if (FastGraphState.profile)
+        System.err.println(f"[fastprof] FastBatch parts=$parts " +
+          f"build=${(t1 - t0) / 1e9}%.2fs hot=${(t2 - t1) / 1e9}%.2fs " +
+          f"pipeline=${(System.nanoTime() - t2) / 1e9}%.2fs")
+      r
+    } finally {
       shards.unpersist(false); e.unpersist(false)
       hot.unpersist(false); dp.unpersist(false)
     }
@@ -66,6 +75,31 @@ object FastBatch {
         val out = engine.enumerateInternalRows(shards, hot, dp, e)
         // materialize + cut lineage BEFORE the shards are unpersisted, so
         // later consumption reads checkpoint blocks, not a recompute
+        out.localCheckpoint()
+        out.count()
+        out
+    }
+    val n = motif.flatMap(t => Seq(t._1, t._2)).max + 1
+    org.apache.spark.sql.graftbridge.GraftBridge
+      .internalCreateDataFrame(spark, rows, FastGraphState.matchSchema(n))
+  }
+
+  /** Static-index, streamed-queries mode (the reference's q3-lean /
+    * static_graph serving shape, /root/reference/examples/q3-lean.rs:50-66):
+    * `queries` (src,dst[,w]) are treated as relation 0's bindings and
+    * extended against the index built from `edges`. Mirrors
+    * [[graft.batch.GenericJoin.queryStatic]] (pinned by FastBatchSpec);
+    * query rows are NOT consolidated — each input row produces its own
+    * extensions, weights multiplying through. */
+  def queryStatic(queries: DataFrame, edges: DataFrame, motif: Seq[(Int, Int)],
+                  predicates: Seq[Pred] = Nil, numParts: Int = -1,
+                  hotKeys: Int = -1): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = withState(edges, motif, predicates, numParts, hotKeys) {
+      (engine, shards, hot, dp, _) =>
+        val q = EdgeIndex.norm(queries).rdd
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val out = engine.enumerateInternalRows(shards, hot, dp, q)
         out.localCheckpoint()
         out.count()
         out

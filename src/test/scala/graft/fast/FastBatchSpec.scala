@@ -93,6 +93,18 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
+  test("queryStatic fast == sql: streamed queries against a static index") {
+    import graft.batch.EdgeIndex
+    val edges = randomEdges(30, 500, 61L)
+    val queries = randomEdges(30, 120, 67L)
+    val e = df(edges)
+    val q = df(queries)
+    val idx = EdgeIndex(EdgeIndex.consolidate(e))
+    val expect = sortedRows(GenericJoin.queryStatic(q, idx, Planner.triangle))
+    val got = sortedRows(FastBatch.queryStatic(q, e, Planner.triangle, numParts = 4))
+    assert(got == expect)
+  }
+
   test("enumerateAgg matches full enumeration counts") {
     val edges = randomEdges(30, 500, 37L)
     val e = df(edges)
