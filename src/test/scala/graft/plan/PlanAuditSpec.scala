@@ -1,0 +1,54 @@
+package graft.plan
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Physical-plan audits for the DataFrame-side driver queries: filters and
+  * column selections must reach the parquet scan (PushedFilters /
+  * ReadSchema), not be applied after a full-width read — the difference
+  * between reading 2 columns and reading every column of a 100 TB table.
+  * (The motif headliners run the fast RDD engine and have no Catalyst scan
+  * to audit; these are the scan-bearing entries.) */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(s"$sfDir/documents.parquet").exists()
+
+  private def physicalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("token_count scan reads only doc_id and text (column pruning)") {
+    assume(available)
+    val plan = physicalPlan("token_count")
+    val read = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    // the documents table also carries lang/source metadata columns — a
+    // pruned scan must not read them
+    assert(!read.contains("lang"), read)
+  }
+
+  test("window_tumbling scan reads only ts and event_type") {
+    assume(available)
+    val plan = physicalPlan("window_tumbling")
+    val read = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("ts") && read.contains("event_type"), read)
+    assert(!read.contains("user_id") && !read.contains("props") &&
+      !read.contains("value"), read)
+  }
+
+  test("ann_cosine_topk pushes the query-side vec_id filter into the scan") {
+    assume(available)
+    val plan = physicalPlan("ann_cosine_topk")
+    assert("PushedFilters:.*LessThan\\(vec_id,20\\)".r.findFirstIn(plan).isDefined,
+      "PushedFilters:.*".r.findFirstIn(plan).getOrElse(plan.take(400)))
+  }
+
+  test("q1_agg aggregates with a partial (map-side) aggregate below the exchange") {
+    assume(available)
+    val plan = physicalPlan("q1_agg")
+    // two HashAggregate nodes (partial + final) around one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(400))
+  }
+}
