@@ -116,6 +116,13 @@ object SparkEntry {
     // K6-modulus graph, via the fast engine's batch mode
     "wco_clique6_count" -> ((s, dir) =>
       graft.fast.FastBatch.enumerateAgg(edgesM(K6)(s, dir), Planner.clique6)),
+    // static-index streamed-queries serving mode (reference q3-lean /
+    // static_graph): a query subset of edges extended against the full
+    // static index on the fast engine
+    "wco_static_triangles" -> ((s, dir) => {
+      val e = edges(s, dir)
+      graft.fast.FastBatch.queryStatic(e.where(col("src") < 50), e, Planner.triangle)
+    }),
 
     // ---- degree / consolidation (reference count op + index consolidation) ----
     "degree_table" -> ((s, dir) =>
@@ -249,6 +256,11 @@ object SparkEntry {
         "JOIN edges z ON z.src = t1.c AND z.dst = t2.c"),
     "wco_clique6_count" ->
       clique6Oracle("CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS total"),
+    "wco_static_triangles" ->
+      (s"$edgesCte SELECT q.src AS x0, q.dst AS x1, e1.dst AS x2, " +
+        "CAST(1 AS BIGINT) AS w FROM edges q " +
+        "JOIN edges e1 ON e1.src = q.src " +
+        "JOIN edges e2 ON e2.src = q.dst AND e2.dst = e1.dst WHERE q.src < 50"),
     "degree_table" ->
       s"$edgesCte SELECT src AS k, count(*) AS deg FROM edges GROUP BY src",
     "degree_relabel" ->
