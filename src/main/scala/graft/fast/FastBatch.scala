@@ -7,7 +7,7 @@ import graft.batch.EdgeIndex
 import graft.batch.GenericJoin.Pred
 
 /** Batch motif enumeration on the fast RDD engine — the driver-facing form
-  * of [[DeltaEngine.enumerateRows]]/[[DeltaEngine.enumerateAggRdd]].
+  * of [[DeltaEngine.enumerateInternalRows]]/[[DeltaEngine.enumerateAggRdd]].
   *
   * This is the static-index serving mode of the reference
   * (/root/reference/static_graph/src/lib.rs:73-137,
