@@ -344,7 +344,11 @@ object Bench {
       val runs = for (r <- 1 to reps; c <- lvls) yield run(c)
       val byLevel = lvls.map { c =>
         val rs = runs.filter(_.cores == c).sortBy(_.matchesPerSec)
-        (rs(rs.size / 2), (rs.head.matchesPerSec, rs.last.matchesPerSec))
+        // LOWER median: for an even rep count the representative run is the
+        // conservative (slower) of the middle pair — `size / 2` would
+        // publish best-of-2 as a "median", inflating every ratio derived
+        // from these numbers
+        (rs((rs.size - 1) / 2), (rs.head.matchesPerSec, rs.last.matchesPerSec))
       }
       (byLevel.map(_._1), lvls.zip(byLevel.map(_._2)).toMap)
     }

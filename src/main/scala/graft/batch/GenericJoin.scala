@@ -289,6 +289,18 @@ object GenericJoin {
       .agg(count(lit(1)).as("n"), coalesce(sum("w"), lit(0L)).as("total"))
   }
 
+  /** Fails fast when a consolidated edge frame is not a 0/1 Z-set —
+    * factorized counting builds adjacency ARRAYS (collect_list drops
+    * multiplicities), so weighted/multi edges would silently miscount.
+    * The frame must be materialized (localCheckpoint/persist) by the
+    * caller: the guard runs a scan, and an unmaterialized frame would pay
+    * the consolidation shuffle once here and again per downstream use. */
+  private[batch] def require01(consolidated: DataFrame, who: String): DataFrame = {
+    require(consolidated.where(col("w") =!= 1L).isEmpty,
+      s"$who requires a 0/1 edge Z-set (found rows with weight != 1)")
+    consolidated
+  }
+
   /** Factorized counting (the reference's seed-q5-lean mode,
     * /root/reference/examples/seed-q5-lean.rs:72-104): all but the LAST
     * extension stage run normally; the last attribute is never exploded —
@@ -299,20 +311,14 @@ object GenericJoin {
     * edge Z-set (adjacency arrays carry no multiplicities). Returns one row
     * (total: long). Predicates touching the last attribute are applied as
     * array filters before counting — still never materialized. */
-  /** Fails fast when a consolidated edge frame is not a 0/1 Z-set —
-    * factorized counting builds adjacency ARRAYS (collect_list drops
-    * multiplicities), so weighted/multi edges would silently miscount. */
-  private[batch] def require01(consolidated: DataFrame, who: String): DataFrame = {
-    require(consolidated.where(col("w") =!= 1L).isEmpty,
-      s"$who requires a 0/1 edge Z-set (found rows with weight != 1)")
-    consolidated
-  }
-
   def enumerateFactorizedCount(edges: DataFrame, motif: Seq[(Int, Int)],
                                predicates: Seq[Pred] = Nil): DataFrame = {
     val plan = Planner.planRelation(0, motif)
     require(plan.numAttrs >= 3, "factorized counting needs at least one extension stage")
-    val consolidated = require01(EdgeIndex.consolidate(edges), "enumerateFactorizedCount")
+    // materialized once: the 0/1 guard scan, the index arms, and the
+    // adjacency-array build below all read this frame
+    val consolidated = require01(
+      EdgeIndex.consolidate(edges).localCheckpoint(), "enumerateFactorizedCount")
     val index = EdgeIndex(consolidated)
     val seed = index.fwd.select(array(col("k"), col("v")).as("p"), col("ew").as("w"))
 

@@ -32,8 +32,10 @@ object SeedQueries {
     * side joins un-hinted: AQE broadcasts it when |V| is small and falls
     * back to a shuffle join at scale. Requires a 0/1 edge Z-set. */
   def seededK4Count(edges: DataFrame, tri: DataFrame): DataFrame = {
-    val consolidated = GenericJoin.require01(EdgeIndex.consolidate(edges),
-      "seededK4Count")
+    // materialized once: the 0/1 guard scan and the adjacency-array build
+    // both read this frame (without it the consolidation shuffle runs twice)
+    val consolidated = GenericJoin.require01(
+      EdgeIndex.consolidate(edges).localCheckpoint(), "seededK4Count")
     val adj = consolidated.groupBy(col("src").as("k"))
       .agg(sort_array(collect_list("dst")).as("vs"))
     var cur = tri.select("x0", "x1", "x2")

@@ -393,7 +393,6 @@ final class DeltaEngine(
     // (d) propose in place on the assigned partition, emitting proposal
     // blocks routed for intersect hop 0 (or kept local when the stage has a
     // single extender — nothing left to validate)
-    val maxE = stage0.map(_.size).max
     shards.mapPartitionsWithIndex { (pid, it) =>
       val shard = it.next()
       val d = dp.value
@@ -419,7 +418,7 @@ final class DeltaEngine(
               val (from, until) = sliceRangeAt(r, 3, p, 0, vs)
               if (until > from) {
                 val tPid =
-                  if (maxE >= 2) isectPid(stage0, h, r, i, p, 0, 2, 0, 0)
+                  if (maxE0 >= 2) isectPid(stage0, h, r, i, p, 0, 2, 0, 0)
                   else pid
                 putProp(bb, tPid, r, w, i, p, 0, 2, vs, ws, from, until)
               }
@@ -1049,6 +1048,16 @@ object DeltaEngine {
         }
         cache.put((ref.id, ref.gen, want), m)
         if (want - retain >= 0) cache.remove((ref.id, ref.gen, want - retain))
+        // a new generation (rebase/compaction) supersedes all OLDER-gen
+        // snapshots of this state — drop them, or every executor leaks one
+        // full replica copy per generation for the life of the JVM.
+        // Strictly-lower only: a straggler task of a previous generation
+        // must not evict the current generation's entries.
+        val it = cache.keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (k._1 == ref.id && k._2 < ref.gen) it.remove()
+        }
         m
       }
     }

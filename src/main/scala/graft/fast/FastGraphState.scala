@@ -101,7 +101,7 @@ final class FastGraphState(
   private var tailIds: Vector[Long] = Vector.empty
   /** Superseded shard RDDs tagged with the absorb sequence that replaced
     * them; unpersisted `retireLag` absorbs later. Lag = pipelineDepth + 1:
-    * with k micro-batch jobs allowed in flight (see [[applyBatchAsync]]),
+    * with k micro-batch jobs allowed in flight (see [[applyBatchStatsAsync]]),
     * the state read by the OLDEST in-flight job must survive until that job
     * has drained — dropping a localCheckpoint'ed RDD's blocks mid-job is
     * unrecoverable (its lineage was truncated by design). */
