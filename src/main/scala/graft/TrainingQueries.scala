@@ -61,6 +61,8 @@ object TrainingQueries {
   private def dotSql(a: String, b: String, dim: Int) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String, dim: Int) =
+    s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
   // 64-bit simhash as 4×16-bit bands, shared by the simhash and
   // simhash_pairs oracles (reads CTEs tok→th)
   private val s4Cte =
@@ -142,6 +144,13 @@ object TrainingQueries {
     }),
     "lsh_cosine_pairs" -> ((s, dir) => // rows-only check (hyperplanes not SQL-portable)
       Embeddings.lshCosinePairs(embs(s, dir), threshold = 0.3)),
+    // IVF scale path: deterministic member-centroid coarse quantizer,
+    // nProbe nearest cells per query, exact rerank on candidates only
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Embeddings.ivfTopK(e.where(col("vec_id") < 20), e, k = 5,
+        nCells = 16, nProbe = 4)
+    }),
 
     // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
     "multimodal_features" -> ((s, dir) => {
@@ -206,6 +215,25 @@ object TrainingQueries {
         "HAVING min(hamming) <= 6"),
     "lsh_cosine_pairs" -> lshOracle(threshold = 0.3, nPlanes = 12, tables = 4,
       seed = 42L, dim = 64),
+    "ann_ivf_topk" ->
+      ("WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+        "ac AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell, " +
+        "round(" + cosSql("e.embedding", "c.cvec", 64) + ", 9) AS ccos " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT cand_id, cv, cell FROM (SELECT cand_id, cv, cell, " +
+        "row_number() OVER (PARTITION BY cand_id ORDER BY ccos DESC, cell) AS arn FROM ac) " +
+        "WHERE arn = 1), " +
+        "qc AS (SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell, " +
+        "round(" + cosSql("q.embedding", "c.cvec", 64) + ", 9) AS pcos " +
+        "FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20), " +
+        "prb AS (SELECT query_id, qv, cell FROM (SELECT query_id, qv, cell, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, cell) AS prn FROM qc) " +
+        "WHERE prn <= 4), " +
+        "sc AS (SELECT p.query_id, a.cand_id, round(" + cosSql("p.qv", "a.cv", 64) + ", 9) AS cos " +
+        "FROM prb p JOIN asg a USING (cell) WHERE p.query_id <> a.cand_id), " +
+        "r AS (SELECT query_id, cand_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM sc) " +
+        "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
     "ngram_jaccard_pairs" ->
       (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
         "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +

@@ -76,6 +76,52 @@ object Embeddings {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF-style ANN top-k: a coarse quantizer of `nCells` DETERMINISTIC
+    * centroids (the corpus vectors with the smallest ids — IVF needs a
+    * fixed coarse quantizer, not necessarily a trained one, and member
+    * centroids keep the whole computation SQL-reproducible) partitions the
+    * corpus into inverted lists; each query probes its `nProbe` nearest
+    * cells and reranks ONLY those lists by exact cosine. The scale path vs
+    * brute force: per-query work drops to ~|corpus|·nProbe/nCells, the
+    * centroid set is a tiny broadcast, and the assignment pass is one
+    * corpus scan. Orderings rank on cosine rounded to 9 dp with id
+    * tie-breaks (reproducible across engines, like [[bruteForceTopK]]). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = corpus.where(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+    // inverted lists: every corpus vector joins its single nearest cell
+    val aw = Window.partitionBy("cand_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(cent))
+      .withColumn("ccos", round(cosine(col("cv"), col("cvec")), 9))
+      .withColumn("arn", row_number().over(aw))
+      .where(col("arn") === 1)
+      .select(col("cand_id"), col("cv"), col("cell"))
+    // each query probes its nProbe nearest cells
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cell").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("pcos", round(cosine(col("qv"), col("cvec")), 9))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // candidates = probed inverted lists only; exact rerank
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 9))
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
     * sandbox scales only). */
   def bruteForcePairs(df: DataFrame, threshold: Double,
