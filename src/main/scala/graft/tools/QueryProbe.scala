@@ -21,7 +21,9 @@ object QueryProbe {
     val names = if (args.nonEmpty) args.toSeq else Seq("wco_triangle")
     for (n <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val cnt =
+        if (n == "--entry") graft.SparkEntry.entry(spark).count()
+        else graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[probe] $n rep$r: ${(System.nanoTime() - t0) / 1e9}%.1fs ($cnt rows)")
     }
     spark.stop()
