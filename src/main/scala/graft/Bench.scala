@@ -42,13 +42,19 @@ object Bench {
       matchChanges: Long, netTotal: Long, p50Ms: Double, p95Ms: Double,
       edgesPerSec: Double, matchesPerSec: Double)
 
-  /** (median, min, max) wall seconds per headline query over
-    * SPARK_GRAFT_BENCH_REPS runs (default 3). Same-code same-box runs were
-    * measured swinging up to 2.3× on this shared machine (BENCH_r02 vs its
-    * sibling artifacts), so a single sample is not a number — the official
-    * artifact reports the median and carries min/max so the spread is
-    * visible in the record itself. */
-  def headlineQueries(sfDir: String, cpus: String): Map[String, (Double, Double, Double)] = {
+  /** Per-query stats over SPARK_GRAFT_BENCH_REPS runs: median/min/max over
+    * the SUCCESSFUL repetitions plus an explicit failed count — a failed
+    * rep must be visible as a failure, never mixed into min/med as a -1
+    * sentinel. All three timings are -1 only when every rep failed. */
+  final case class QStat(med: Double, min: Double, max: Double, failed: Int)
+
+  /** Wall seconds per headline query over SPARK_GRAFT_BENCH_REPS runs
+    * (default 3). Same-code same-box runs were measured swinging up to 2.3×
+    * on this shared machine (BENCH_r02 vs its sibling artifacts), so a
+    * single sample is not a number — the official artifact reports the
+    * median and carries min/max so the spread is visible in the record
+    * itself. */
+  def headlineQueries(sfDir: String, cpus: String): Map[String, QStat] = {
     val spark = withLocalDir(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,10 +108,11 @@ object Bench {
             -1.0
         }
       }
-      val med =
-        if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(times.size / 2)
-      n -> ((med, times.min, times.max))
+      val ok = times.filter(_ >= 0)
+      val stat =
+        if (ok.isEmpty) QStat(-1.0, -1.0, -1.0, times.size)
+        else QStat(ok.sorted.apply(ok.size / 2), ok.min, ok.max, times.size - ok.size)
+      n -> stat
     }.toMap
     spark.stop()
     out
@@ -244,7 +251,11 @@ object Bench {
       }
       for (chunk <- streamEdges.grouped(batchSize).take(maxBatches)) {
         while (inflight.size >= depth) drain()
-        inflight += ((state.applyBatchStatsAsync(batchId, chunk), System.nanoTime()))
+        // t0 BEFORE the absorb call: the synchronous driver-side work (WAL,
+        // broadcast, seed routing) belongs in per-batch latency, exactly as
+        // the sync engine path measures it
+        val t0 = System.nanoTime()
+        inflight += ((state.applyBatchStatsAsync(batchId, chunk), t0))
         batchId += 1
       }
       while (inflight.nonEmpty) drain()
@@ -330,7 +341,7 @@ object Bench {
       ensureFixture(null, eConvsPre, turns, eToolsPre)
 
     val q = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1")
-      headlineQueries(sfDir, cpus) else Map.empty[String, (Double, Double, Double)]
+      headlineQueries(sfDir, cpus) else Map.empty[String, QStat]
 
     // This shared box drifts 2-4× in per-batch latency between runs minutes
     // apart (measured: identical command, p50 197 → 482 ms). Single samples
@@ -404,11 +415,13 @@ object Bench {
 
     // "queries" carries the MEDIANS (the official per-query number);
     // "queries_detail" preserves the spread so the artifact itself shows
-    // run-to-run variance (BENCH_r02's same-code swings were up to 2.3×)
-    val qJson = q.map { case (k, (med, _, _)) => "\"" + k + "\":" + f"$med%.3f" }
+    // run-to-run variance (BENCH_r02's same-code swings were up to 2.3×),
+    // plus an explicit failed-rep count when any repetition threw
+    val qJson = q.map { case (k, s) => "\"" + k + "\":" + f"${s.med}%.3f" }
       .mkString("{", ",", "}")
-    val qDetailJson = q.map { case (k, (med, mn, mx)) =>
-      "\"" + k + "\":" + f"""{"med":$med%.3f,"min":$mn%.3f,"max":$mx%.3f}"""
+    val qDetailJson = q.map { case (k, s) =>
+      val failed = if (s.failed > 0) s""","failed":${s.failed}""" else ""
+      "\"" + k + "\":" + f"""{"med":${s.med}%.3f,"min":${s.min}%.3f,"max":${s.max}%.3f$failed}"""
     }.mkString("{", ",", "}")
     def stepEff(lo: StreamResult, hi: StreamResult): Double =
       (hi.edgesPerSec / lo.edgesPerSec) / (hi.cores.toDouble / lo.cores)
@@ -424,7 +437,7 @@ object Bench {
         scalingResults.map(r => (r.matchChanges, r.netTotal)).distinct.size <= 1
     val streamJson = results.map(sr(_, resultSpread)).mkString("[", ",", "]")
     val scalingJson = scalingResults.map(sr(_, scalingSpread)).mkString("[", ",", "]")
-    val totalQ = q.values.map(_._1).filter(_ >= 0).sum // -1 = FAILED sentinel, not a timing
+    val totalQ = q.values.map(_.med).filter(_ >= 0).sum // all-failed queries excluded
     val enumJson = enumResults.map { case (c, (sec, n)) =>
       s"""{"cores":$c,"sec":${f"$sec%.2f"},"triangles":$n}"""
     }.mkString("[", ",", "]")
@@ -434,7 +447,12 @@ object Bench {
         (lo._2._1 / hi._2._1) / (hi._1.toDouble / lo._1)
       } else 0.0
     val enumTotalsMatch = enumResults.map(_._2._2).distinct.size <= 1
-    println(
+
+    // FULL artifact → a file the driver can archive verbatim; stdout gets a
+    // COMPACT line (headline + per-query medians + a pointer). BENCH_r03's
+    // official record arrived tail-truncated because the full record was one
+    // very long stdout line — the file is now the record of note.
+    val fullJson =
       s"""{"metric":"triangle_stream_matches_per_sec","value":${f"${results.last.matchesPerSec}%.1f"},""" +
         s""""unit":"matches/sec","queries":$qJson,"queries_detail":$qDetailJson,""" +
         s""""queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
@@ -443,6 +461,21 @@ object Bench {
         s""""scaling_fixture":{"convs":$sConvs,"turns_per_conv":$turns,"tools":$nTools,"batch":$sBatch,"durable":$durable},""" +
         s""""scaling_levels":$scalingJson,"scaling_efficiency":${f"$scalingEff%.3f"},""" +
         s""""scaling_efficiency_8_32":${f"$scalingEffHi%.3f"},"totals_match":$totalsMatch,""" +
-        s""""enumerate_levels":$enumJson,"enumerate_scaling_efficiency":${f"$enumEff%.3f"},"enumerate_totals_match":$enumTotalsMatch}""")
+        s""""enumerate_levels":$enumJson,"enumerate_scaling_efficiency":${f"$enumEff%.3f"},"enumerate_totals_match":$enumTotalsMatch}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fullJson + "\n")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    println(
+      s"""{"metric":"triangle_stream_matches_per_sec","value":${f"${results.last.matchesPerSec}%.1f"},""" +
+        s""""unit":"matches/sec","queries":$qJson,"queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
+        s""""batch_p50_ms":${f"${results.last.p50Ms}%.1f"},""" +
+        s""""latency_step_efficiency":${f"$latencyEff%.3f"},"scaling_efficiency":${f"$scalingEff%.3f"},""" +
+        s""""scaling_efficiency_8_32":${f"$scalingEffHi%.3f"},"totals_match":$totalsMatch,""" +
+        s""""enumerate_scaling_efficiency":${f"$enumEff%.3f"},"detail_file":"$outPath"}""")
   }
 }

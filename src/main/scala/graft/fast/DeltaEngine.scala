@@ -215,12 +215,21 @@ final class DeltaEngine(
     true
   }
 
-  // ---- executor-side lookups (hot replica ⊎ base shard, ⊎ broadcast delta) ----
-  // Hot hub keys are checked FIRST: a scattered row lands on an arbitrary
-  // partition whose shard does not hold its key; the hot replica does.
+  // ---- executor-side lookups ----
+  // Two state regimes share one code path:
+  //  - BROADCAST (streaming micro-batch): `pre eq post` is the single
+  //    pre-batch shard; `inclusive` ("le") reads merge the broadcast
+  //    DeltaPack on the fly. Hot hub keys are checked FIRST: a scattered
+  //    row lands on an arbitrary partition whose shard does not hold its
+  //    key; the (pre-content) hot replica does.
+  //  - DISTRIBUTED (bulk absorb): `post` is the physically updated shard
+  //    co-partitioned with `pre`, `dp` is empty, and `hot` MUST be empty
+  //    (its content is pre-batch; serving an inclusive read from it would
+  //    be stale) — see [[deltaStepDistributed]].
 
-  private def degAt(shard: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
+  private def degAt(pre: Shard.T, post: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
                     forward: Boolean, inclusive: Boolean): Long = {
+    val shard = if (inclusive) post else pre
     val h = hot.get(k)
     val base =
       if (h != null) h.deg(forward)
@@ -228,8 +237,9 @@ final class DeltaEngine(
     if (inclusive) base + dp.run(k, forward).degSum else base
   }
 
-  private def adjAt(shard: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
+  private def adjAt(pre: Shard.T, post: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
                     forward: Boolean, inclusive: Boolean): (Array[Long], Array[Long]) = {
+    val shard = if (inclusive) post else pre
     val h = hot.get(k)
     val a = if (h != null) Some(h) else shard.get(k)
     val bvs = a.map(_.vs(forward)).getOrElse(Array.empty[Long])
@@ -276,60 +286,27 @@ final class DeltaEngine(
     DeltaEngine.partOf(key, numParts)
   }
 
-  /** Level 0 without any prefix exchange: the seed set IS the broadcast
-    * delta, so (a) cold-key degrees are computed by their owning shard
-    * partition in one tiny collect job, (b) hot-key degrees come from the
-    * driver's replica directly, (c) the argmin routing table (one byte-ish
-    * per seed×relation) is broadcast, and (d) each partition emits exactly
-    * the proposals assigned to it, in place. Replaces a parallelize + E
-    * count exchanges + a propose exchange — the per-batch stage floor that
-    * capped core-count scaling at small batch sizes. */
+  /** Level 0 without any prefix exchange OR cluster job: the seed set IS the
+    * broadcast delta and every seed-level degree comes from the driver's
+    * exact degree mirror, so the argmin routing table (one byte-ish per
+    * seed×relation) is computed driver-side and broadcast, and each
+    * partition emits exactly the proposals assigned to it, in place.
+    * Replaces a parallelize + E count exchanges + a propose exchange — the
+    * per-batch stage floor that capped core-count scaling at small batch
+    * sizes. Requires the mirror (`driverDegrees=true`); without it
+    * [[seedBlocksFromBcast]] + the count chain serve the same role with a
+    * sharded degree hop instead of O(|V|) driver state. */
   private def seedPropose(sc: SparkContext, shards: RDD[Shard.T],
-                          hot: DeltaEngine.HotProvider, hotLocal: HotMap,
+                          hot: DeltaEngine.HotProvider,
                           dp: Broadcast[DeltaPack], dpLocal: DeltaPack,
-                          degMirror: Option[(Long, Boolean) => Long]): RDD[(Int, Array[Long])] = {
+                          degMirror: (Long, Boolean) => Long): RDD[(Int, Array[Long])] = {
     val stage0 = plans.map(_.stages(0))
     val engine = this
-    // (a) cold degrees — ONE job over the shards, skipped entirely when the
-    // driver maintains an exact degree mirror (the common streaming case:
-    // degrees are just folded degSums, O(|touched keys|) driver work per
-    // batch, vs a scheduler round-trip here)
-    val coldDegs = if (degMirror.isDefined) Array.empty[(Int, Int, Int, Long)]
-    else shards.mapPartitionsWithIndex { (pid, it) =>
-      val shard = it.next()
-      val d = dp.value
-      val h = hot.value
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
-      var j = 0
-      while (j < d.edges.length) {
-        val (s0, d0, _) = d.edges(j)
-        val p = Array(s0, d0)
-        var r = 0
-        while (r < engine.numRels) {
-          if (engine.predsOk(r, p, 2)) {
-            val cs = stage0(r)
-            var i = 0
-            while (i < cs.size) {
-              val k = p(cs(i).prefixPos)
-              if (!h.containsKey(k) &&
-                  engine.partitioner.getPartition(k) == pid) {
-                out += ((j, r, i,
-                  degAt(shard, h, d, k, cs(i).forward, cs(i).inclusive)))
-              }
-              i += 1
-            }
-          }
-          r += 1
-        }
-        j += 1
-      }
-      out.iterator
-    }.collect()
-
-    // (b)+(c) driver: gather every (seed, rel, ext) degree (hot from the
-    // replica, cold from the collect), then argmin in extender order —
-    // exactly the DataFrame engine's least(struct(deg, i)): strictly
-    // smaller wins, ties keep the lowest extender id. pruneZero → -1.
+    // driver: gather every (seed, rel, ext) degree from the exact mirror
+    // (folded degSums — O(|touched keys|) driver work per batch, no cluster
+    // job), then argmin in extender order — exactly the DataFrame engine's
+    // least(struct(deg, i)): strictly smaller wins, ties keep the lowest
+    // extender id. pruneZero → -1.
     val maxE0 = stage0.map(_.size).max
     val nE = dpLocal.edges.length
     val degs = Array.fill(nE * numRels * maxE0)(0L)
@@ -344,26 +321,16 @@ final class DeltaEngine(
           var i = 0
           while (i < cs.size) {
             val k = p(cs(i).prefixPos)
-            degMirror match {
-              case Some(f) =>
-                val base = f(k, cs(i).forward)
-                degs((j * numRels + r) * maxE0 + i) =
-                  if (cs(i).inclusive) base + dpLocal.run(k, cs(i).forward).degSum
-                  else base
-              case None =>
-                if (hotLocal.containsKey(k))
-                  degs((j * numRels + r) * maxE0 + i) =
-                    degAt(Shard.empty, hotLocal, dpLocal, k, cs(i).forward, cs(i).inclusive)
-            }
+            val base = degMirror(k, cs(i).forward)
+            degs((j * numRels + r) * maxE0 + i) =
+              if (cs(i).inclusive) base + dpLocal.run(k, cs(i).forward).degSum
+              else base
             i += 1
           }
         }
         r += 1
       }
       j += 1
-    }
-    coldDegs.foreach { case (cj, cr, ci, deg) =>
-      degs((cj * numRels + cr) * maxE0 + ci) = deg
     }
     val routing = Array.fill(nE * numRels)(-1)
     j = 0
@@ -398,9 +365,7 @@ final class DeltaEngine(
       val d = dp.value
       val h = hot.value
       val route = routeB.value
-      val bb = new BlockBuf(engine.numParts)
-      var j = 0
-      while (j < d.edges.length) {
+      boundedIt(engine.numParts, Iterator.range(0, d.edges.length)) { (j, bb) =>
         val (s0, d0, w) = d.edges(j)
         var r = 0
         while (r < engine.numRels) {
@@ -414,7 +379,7 @@ final class DeltaEngine(
                 DeltaEngine.partOf(DeltaEngine.scatterKeyAt(p, 0, 2, 3), engine.numParts) == pid
               else engine.partitioner.getPartition(k) == pid
             if (assigned) {
-              val (vs, ws) = adjAt(shard, h, d, k, cst.forward, cst.inclusive)
+              val (vs, ws) = adjAt(shard, shard, h, d, k, cst.forward, cst.inclusive)
               val (from, until) = sliceRangeAt(r, 3, p, 0, vs)
               if (until > from) {
                 val tPid =
@@ -426,16 +391,47 @@ final class DeltaEngine(
           }
           r += 1
         }
-        j += 1
       }
-      bb.result()
+    }
+  }
+
+  /** Distributed seed phase (no driver degree mirror, NO collect job): each
+    * partition emits its deterministic share of the broadcast seed set as
+    * level-0 prefix records routed for count slot 0; seed degrees are then
+    * gathered by the count-chain exchanges against their owning shards (one
+    * hop per extender slot) and the argmin routes propose. O(1) driver work
+    * per batch and no O(|V|) driver state — the scale form for graphs whose
+    * key set outgrows the driver's degree mirror. */
+  private def seedBlocksFromBcast(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
+                                  dp: Broadcast[DeltaPack]): RDD[(Int, Array[Long])] = {
+    val stage0 = plans.map(_.stages(0))
+    val engine = this
+    val np = numParts
+    shards.mapPartitionsWithIndex { (pid, it) =>
+      it.next() // shard content unused — only the partition's identity
+      val d = dp.value
+      val h = hot.value
+      val p = new Array[Long](2)
+      boundedIt(np, Iterator.range(0, d.edges.length).filter(_ % np == pid)) { (j, bb) =>
+        val e = d.edges(j)
+        p(0) = e._1; p(1) = e._2
+        var r = 0
+        while (r < engine.numRels) {
+          if (engine.predsOk(r, p, 2)) {
+            val tPid = engine.countPid(stage0, h, r, p, 0, 2, 0, 0)
+            putPfx(bb, tPid, r, e._3, Long.MaxValue, -1, p, 0, 2)
+          }
+          r += 1
+        }
+      }
     }
   }
 
   /** Count chain + propose for one level over distributed prefix blocks
     * (input routed for count slot 0; output = proposal blocks routed for
     * intersect hop 0, or kept local when the stage has a single extender). */
-  private def countPropose(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
+  private def countPropose(pre: RDD[Shard.T], post: RDD[Shard.T],
+                           hot: DeltaEngine.HotProvider,
                            dp: Broadcast[DeltaPack],
                            cur: RDD[(Int, Array[Long])], s: Int): RDD[(Int, Array[Long])] = {
     val stages = plans.map(_.stages(s))
@@ -451,15 +447,13 @@ final class DeltaEngine(
     for (i <- 0 until maxE) {
       val last = i == maxE - 1
       c = c.partitionBy(DeltaEngine.identityPartitioner(np))
-        .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
-          val shard = sh.next()
+        .zipPartitions(pre, post, preservesPartitioning = false) { (it, sh1, sh2) =>
+          val preSh = sh1.next()
+          val postSh = sh2.next()
           val h = hot.value
           val d = dp.value
-          val bb = new BlockBuf(np)
-          while (it.hasNext) {
-            val block = it.next()._2
-            var off = 0
-            while (off < block.length) {
+          new BoundedStage(np, it) {
+            protected def process(block: Array[Long], off: Int): Int = {
               val rel = block(off).toInt
               val w = block(off + 1)
               var minDeg = block(off + 2)
@@ -468,7 +462,7 @@ final class DeltaEngine(
               val cs = stages(rel)
               if (i < cs.size) {
                 val cst = cs(i)
-                val deg = engine.degAt(shard, h, d, block(pOff + cst.prefixPos),
+                val deg = engine.degAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
                   cst.forward, cst.inclusive)
                 if (deg < minDeg) { minDeg = deg; minExt = i }
               }
@@ -482,46 +476,39 @@ final class DeltaEngine(
                 putPfx(bb, DeltaEngine.partOf(key, np), rel, w, minDeg, minExt,
                   block, pOff, pLen)
               }
-              off += rec
+              rec
             }
           }
-          bb.result()
         }
     }
 
     // propose from the argmin extender's adjacency run, sliced to the
     // window allowed by this level's range predicates (gallop pushdown)
     c.partitionBy(DeltaEngine.identityPartitioner(np))
-      .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
-        val shard = sh.next()
+      .zipPartitions(pre, post, preservesPartitioning = false) { (it, sh1, sh2) =>
+        val preSh = sh1.next()
+        val postSh = sh2.next()
         val h = hot.value
         val d = dp.value
-        val bb = new BlockBuf(np)
-        var myPid = -1
-        while (it.hasNext) {
-          val kv = it.next()
-          if (myPid < 0) myPid = kv._1
-          val block = kv._2
-          var off = 0
-          while (off < block.length) {
+        new BoundedStage(np, it) {
+          protected def process(block: Array[Long], off: Int): Int = {
             val rel = block(off).toInt
             val w = block(off + 1)
             val minExt = block(off + 3).toInt
             val pOff = off + 4
             val cst = stages(rel)(minExt)
-            val (vs, ws) = engine.adjAt(shard, h, d, block(pOff + cst.prefixPos),
+            val (vs, ws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
               cst.forward, cst.inclusive)
             val (from, until) = engine.sliceRangeAt(rel, pLen + 1, block, pOff, vs)
             if (until > from) {
               val pid =
                 if (maxE >= 2) engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, 0)
-                else myPid
+                else curPid
               putProp(bb, pid, rel, w, minExt, block, pOff, pLen, vs, ws, from, until)
             }
-            off += rec
+            rec
           }
         }
-        bb.result()
       }
   }
 
@@ -529,7 +516,8 @@ final class DeltaEngine(
     * non-proposing extender, galloping the index run. Input = proposal
     * blocks (routed for hop 0 when any hop exists); output = decoded
     * proposals, already on their final partition (no further exchange). */
-  private def intersectChain(shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
+  private def intersectChain(pre: RDD[Shard.T], post: RDD[Shard.T],
+                             hot: DeltaEngine.HotProvider,
                              dp: Broadcast[DeltaPack],
                              props: RDD[(Int, Array[Long])], s: Int): RDD[Prop] = {
     val stages = plans.map(_.stages(s))
@@ -545,15 +533,13 @@ final class DeltaEngine(
     var cur = props
     for (j <- 0 until nIsect - 1) {
       cur = cur.partitionBy(DeltaEngine.identityPartitioner(np))
-        .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
-          val shard = sh.next()
+        .zipPartitions(pre, post, preservesPartitioning = false) { (it, sh1, sh2) =>
+          val preSh = sh1.next()
+          val postSh = sh2.next()
           val h = hot.value
           val d = dp.value
-          val bb = new BlockBuf(np)
-          while (it.hasNext) {
-            val block = it.next()._2
-            var off = 0
-            while (off < block.length) {
+          new BoundedStage(np, it) {
+            protected def process(block: Array[Long], off: Int): Int = {
               val rel = block(off).toInt
               val w = block(off + 1)
               val minExt = block(off + 2).toInt
@@ -562,12 +548,11 @@ final class DeltaEngine(
               val nc = block(ncOff).toInt
               val cOff = ncOff + 1
               val wOff = cOff + nc
-              off = wOff + nc
               val cs = stages(rel)
               if (j < cs.size - 1) {
                 val o = if (j < minExt) j else j + 1
                 val cst = cs(o)
-                val (avs, aws) = engine.adjAt(shard, h, d, block(pOff + cst.prefixPos),
+                val (avs, aws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
                   cst.forward, cst.inclusive)
                 val (nvs, nws) = DeltaEngine.intersectRunsAt(block, cOff, wOff, nc, avs, aws)
                 if (nvs.length > 0) {
@@ -578,17 +563,18 @@ final class DeltaEngine(
                 val pid = engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, j + 1)
                 putPropFromBlock(bb, pid, rel, w, minExt, block, pOff, pLen, block, cOff, wOff, nc)
               }
+              wOff + nc - off
             }
           }
-          bb.result()
         }
     }
     // final hop: decode straight to Prop objects, consumed in place by
     // explode / the packed output stage (both narrow)
     val j = nIsect - 1
     cur.partitionBy(DeltaEngine.identityPartitioner(np))
-      .zipPartitions(shards, preservesPartitioning = false) { (it, sh) =>
-        val shard = sh.next()
+      .zipPartitions(pre, post, preservesPartitioning = false) { (it, sh1, sh2) =>
+        val preSh = sh1.next()
+        val postSh = sh2.next()
         val h = hot.value
         val d = dp.value
         it.flatMap { case (_, block) =>
@@ -609,7 +595,7 @@ final class DeltaEngine(
             if (j < cs.size - 1) {
               val o = if (j < minExt) j else j + 1
               val cst = cs(o)
-              val (avs, aws) = engine.adjAt(shard, h, d, block(pOff + cst.prefixPos),
+              val (avs, aws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
                 cst.forward, cst.inclusive)
               val (nvs, nws) = DeltaEngine.intersectRunsAt(block, cOff, wOff, nc, avs, aws)
               if (nvs.length > 0) out += Prop(rel, p, w, minExt, nvs, nws)
@@ -634,9 +620,7 @@ final class DeltaEngine(
     val np = numParts
     props.mapPartitions { it =>
       val h = hot.value
-      val bb = new BlockBuf(np)
-      while (it.hasNext) {
-        val prop = it.next()
+      boundedIt(np, it) { (prop, bb) =>
         var i = 0
         while (i < prop.cands.length) {
           val w = prop.w * prop.candWs(i)
@@ -651,7 +635,6 @@ final class DeltaEngine(
           i += 1
         }
       }
-      bb.result()
     }
   }
 
@@ -659,8 +642,7 @@ final class DeltaEngine(
     * deltas, un-permuted to original attribute order: (bindings x0..x{k-1},
     * net weight ≠ 0). */
   def deltaStep(sc: SparkContext, shards: RDD[Shard.T], hot: DeltaEngine.HotProvider,
-                hotLocal: HotMap, dp: Broadcast[DeltaPack],
-                dpLocal: DeltaPack,
+                dp: Broadcast[DeltaPack], dpLocal: DeltaPack,
                 degMirror: Option[(Long, Boolean) => Long] = None): RDD[(ArraySeq[Long], Long)] = {
     val inverses = plans.map(_.inverse.toArray)
     if (numAttrs == 2) {
@@ -680,13 +662,18 @@ final class DeltaEngine(
         .reduceByKey(new HashPartitioner(numParts), _ + _)
         .filter(_._2 != 0L)
     }
-    // level 0 fused over the broadcast seed set; levels ≥ 1 over the
-    // distributed prefix stream
-    var pr: RDD[Prop] = intersectChain(shards, hot, dp,
-      seedPropose(sc, shards, hot, hotLocal, dp, dpLocal, degMirror), 0)
+    // level 0 fused over the broadcast seed set (driver degree mirror), or
+    // fully distributed via the count chain when the mirror is disabled;
+    // levels ≥ 1 over the distributed prefix stream
+    var pr: RDD[Prop] = intersectChain(shards, shards, hot, dp,
+      degMirror match {
+        case Some(f) => seedPropose(sc, shards, hot, dp, dpLocal, f)
+        case None =>
+          countPropose(shards, shards, hot, dp, seedBlocksFromBcast(shards, hot, dp), 0)
+      }, 0)
     for (s <- 1 to numAttrs - 3) {
-      pr = intersectChain(shards, hot, dp,
-        countPropose(shards, hot, dp, explodeToPfxBlocks(pr, hot, s - 1), s), s)
+      pr = intersectChain(shards, shards, hot, dp,
+        countPropose(shards, shards, hot, dp, explodeToPfxBlocks(pr, hot, s - 1), s), s)
     }
     consolidateProps(pr)
   }
@@ -696,24 +683,19 @@ final class DeltaEngine(
     * big primitive arrays instead of millions of tiny records. Measured:
     * record-at-a-time consolidation cost ~6µs/match (Kryo + per-record
     * allocation, memory-bound, no core scaling); packed blocks serialize at
-    * memcpy speed with ZERO map-side allocation per match. */
+    * memcpy speed with ZERO map-side allocation per match. Both sides are
+    * effort-bounded: the map side streams chunks through [[boundedIt]]; the
+    * reduce side sums weights in a [[SpillConsolidator]] whose in-memory map
+    * is capped (sorted runs spill to local disk and k-way merge), so a batch
+    * whose match-delta set exceeds task memory still completes. */
   private def consolidateProps(pr: RDD[Prop]): RDD[(ArraySeq[Long], Long)] = {
     val inverses = plans.map(_.inverse.toArray)
     val n = numAttrs
     val lastPos = n - 1
     val np = numParts
-    // bounded chunk size: multi-MB blocks are G1-humongous allocations and
-    // were fragmenting the heap into multi-second full-GC storms (measured
-    // gc=27-42s inside single stages); 256KB chunks stay in normal regions
-    val rec = n + 1
-    val chunkCap = (32768 / rec) * rec
     val packed: RDD[(Int, Array[Long])] =
       pr.mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
-        val bufs = new Array[Array[Long]](np)
-        val lens = new Array[Int](np)
-        while (it.hasNext) {
-          val prop = it.next()
+        boundedIt(np, it) { (prop, bb) =>
           val inv = inverses(prop.rel)
           var i = 0
           while (i < prop.cands.length) {
@@ -730,58 +712,138 @@ final class DeltaEngine(
                 }
                 h ^= h >>> 32
                 val pid = ((h % np) + np).toInt % np
-                var buf = bufs(pid)
-                if (buf == null) { buf = new Array[Long](chunkCap); bufs(pid) = buf }
-                var off = lens(pid)
+                val buf = bb.reserve(pid, n + 1)
+                var off = bb.off(pid)
                 a = 0
                 while (a < n) {
                   buf(off) = if (inv(a) == lastPos) cand else prop.p(inv(a))
                   off += 1; a += 1
                 }
                 buf(off) = w
-                lens(pid) = off + 1
-                if (off + 1 == chunkCap) {
-                  out += ((pid, buf)); bufs(pid) = null; lens(pid) = 0
-                }
+                bb.advance(pid, n + 1)
               }
             }
             i += 1
           }
         }
-        var pid = 0
-        while (pid < np) {
-          if (lens(pid) > 0)
-            out += ((pid, java.util.Arrays.copyOf(bufs(pid), lens(pid))))
-          pid += 1
-        }
-        out.iterator
       }
     packed
       .partitionBy(DeltaEngine.identityPartitioner(np))
       .mapPartitions({ it =>
-        val m = new java.util.HashMap[ArraySeq[Long], java.lang.Long](1 << 20)
+        val m = new SpillConsolidator(n, SpillConsolidator.defaultMaxEntries)
         while (it.hasNext) {
           val block = it.next()._2
           var off = 0
           while (off < block.length) {
-            val key = ArraySeq.unsafeWrapArray(
-              java.util.Arrays.copyOfRange(block, off, off + n))
-            val w = block(off + n)
-            val prev = m.get(key)
-            if (prev == null) m.put(key, w)
-            else {
-              val s = prev.longValue() + w
-              if (s == 0L) m.remove(key) else m.put(key, java.lang.Long.valueOf(s))
-            }
+            m.add(block, off)
             off += n + 1
           }
         }
-        import scala.jdk.CollectionConverters._
-        m.entrySet().iterator().asScala
-          .map(e => (e.getKey, e.getValue.longValue()))
-          .filter(_._2 != 0L)
+        m.result()
       }, preservesPartitioning = false)
   }
+
+  /** Seed blocks for the DISTRIBUTED delta step: every (batch edge, motif
+    * relation) pair becomes a level-0 prefix record, routed for stage 0's
+    * count slot 0 — [[seedBlocksFromBcast]]'s RDD-input sibling, and
+    * [[batchSeedBlocks]] generalized from relation 0 to all relations. */
+  private def deltaSeedBlocks(batch: RDD[(Long, Long, Long)],
+                              hot: DeltaEngine.HotProvider): RDD[(Int, Array[Long])] = {
+    val stage0 = plans.map(_.stages(0))
+    val engine = this
+    val np = numParts
+    batch.mapPartitions { it =>
+      val h = hot.value
+      val p = new Array[Long](2)
+      boundedIt(np, it) { (e, bb) =>
+        if (e._3 != 0L) {
+          p(0) = e._1; p(1) = e._2
+          var r = 0
+          while (r < engine.numRels) {
+            if (engine.predsOk(r, p, 2)) {
+              val pid = engine.countPid(stage0, h, r, p, 0, 2, 0, 0)
+              putPfx(bb, pid, r, e._3, Long.MaxValue, -1, p, 0, 2)
+            }
+            r += 1
+          }
+        }
+      }
+    }
+  }
+
+  /** Distributed delta step for LARGE batches — drops every |batch| ≪
+    * |state| assumption of [[deltaStep]]: the CONSOLIDATED batch stays an
+    * RDD (never collected, never broadcast), seeds flow through the count
+    * chain like batch enumeration, and the le/lt staleness rule reads two
+    * physically co-partitioned shard generations — `postShards`
+    * (= `preShards` + batch, built by [[updateShardsDistributed]]) for
+    * inclusive ("le") constraints, `preShards` for the rest — instead of
+    * merging a broadcast DeltaPack on the fly. Output is identical to
+    * `deltaStep` on the same batch (pinned by FastEngineSpec): post = pre ⊎
+    * delta by construction, so every lookup sees byte-equal state.
+    *
+    * Hot-hub scatter routing is intentionally OFF here (a replica's content
+    * is pre-batch; serving an inclusive read from it would be stale): the
+    * bulk path trades hub-partition concentration for O(1) driver cost,
+    * which is the right trade for backfill/catch-up batches where
+    * throughput, not tail latency, is the goal. */
+  def deltaStepDistributed(sc: SparkContext, preShards: RDD[Shard.T],
+                           postShards: RDD[Shard.T],
+                           batch: RDD[(Long, Long, Long)]): RDD[(ArraySeq[Long], Long)] = {
+    val inverses = plans.map(_.inverse.toArray)
+    if (numAttrs == 2) {
+      // single-relation motif: the consolidated seeds ARE the matches
+      val engine = this
+      return batch.flatMap { case (s, d, w) =>
+        (0 until engine.numRels).iterator
+          .filter(r => engine.predsOk(r, Array(s, d), 2))
+          .map { r =>
+            val inv = inverses(r)
+            val p = Array(s, d)
+            (ArraySeq.unsafeWrapArray(Array(p(inv(0)), p(inv(1)))), w)
+          }
+      }
+        .reduceByKey(new HashPartitioner(numParts), _ + _)
+        .filter(_._2 != 0L)
+    }
+    val hot = DeltaEngine.BcastHot(sc.broadcast(new DeltaEngine.HotMap()))
+    val dp = sc.broadcast(DeltaPack.empty)
+    var pr: RDD[Prop] = intersectChain(preShards, postShards, hot, dp,
+      countPropose(preShards, postShards, hot, dp, deltaSeedBlocks(batch, hot), 0), 0)
+    for (s <- 1 to numAttrs - 3) {
+      pr = intersectChain(preShards, postShards, hot, dp,
+        countPropose(preShards, postShards, hot, dp,
+          explodeToPfxBlocks(pr, hot, s - 1), s), s)
+    }
+    consolidateProps(pr)
+  }
+
+  /** Folds a distributed consolidated batch into the shards WITHOUT any
+    * driver materialization or broadcast: the batch is built into delta
+    * shards under the same partitioner, then merged key-by-key with the
+    * base (same merge rules as [[updateShards]]). Partitioning preserved. */
+  def updateShardsDistributed(shards: RDD[Shard.T],
+                              batch: RDD[(Long, Long, Long)]): RDD[Shard.T] =
+    shards.zipPartitions(buildShards(batch), preservesPartitioning = true) { (a, b) =>
+      val base = a.next()
+      val delta = b.next()
+      var next = base
+      delta.foreach { case (k, d) =>
+        val old = next.getOrElse(k, DeltaEngine.emptyAdj)
+        val (fvs, fws) =
+          if (d.fwdVs.isEmpty) (old.fwdVs, old.fwdWs)
+          else DeltaEngine.mergeRuns(old.fwdVs, old.fwdWs, d.fwdVs, d.fwdWs)
+        val (rvs, rws) =
+          if (d.revVs.isEmpty) (old.revVs, old.revWs)
+          else DeltaEngine.mergeRuns(old.revVs, old.revWs, d.revVs, d.revWs)
+        val adj = new Adj(fvs, fws, old.degFwd + d.degFwd,
+          rvs, rws, old.degRev + d.degRev)
+        next =
+          if (adj.fwdVs.isEmpty && adj.revVs.isEmpty) next.removed(k)
+          else next.updated(k, adj)
+      }
+      Iterator.single(next)
+    }
 
   // ---- batch (static-index) enumeration ----
 
@@ -795,10 +857,9 @@ final class DeltaEngine(
     val np = numParts
     edges.mapPartitions { it =>
       val h = hot.value
-      val bb = new BlockBuf(np)
       val p = new Array[Long](2)
-      while (it.hasNext) {
-        val (s0, d0, w) = it.next()
+      boundedIt(np, it) { (e, bb) =>
+        val (s0, d0, w) = e
         if (w != 0L) {
           p(0) = s0; p(1) = d0
           if (engine.predsOk(0, p, 2)) {
@@ -807,7 +868,6 @@ final class DeltaEngine(
           }
         }
       }
-      bb.result()
     }
   }
 
@@ -830,7 +890,8 @@ final class DeltaEngine(
       val cur =
         if (s == 0) batchSeedBlocks(edges, hot)
         else explodeToPfxBlocks(pr, hot, s - 1)
-      pr = intersectChain(shards, hot, dp, countPropose(shards, hot, dp, cur, s), s)
+      pr = intersectChain(shards, shards, hot, dp,
+        countPropose(shards, shards, hot, dp, cur, s), s)
     }
     pr
   }
@@ -1023,6 +1084,13 @@ object DeltaEngine {
     * mutated. */
   object HotCache {
     private val retain = 4
+    /** Global entry cap: on a long-lived executor serving many states, the
+      * last replica snapshot of a CLOSED state would otherwise live for the
+      * JVM (invalidate() only runs in the driver JVM). Exceeding the cap
+      * evicts entries of OTHER (state, generation) keys first — correctness
+      * is unaffected, an evicted live entry just re-folds from its base on
+      * the next resolve. */
+    private val maxEntries = 16
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), HotMap]()
 
@@ -1057,6 +1125,16 @@ object DeltaEngine {
         while (it.hasNext) {
           val k = it.next()
           if (k._1 == ref.id && k._2 < ref.gen) it.remove()
+        }
+        // bound the cache globally: drop foreign-state/old-gen entries
+        // until under the cap (arbitrary victim order is fine — evicted
+        // live entries rebuild from base + chain on their next resolve)
+        if (cache.size() > maxEntries) {
+          val it2 = cache.keySet().iterator()
+          while (cache.size() > maxEntries && it2.hasNext) {
+            val k = it2.next()
+            if (!(k._1 == ref.id && k._2 == ref.gen)) it2.remove()
+          }
         }
         m
       }
@@ -1133,7 +1211,12 @@ object DeltaEngine {
 
   /** Per-target-partition packed long-block builder: records are appended
     * into ≤`chunkLongs`-long chunks (256KB — big enough for memcpy-speed
-    * shuffle, small enough to stay out of G1's humongous regions). */
+    * shuffle, small enough to stay out of G1's humongous regions).
+    *
+    * Chunks that FILL are queued and handed out incrementally via [[drain]]
+    * (see [[BoundedStage]]/[[boundedIt]]), so a producing task's live memory
+    * is bounded by `np` partial chunks plus whatever the consumer has not
+    * pulled yet — never the stage's whole output. */
   private[fast] final class BlockBuf(np: Int, chunkLongs: Int = 32768) {
     private val bufs = new Array[Array[Long]](np)
     private val lens = new Array[Int](np)
@@ -1152,6 +1235,16 @@ object DeltaEngine {
     }
     def off(pid: Int): Int = lens(pid)
     def advance(pid: Int, n: Int): Unit = lens(pid) += n
+    /** Hands over the chunks completed so far (ownership transfers to the
+      * caller; internal queue is cleared). Allocation-free when empty. */
+    def drain(): Iterator[(Int, Array[Long])] =
+      if (done.isEmpty) Iterator.empty
+      else {
+        val out = done.toArray
+        done.clear()
+        out.iterator
+      }
+    /** Terminal flush: emits partial chunks too. Call once, after all input. */
     def result(): Iterator[(Int, Array[Long])] = {
       var pid = 0
       while (pid < np) {
@@ -1164,6 +1257,74 @@ object DeltaEngine {
       done.iterator
     }
   }
+
+  /** Effort-bounded stage emission over packed-block input: decodes one
+    * record at a time and yields completed output chunks as they fill, so a
+    * task's live memory is bounded by `np` partial chunks + one record's
+    * output regardless of total stage size — the Spark analog of the
+    * reference's bounded activation loop, which retires ≤4096 queued records
+    * per activation precisely so full enumerations whose output exceeds
+    * memory still complete (/root/reference/src/extender.rs:259-262,
+    * /root/reference/static_graph/src/lib.rs:106-118). Spark's shuffle
+    * writer consumes this iterator record-by-record, streaming each
+    * completed chunk to the shuffle file before the next is built.
+    *
+    * Subclasses implement [[process]]: handle the record at `block(off)`,
+    * append output to [[bb]], return the record's length in longs. No
+    * per-record allocation is imposed by the harness. */
+  private[fast] abstract class BoundedStage(np: Int, input: Iterator[(Int, Array[Long])])
+      extends Iterator[(Int, Array[Long])] {
+    protected val bb = new BlockBuf(np)
+    /** Partition id the current input block arrived on (-1 before input). */
+    protected var curPid: Int = -1
+    private var block: Array[Long] = null
+    private var off = 0
+    private var pending: Iterator[(Int, Array[Long])] = Iterator.empty
+    private var finished = false
+    /** Process one record; return its length (longs consumed at `off`). */
+    protected def process(block: Array[Long], off: Int): Int
+    final def hasNext: Boolean = {
+      while (!pending.hasNext && !finished) {
+        if (block != null && off < block.length) {
+          off += process(block, off)
+          pending = bb.drain()
+        } else if (input.hasNext) {
+          val kv = input.next()
+          curPid = kv._1
+          block = kv._2
+          off = 0
+        } else { finished = true; pending = bb.result() }
+      }
+      pending.hasNext
+    }
+    final def next(): (Int, Array[Long]) = {
+      if (!hasNext) throw new NoSuchElementException
+      pending.next()
+    }
+  }
+
+  /** [[BoundedStage]]'s generic sibling for non-block inputs (seed arrays,
+    * Prop streams): one input element processed per pull, completed chunks
+    * yielded incrementally. Live memory is bounded by `np` partial chunks +
+    * one element's output (itself bounded by the largest adjacency run). */
+  private[fast] def boundedIt[A](np: Int, input: Iterator[A])
+                                (process: (A, BlockBuf) => Unit): Iterator[(Int, Array[Long])] =
+    new Iterator[(Int, Array[Long])] {
+      private val bb = new BlockBuf(np)
+      private var pending: Iterator[(Int, Array[Long])] = Iterator.empty
+      private var finished = false
+      def hasNext: Boolean = {
+        while (!pending.hasNext && !finished) {
+          if (input.hasNext) { process(input.next(), bb); pending = bb.drain() }
+          else { finished = true; pending = bb.result() }
+        }
+        pending.hasNext
+      }
+      def next(): (Int, Array[Long]) = {
+        if (!hasNext) throw new NoSuchElementException
+        pending.next()
+      }
+    }
 
   /** Append a prefix record [rel, w, minDeg, minExt, p×pLen]. */
   private[fast] def putPfx(bb: BlockBuf, pid: Int, rel: Int, w: Long,

@@ -27,10 +27,19 @@ import graft.batch.GenericJoin.Pred
   * broken queries never generate the discarded candidates.
   *
   * Results are materialized EAGERLY (localCheckpoint) so the shards and
-  * broadcasts can be released before returning — callers get a plain
-  * DataFrame with no hidden pinned state.
+  * broadcasts can be released before returning. The returned DataFrame IS
+  * backed by pinned block-manager blocks (the localCheckpoint), which live
+  * until the backing RDD is GC'd — a long-lived driver that runs many
+  * enumerations should use [[enumerateM]]/[[queryStaticM]] and call
+  * `release()` once the result is consumed (after release the frame is no
+  * longer readable: its lineage was truncated by design).
   */
 object FastBatch {
+
+  /** An eagerly-materialized result plus a deterministic release hook for
+    * its pinned localCheckpoint blocks. Call `release()` AFTER consuming
+    * `df`; the frame cannot be recomputed once released. */
+  final case class Materialized(df: DataFrame, release: () => Unit)
 
   private def withState[T](edges: DataFrame, motif: Seq[(Int, Int)],
                            predicates: Seq[Pred], numParts: Int, hotKeys: Int)
@@ -68,7 +77,13 @@ object FastBatch {
   /** Full enumeration: (x0..x{k-1}, w), each binding exactly once. */
   def enumerate(edges: DataFrame, motif: Seq[(Int, Int)],
                 predicates: Seq[Pred] = Nil, numParts: Int = -1,
-                hotKeys: Int = -1): DataFrame = {
+                hotKeys: Int = -1): DataFrame =
+    enumerateM(edges, motif, predicates, numParts, hotKeys).df
+
+  /** [[enumerate]] with a release handle for the pinned result blocks. */
+  def enumerateM(edges: DataFrame, motif: Seq[(Int, Int)],
+                 predicates: Seq[Pred] = Nil, numParts: Int = -1,
+                 hotKeys: Int = -1): Materialized = {
     val spark = edges.sparkSession
     val rows = withState(edges, motif, predicates, numParts, hotKeys) {
       (engine, shards, hot, dp, e) =>
@@ -80,8 +95,10 @@ object FastBatch {
         out
     }
     val n = motif.flatMap(t => Seq(t._1, t._2)).max + 1
-    org.apache.spark.sql.graftbridge.GraftBridge
-      .internalCreateDataFrame(spark, rows, FastGraphState.matchSchema(n))
+    Materialized(
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .internalCreateDataFrame(spark, rows, FastGraphState.matchSchema(n)),
+      () => { rows.unpersist(false); () })
   }
 
   /** Static-index, streamed-queries mode (the reference's q3-lean /
@@ -93,7 +110,13 @@ object FastBatch {
     * extensions, weights multiplying through. */
   def queryStatic(queries: DataFrame, edges: DataFrame, motif: Seq[(Int, Int)],
                   predicates: Seq[Pred] = Nil, numParts: Int = -1,
-                  hotKeys: Int = -1): DataFrame = {
+                  hotKeys: Int = -1): DataFrame =
+    queryStaticM(queries, edges, motif, predicates, numParts, hotKeys).df
+
+  /** [[queryStatic]] with a release handle for the pinned result blocks. */
+  def queryStaticM(queries: DataFrame, edges: DataFrame, motif: Seq[(Int, Int)],
+                   predicates: Seq[Pred] = Nil, numParts: Int = -1,
+                   hotKeys: Int = -1): Materialized = {
     val spark = edges.sparkSession
     val rows = withState(edges, motif, predicates, numParts, hotKeys) {
       (engine, shards, hot, dp, _) =>
@@ -105,8 +128,10 @@ object FastBatch {
         out
     }
     val n = motif.flatMap(t => Seq(t._1, t._2)).max + 1
-    org.apache.spark.sql.graftbridge.GraftBridge
-      .internalCreateDataFrame(spark, rows, FastGraphState.matchSchema(n))
+    Materialized(
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .internalCreateDataFrame(spark, rows, FastGraphState.matchSchema(n)),
+      () => { rows.unpersist(false); () })
   }
 
   /** Count-only enumeration: one row (n = distinct bindings, total = net

@@ -42,7 +42,8 @@ final class FastGraphState(
     lineageMetrics: Boolean = true,
     hotKeys: Int = -1,
     driverDegrees: Boolean = true,
-    pipelineDepth: Int = 1) extends graft.incr.MotifState {
+    pipelineDepth: Int = 1,
+    largeBatchThreshold: Int = 1 << 20) extends graft.incr.MotifState {
 
   private val sc = spark.sparkContext
   private val parts = if (numParts > 0) numParts else sc.defaultParallelism
@@ -67,7 +68,9 @@ final class FastGraphState(
     * the same DeltaPack degSums the shards fold, so the seed phase needs no
     * cluster job at all for its count stage. O(|V|) driver memory (16B/key)
     * — disable via `driverDegrees=false` for graphs whose key set outgrows
-    * the driver; the engine then falls back to the cold-degree collect. */
+    * the driver; the engine then runs the seed phase fully distributed
+    * (sharded degree lookup via the count-chain exchanges — one extra hop
+    * per extender slot, no collect job, O(1) driver state). */
   private val degF = new java.util.HashMap[Long, java.lang.Long]()
   private val degR = new java.util.HashMap[Long, java.lang.Long]()
   private def degFn: Option[(Long, Boolean) => Long] =
@@ -109,6 +112,13 @@ final class FastGraphState(
   private var retired: List[(Long, RDD[Shard.T])] = Nil
   private var absorbSeq: Long = 0L
   private var pendingBcast: List[Broadcast[_]] = Nil
+  /** Persisted per-batch RDDs (distributed-absorb batches) still referenced
+    * by the returned match frame; unpersisted on the next absorb. */
+  private var pendingRdds: List[RDD[_]] = Nil
+  /** Outstanding async stat jobs (see [[applyBatchStatsAsync]]): bounds the
+    * pipelined window and lets close() drain before unpersisting state. */
+  private val inflightStats =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.FutureAction[Seq[(Long, Long)]]]
   shards.persist(); shards.count()
 
   def lastBatchId: Long = _lastBatchId
@@ -180,9 +190,101 @@ final class FastGraphState(
   def applyBatch(batchId: Long, deltas: DataFrame,
                  sink: DataFrame => Unit = _ => ()): DataFrame = {
     if (batchId <= _lastBatchId) return emptyMatches
+    // threshold switch: a backfill/catch-up batch must not funnel through
+    // the driver (collect + broadcast + O(|batch|) routing table). The row
+    // count is free for local frames (`maxRows` is exact); other plans pay
+    // one cheap count job — only on this DataFrame entry point, never on
+    // the hot applyBatchRdd path.
+    val big = deltas.queryExecution.optimizedPlan.maxRows match {
+      case Some(nRows) => nRows > largeBatchThreshold
+      case None => deltas.count() > largeBatchThreshold
+    }
+    if (big) return applyBatchDistributed(batchId, deltas, sink)
     val arr = collectConsolidated(deltas)
     val rdd = applyBatchRdd(batchId, arr, df => sink(df))
     toDF(rdd)
+  }
+
+  /** Distributed absorb for LARGE batches (backfill / catch-up): the batch
+    * is consolidated, WAL'd (parquet, distributed write), folded into the
+    * shards and delta-queried WITHOUT ever being materialized on the driver
+    * — [[applyBatch]]'s collect + DeltaPack broadcast + per-seed routing
+    * table are replaced by their distributed complements
+    * ([[DeltaEngine.deltaStepDistributed]]). After the absorb the hot
+    * replica, degree mirror and broadcast chain are rebuilt from the new
+    * shards (amortized: this path is for batches that are a meaningful
+    * fraction of the state). Exactly-once contract unchanged: WAL before
+    * output, replayed ids are no-ops, meta commits after the sink. */
+  def applyBatchDistributed(batchId: Long, deltas: DataFrame,
+                            sink: DataFrame => Unit = _ => ()): DataFrame = {
+    if (batchId <= _lastBatchId) return emptyMatches
+    val w = if (deltas.columns.contains("w"))
+      org.apache.spark.sql.functions.col("w").cast("long")
+    else org.apache.spark.sql.functions.lit(1L)
+    val raw = deltas.select(
+        org.apache.spark.sql.functions.col("src").cast("long"),
+        org.apache.spark.sql.functions.col("dst").cast("long"), w.as("w"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    toDF(absorbDistributed(batchId, raw, sink))
+  }
+
+  /** Shared distributed-absorb core over a raw (unconsolidated) edge RDD. */
+  private def absorbDistributed(batchId: Long, raw: RDD[(Long, Long, Long)],
+                                sink: DataFrame => Unit): RDD[(ArraySeq[Long], Long)] = {
+    val t0 = System.nanoTime()
+    absorbSeq += 1
+    val (drop, keep) = retired.partition(_._1 <= absorbSeq - retireLag)
+    drop.foreach(_._2.unpersist(false))
+    retired = keep
+    pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
+    pendingRdds.foreach(_.unpersist(false)); pendingRdds = Nil
+
+    // consolidate to a canonical Z-set — the distributed complement of
+    // DeltaPack's driver-side groupBy
+    val batch = raw.map(e => ((e._1, e._2), e._3))
+      .reduceByKey(new org.apache.spark.HashPartitioner(parts), _ + _)
+      .map { case ((s, d), net) => (s, d, net) }
+      .filter(_._3 != 0L)
+      .persist()
+    // write-ahead, distributed: the batch goes to parquet under wal/ before
+    // any output, replacing the driver-funnel .bin WAL for this path
+    stateDir.foreach { dir =>
+      spark.createDataFrame(batch.map(e => Row(e._1, e._2, e._3)),
+          FastGraphState.edgeSchema)
+        .write.mode("overwrite").parquet(walParquet(dir, batchId))
+    }
+    val post = engine.updateShardsDistributed(shards, batch)
+    val matches = engine.deltaStepDistributed(sc, shards, post, batch)
+    if (sink != null) sink(toDF(matches))
+    installShards(post)
+    // the driver's replica/mirror folds never saw this batch: rebuild both
+    // from the new shards (generation bump evicts executor hot caches; the
+    // DeltaPack chain restarts empty)
+    rebuildHot()
+    rebuildDegMirror()
+    pendingRdds ::= batch // lineage feeds `matches`; dropped next absorb
+    tailIds :+= batchId
+    _lastBatchId = batchId
+    if (tailIds.size >= maxTail) {
+      if (stateDir.isDefined) compact()
+      else tailIds = Vector.empty // hot already rebuilt above
+    }
+    stateDir.foreach { dir =>
+      writeMeta(dir)
+      if (lineageMetrics) {
+        val part = engine.partitioner // local copy: the closure must not drag `this`
+        val perPart = batch.map(e => part.getPartition(e._1))
+          .countByValue().toSeq.sortBy(_._1)
+        val rows = perPart.map(_._2).sum
+        val ms = (System.nanoTime() - t0) / 1e6
+        val partsJson = perPart.map { case (p, n) => s"""{"p":$p,"rows":$n}""" }
+        val line =
+          s"""{"batchId":$batchId,"inputRows":$rows,"distributed":true,"wallMs":$ms,"partitions":[${partsJson.mkString(",")}]}\n"""
+        Files.writeString(Paths.get(dir, "metrics.jsonl"), line,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+    matches
   }
 
   /** RDD-level absorb: returns the consolidated match-delta RDD; `sink`
@@ -190,6 +292,13 @@ final class FastGraphState(
   def applyBatchRdd(batchId: Long, arr: Array[(Long, Long, Long)],
                     sink: DataFrame => Unit = null): RDD[(ArraySeq[Long], Long)] = {
     if (batchId <= _lastBatchId) return sc.emptyRDD[(ArraySeq[Long], Long)]
+    // an oversized array batch would still broadcast O(|batch|) state and
+    // build an O(|batch|·rels) routing table — route it through the
+    // distributed absorb instead (it is already driver-resident, but the
+    // executors are protected)
+    if (arr.length > largeBatchThreshold)
+      return absorbDistributed(batchId,
+        sc.parallelize(ArraySeq.unsafeWrapArray(arr), parts), sink)
     val t0 = System.nanoTime()
     // lagged retirement: an RDD superseded at absorb s is dropped only at
     // absorb s + retireLag, by which point every job allowed to read it
@@ -213,7 +322,7 @@ final class FastGraphState(
     // NO per-batch hot broadcast: tasks resolve the replica from the chain
     // (base snapshot + the dp broadcasts already in flight)
     val hotRef = DeltaEngine.ChainHot(stateId, hotGen, hotBase, dpChain)
-    val matches = engine.deltaStep(sc, shards, hotRef, hotAdj, dp, pack, degFn)
+    val matches = engine.deltaStep(sc, shards, hotRef, dp, pack, degFn)
     if (sink != null) sink(toDF(matches))
     val t2 = System.nanoTime()
     installShards(engine.updateShards(shards, dp))
@@ -254,6 +363,14 @@ final class FastGraphState(
     * output, replayed ids return an immediately-complete empty future). */
   def applyBatchStatsAsync(batchId: Long, arr: Array[(Long, Long, Long)])
       : org.apache.spark.FutureAction[Seq[(Long, Long)]] = {
+    // ENFORCE the documented window, don't just document it: an absorb
+    // beyond pipelineDepth outstanding futures would have the oldest job
+    // read a shard snapshot whose blocks this call is about to unpersist —
+    // unrecoverable, because localCheckpoint already truncated its lineage.
+    inflightStats.filterInPlace(!_.isCompleted)
+    require(inflightStats.size < math.max(1, pipelineDepth),
+      s"applyBatchStatsAsync: ${inflightStats.size} futures already in flight " +
+        s"(pipelineDepth=$pipelineDepth) — await the oldest before absorbing further")
     val m = applyBatchRdd(batchId, arr)
     val stats = m.mapPartitions { it =>
       var n = 0L; var s = 0L
@@ -261,7 +378,9 @@ final class FastGraphState(
       Iterator.single((n, s))
     }
     import org.apache.spark.rdd.RDD.rddToAsyncRDDActions
-    stats.collectAsync()
+    val f = stats.collectAsync()
+    inflightStats += f
+    f
   }
 
   /** (consolidated match-delta rows, net weight) for one batch — the bench
@@ -301,14 +420,26 @@ final class FastGraphState(
     rebuildHot() // re-select hub membership at compaction boundaries
     writeBase(dir)
     writeMeta(dir)
-    // post-commit GC
+    // post-commit GC (both WAL forms: driver .bin and distributed .parquet)
     rmrf(Paths.get(dir, "base", s"v=$oldVersion").toFile)
-    folded.foreach(id => Files.deleteIfExists(Paths.get(dir, "wal", s"batch=$id.bin")))
+    folded.foreach { id =>
+      Files.deleteIfExists(Paths.get(dir, "wal", s"batch=$id.bin"))
+      rmrf(Paths.get(dir, "wal", s"batch=$id.parquet").toFile)
+    }
   }
 
   def close(): Unit = {
+    // drain (bounded) outstanding async jobs before dropping the state they
+    // read; anything still running after the grace period is cancelled
+    inflightStats.filterInPlace(!_.isCompleted)
+    inflightStats.foreach { f =>
+      try scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration(30, "s"))
+      catch { case _: Throwable => f.cancel() }
+    }
+    inflightStats.clear()
     retired.foreach(_._2.unpersist(false)); retired = Nil
     pendingBcast.foreach(_.unpersist(false)); pendingBcast = Nil
+    pendingRdds.foreach(_.unpersist(false)); pendingRdds = Nil
     hotBase.unpersist(false)
     dpChain.foreach(_.unpersist(false)); dpChain = Vector.empty
     DeltaEngine.HotCache.invalidate(stateId)
@@ -328,12 +459,29 @@ final class FastGraphState(
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }
 
+  /** Match-delta RDD → DataFrame via direct UnsafeRow emit (same writer the
+    * batch path uses — the external-Row conversion cost ~1µs/row and only
+    * the oracle/DataFrame path was still paying it). */
   private def toDF(matches: RDD[(ArraySeq[Long], Long)]): DataFrame = {
     val n = engine.numAttrs
-    val rows = matches.map { case (p, w) =>
-      Row.fromSeq(p.toSeq :+ w)
+    val rows = matches.mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+      val writer = new UnsafeRowWriter(n + 1)
+      it.map { case (p, w) =>
+        val arr: Array[Long] = p.unsafeArray match {
+          case l: Array[Long] => l
+          case _ => p.toArray
+        }
+        writer.reset()
+        var a = 0
+        while (a < n) { writer.write(a, arr(a)); a += 1 }
+        writer.write(n, w)
+        writer.getRow.copy(): InternalRow
+      }
     }
-    spark.createDataFrame(rows, FastGraphState.matchSchema(n))
+    org.apache.spark.sql.graftbridge.GraftBridge
+      .internalCreateDataFrame(spark, rows, FastGraphState.matchSchema(n))
   }
 
   private def emptyMatches: DataFrame =
@@ -344,6 +492,9 @@ final class FastGraphState(
     baseVersion += 1
     edges.write.mode("overwrite").parquet(s"$dir/base/v=$baseVersion")
   }
+
+  private def walParquet(dir: String, batchId: Long): String =
+    s"$dir/wal/batch=$batchId.parquet"
 
   private def writeWal(dir: String, batchId: Long, arr: Array[(Long, Long, Long)]): Unit = {
     val path = Paths.get(dir, "wal", s"batch=$batchId.bin")
@@ -405,9 +556,20 @@ final class FastGraphState(
         spark.read.parquet(s"$dir/base/v=$baseVersion").select("src", "dst", "w")
           .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       else sc.emptyRDD
-    val tailEdges = tailIds.flatMap(id => readWal(dir, id))
-    val all = if (tailEdges.isEmpty) baseRdd
+    // tail batches: driver-written .bin WALs replay from the driver,
+    // distributed-absorb .parquet WALs replay as distributed reads
+    val binIds = tailIds.filter(id =>
+      Files.exists(Paths.get(dir, "wal", s"batch=$id.bin")))
+    val pqIds = tailIds.filter(id =>
+      Files.exists(Paths.get(dir, "wal", s"batch=$id.parquet")))
+    val tailEdges = binIds.flatMap(id => readWal(dir, id))
+    var all = if (tailEdges.isEmpty) baseRdd
               else baseRdd.union(sc.parallelize(tailEdges, math.max(1, parts / 4)))
+    pqIds.foreach { id =>
+      all = all.union(spark.read.parquet(walParquet(dir, id))
+        .select("src", "dst", "w").rdd
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
     val next = engine.buildShards(all)
     next.persist(); next.localCheckpoint(); next.count()
     shards.unpersist(false)

@@ -1,0 +1,192 @@
+package graft.fast
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import scala.collection.immutable.ArraySeq
+
+/** Bounded-memory consolidation of packed match-delta records.
+  *
+  * The reduce side of [[DeltaEngine.consolidateProps]] previously summed
+  * weights in an unbounded java.util.HashMap — the one failure mode the
+  * reference explicitly defends against with effort accounting (`expend`,
+  * /root/reference/src/index.rs:227-236) after its 6-clique run died on
+  * unbounded intermediate state (/root/reference/README.md:150-176). Here
+  * the in-memory map is capped: past `maxEntries` the entries are sorted
+  * (lexicographically by binding) and written to a local spill file as raw
+  * big-endian longs; `result()` k-way merges the spilled runs with the
+  * final in-memory run, summing weights of equal bindings and dropping
+  * zeros. Batches that never spill (the common streaming case) keep the
+  * exact pre-existing fast path: one hash map, no sort, no IO.
+  *
+  * Spill files land in the first `spark.local.dir` when configured (the
+  * bench points it at tmpfs; clusters get their fast local disks), else
+  * `java.io.tmpdir`, and are deleted as each run drains plus once more via
+  * a task-completion listener so a killed task leaves nothing behind.
+  */
+final class SpillConsolidator(n: Int, maxEntries: Int) {
+  require(n >= 1 && maxEntries >= 1)
+  private val map = new java.util.HashMap[ArraySeq[Long], java.lang.Long](
+    math.min(maxEntries.toLong + 1, 1L << 20).toInt)
+  private val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+
+  // a task killed mid-merge must not leak spill files
+  {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      spills.foreach(f => if (f.exists()) f.delete())
+    }
+  }
+
+  /** Folds in one packed record: `n` binding longs at `block(off)` followed
+    * by the signed weight. */
+  def add(block: Array[Long], off: Int): Unit = {
+    val key = ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOfRange(block, off, off + n))
+    val w = block(off + n)
+    val prev = map.get(key)
+    if (prev == null) {
+      map.put(key, java.lang.Long.valueOf(w))
+      if (map.size() > maxEntries) spill()
+    } else {
+      val s = prev.longValue() + w
+      // zero nets are dropped from the map; earlier spilled partials of the
+      // same key (if any) still merge correctly — sums are associative
+      if (s == 0L) map.remove(key) else map.put(key, java.lang.Long.valueOf(s))
+    }
+  }
+
+  /** Number of spill files written so far (diagnostics / tests). */
+  def spillCount: Int = spills.size
+
+  private def sortedEntries(): Array[(Array[Long], Long)] = {
+    val arr = new Array[(Array[Long], Long)](map.size())
+    val it = map.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = (e.getKey.unsafeArray.asInstanceOf[Array[Long]], e.getValue.longValue())
+      i += 1
+    }
+    java.util.Arrays.sort(arr, SpillConsolidator.entryOrder)
+    arr
+  }
+
+  private def spill(): Unit = {
+    val f = File.createTempFile("graft-consolidate-", ".bin", SpillConsolidator.spillDir)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
+    try {
+      sortedEntries().foreach { case (k, w) =>
+        var i = 0
+        while (i < n) { out.writeLong(k(i)); i += 1 }
+        out.writeLong(w)
+      }
+    } finally out.close()
+    spills += f
+    map.clear()
+  }
+
+  /** One cursor over a sorted spill run. */
+  private final class Run(f: File) {
+    private val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f), 1 << 20))
+    var key: Array[Long] = null
+    var w: Long = 0L
+    var live: Boolean = advance()
+    def advance(): Boolean =
+      try {
+        val k = new Array[Long](n)
+        k(0) = in.readLong() // EOF surfaces here, before any partial state
+        var i = 1
+        while (i < n) { k(i) = in.readLong(); i += 1 }
+        key = k
+        w = in.readLong()
+        live = true
+        true
+      } catch {
+        case _: EOFException =>
+          in.close(); f.delete(); live = false; false
+      }
+  }
+
+  /** Drains the consolidator: each distinct binding exactly once with its
+    * net weight, zeros dropped. Call once; the instance is spent after. */
+  def result(): Iterator[(ArraySeq[Long], Long)] = {
+    if (spills.isEmpty) {
+      // no-spill fast path — identical to the pre-existing hash consolidation
+      import scala.jdk.CollectionConverters._
+      return map.entrySet().iterator().asScala
+        .map(e => (e.getKey, e.getValue.longValue()))
+        .filter(_._2 != 0L)
+    }
+    if (!map.isEmpty) spill() // final in-memory run joins the merge
+    val runs = spills.map(new Run(_)).filter(_.live)
+    val pq = new java.util.PriorityQueue[Run](math.max(1, runs.size),
+      (a: Run, b: Run) => SpillConsolidator.compareKeys(a.key, b.key))
+    runs.foreach(pq.add)
+    new Iterator[(ArraySeq[Long], Long)] {
+      private var nextKV: (ArraySeq[Long], Long) = null
+      private def pull(): Unit = {
+        nextKV = null
+        while (nextKV == null && !pq.isEmpty) {
+          val head = pq.poll()
+          val k = head.key
+          var w = head.w
+          if (head.advance()) pq.add(head)
+          // fold every run positioned at the same binding
+          var more = true
+          while (more && !pq.isEmpty) {
+            val peek = pq.peek()
+            if (SpillConsolidator.compareKeys(peek.key, k) == 0) {
+              val r = pq.poll()
+              w += r.w
+              if (r.advance()) pq.add(r)
+            } else more = false
+          }
+          if (w != 0L) nextKV = (ArraySeq.unsafeWrapArray(k), w)
+        }
+      }
+      pull()
+      def hasNext: Boolean = nextKV != null
+      def next(): (ArraySeq[Long], Long) = {
+        val out = nextKV
+        if (out == null) throw new NoSuchElementException
+        pull()
+        out
+      }
+    }
+  }
+}
+
+object SpillConsolidator {
+  /** In-memory entry cap before a sorted run is spilled. ~120B/entry for
+    * 3-attribute motifs, so the default (2^21) bounds a reduce task's map at
+    * ~250MB. Override with `spark.graft.consolidate.maxEntries` (session
+    * conf — propagated to executors) for tests or tighter heaps. */
+  def defaultMaxEntries: Int = {
+    val env = org.apache.spark.SparkEnv.get
+    val conf = if (env != null) env.conf.getOption("spark.graft.consolidate.maxEntries") else None
+    conf.orElse(sys.props.get("spark.graft.consolidate.maxEntries"))
+      .map(_.toInt).getOrElse(1 << 21)
+  }
+
+  private def spillDir: File = {
+    val env = org.apache.spark.SparkEnv.get
+    val dir = (if (env != null) env.conf.getOption("spark.local.dir") else None)
+      .map(_.split(",")(0)).map(new File(_))
+      .filter(d => d.isDirectory && d.canWrite)
+      .getOrElse(new File(System.getProperty("java.io.tmpdir")))
+    dir
+  }
+
+  private def compareKeys(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val c = java.lang.Long.compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  private val entryOrder: java.util.Comparator[(Array[Long], Long)] =
+    (x: (Array[Long], Long), y: (Array[Long], Long)) => compareKeys(x._1, y._1)
+}
