@@ -146,7 +146,16 @@ object Bench {
   }
 
   def streamBench(cores: Int, nConvs: Int, turns: Int, nTools: Int,
-                  batchSize: Int, durable: Boolean): StreamResult = {
+                  batchSize: Int, durable: Boolean): StreamResult =
+    streamBenchMaster(s"local[$cores]", cores, nConvs, turns, nTools, batchSize, durable)
+
+  /** `master` may be multi-JVM (`local-cluster[W,C,memMB]`): separate
+    * executor processes with their own block managers on one box — the
+    * testbed that distinguishes a single-JVM block-manager/scheduler funnel
+    * from a real algorithmic scaling limit. `cores` is the TOTAL core count
+    * (W·C), used for shuffle sizing and reporting. */
+  def streamBenchMaster(master: String, cores: Int, nConvs: Int, turns: Int,
+                        nTools: Int, batchSize: Int, durable: Boolean): StreamResult = {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "1") == "1"
     val routing = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUTING", "1") == "1"
     // "fast" = RDD sharded-index engine (graft.fast, constant per-batch
@@ -154,7 +163,9 @@ object Bench {
     // planning — kept for comparison; it was BENCH_r01's scaling bottleneck)
     val engineKind = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENGINE", "fast")
     val spark = withLocalDir(SparkSession.builder()
-      .master(s"local[$cores]"))
+      .master(master))
+      // multi-JVM executors need the graft classes on their own classpath
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
@@ -291,6 +302,66 @@ object Bench {
       pct(0.5), pct(0.95), edgesStreamed / streamSec, matchChanges / streamSec)
   }
 
+  /** BULK distributed-absorb probe (the backfill regime): the scaling
+    * fixture's 10% tail (~200K edge updates) absorbed as ONE batch through
+    * `applyBatchDistributed` — the batch stays a DataFrame/RDD end to end,
+    * never collected or broadcast by the driver. Returns (wall sec for the
+    * absorb+count, edges absorbed, match-delta rows, net weight); rows/net
+    * must be identical across parallelism levels. */
+  def bulkBench(cores: Int, nConvs: Int, turns: Int, nTools: Int): (Double, Long, Long, Long) = {
+    val spark = withLocalDir(SparkSession.builder()
+      .master(s"local[$cores]"))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.referenceTracking", "false")
+      .config("spark.storage.memoryMapThreshold", "1g")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fixture = spark.read.parquet(ensureFixture(spark, nConvs, turns, nTools))
+    val total = fixture.count()
+    val preloadN = (total * 0.9).toLong
+    val preload = fixture.where(col("idx") < preloadN).select("src", "dst", "w")
+    val tail = fixture.where(col("idx") >= preloadN).select("src", "dst", "w")
+    val state = new graft.fast.FastGraphState(spark, Planner.triangle,
+      None, numParts = cores, maxTail = 100, largeBatchThreshold = 1)
+    state.initialize(preload)
+    val t0 = System.nanoTime()
+    val m = state.applyBatchDistributed(0L, tail)
+    val agg = m.agg(count(lit(1)), coalesce(sum("w"), lit(0L))).collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    state.close()
+    spark.stop()
+    (sec, total - preloadN, agg.getLong(0), agg.getLong(1))
+  }
+
+  /** Effort-bounded-emission stress: FULL triangle enumeration on the enum
+    * fixture — every match row flows through the packed exchanges and the
+    * UnsafeRow emit (no count-only shortcut), counted without retention.
+    * Output (~hundreds of millions of rows) exceeds any task's memory many
+    * times over; completing is the evidence that stage emission is chunked.
+    * Returns (sec, rows). */
+  def emissionStress(cores: Int, nConvs: Int, turns: Int, nTools: Int): (Double, Long) = {
+    val spark = withLocalDir(SparkSession.builder()
+      .master(s"local[$cores]"))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.referenceTracking", "false")
+      .config("spark.storage.memoryMapThreshold", "1g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val edges = spark.read.parquet(ensureFixture(spark, nConvs, turns, nTools))
+      .select("src", "dst", "w")
+    edges.count() // warm the scan out of the window
+    val t0 = System.nanoTime()
+    val rows = graft.fast.FastBatch.enumerateRowCount(edges, Planner.triangle)
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (sec, rows)
+  }
+
   /** Compute-bound scaling probe: full batch triangle enumeration over the
     * fixture's whole edge set (the reference's naive-baseline scaling
     * experiment, /root/reference/naive/README.md: same count at 1/16/64
@@ -385,6 +456,43 @@ object Bench {
         interleaved(scalingReps, sLevels)(
           c => streamBench(c, sConvs, turns, nTools, sBatch, durable))
       else (Nil, Map.empty[Int, (Double, Double)])
+    // Phase B3 — the SAME scaling job on a multi-JVM `local-cluster` master
+    // (4 workers × 8 cores, separate block managers and executor heaps on
+    // this one box). BENCH_r03's 8→32 step (0.635) was ATTRIBUTED to a
+    // single-JVM block-manager/scheduler funnel but never measured; if this
+    // level recovers toward the local[8]-extrapolated throughput, the claim
+    // is proven with data — if not, the funnel is algorithmic and real.
+    val clusterSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER", "local-cluster[4,8,4096]")
+    val clusterResults: Either[String, Seq[StreamResult]] =
+      if (clusterSpec == "0") Left("disabled")
+      else try {
+        val runs = (1 to math.max(1, scalingReps)).map { _ =>
+          streamBenchMaster(clusterSpec, 32, sConvs, turns, nTools, sBatch, durable)
+        }.sortBy(_.matchesPerSec)
+        Right(Seq(runs((runs.size - 1) / 2))) // conservative lower median
+      } catch { case e: Throwable => Left(e.toString.linesIterator.next().take(300)) }
+
+    // Phase B4 — bulk distributed absorb (backfill regime): one ~20K-edge
+    // 10%-tail... sized by the scaling fixture (~200K updates at the
+    // default conv count). Identical rows/net across levels is the gate.
+    val bulkLevels = sys.env.getOrElse("SPARK_GRAFT_BENCH_BULK_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val bulkResults =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_BULK", "1") == "1")
+        bulkLevels.map(c => c -> bulkBench(c, sConvs, turns, nTools))
+      else Nil
+
+    // Phase C — effort-bounded emission stress: FULL enumeration (every
+    // match row through the packed exchanges + UnsafeRow emit) of the enum
+    // fixture's ~2×10^8 triangles, counted without retention.
+    val stress =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STRESS", "1") == "1")
+        Some(emissionStress(cpus.toInt,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 8).toString).toInt,
+          turns,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt))
+      else None
+
     // enumerate scaling probe may use a LARGER fixture than the stream so
     // parallel join work dominates the per-query serial floor (the r01 run's
     // 0.16 "efficiency" was an Amdahl artifact of a ~7s total job)
@@ -448,6 +556,34 @@ object Bench {
       } else 0.0
     val enumTotalsMatch = enumResults.map(_._2._2).distinct.size <= 1
 
+    // multi-JVM cluster level: totals must equal the local scaling levels
+    // (same job, same input); throughput ratio vs local[32] quantifies the
+    // single-JVM funnel
+    val clusterJson = clusterResults match {
+      case Left(err) => s""""cluster_error":${jstr(err)}"""
+      case Right(rs) =>
+        val local32 = scalingResults.find(_.cores == 32)
+        val vs = (for (c <- rs.headOption; l <- local32)
+          yield c.matchesPerSec / l.matchesPerSec).getOrElse(0.0)
+        val tm = (for (c <- rs.headOption; l <- local32)
+          yield c.matchChanges == l.matchChanges && c.netTotal == l.netTotal)
+        s""""cluster_spec":${jstr(clusterSpec)},"cluster_levels":${rs.map(sr(_, Map.empty)).mkString("[", ",", "]")},""" +
+          s""""cluster_vs_local32":${f"$vs%.3f"},"cluster_totals_match":${tm.getOrElse(false)}"""
+    }
+    val bulkJson = bulkResults.map { case (c, (sec, edges, rows, net)) =>
+      s"""{"cores":$c,"sec":${f"$sec%.2f"},"edges":$edges,"match_rows":$rows,"net":$net,""" +
+        s""""edges_per_sec":${f"${edges / sec}%.1f"},"match_rows_per_sec":${f"${rows / sec}%.1f"}}"""
+    }.mkString("[", ",", "]")
+    val bulkTotalsMatch = bulkResults.map(r => (r._2._3, r._2._4)).distinct.size <= 1
+    val bulkEff =
+      if (bulkResults.size >= 2) {
+        val lo = bulkResults.head; val hi = bulkResults.last
+        (lo._2._1 / hi._2._1) / (hi._1.toDouble / lo._1)
+      } else 0.0
+    val stressJson = stress.map { case (sec, rows) =>
+      s"""{"rows":$rows,"sec":${f"$sec%.2f"},"rows_per_sec":${f"${rows / sec}%.1f"}}"""
+    }.getOrElse("null")
+
     // FULL artifact → a file the driver can archive verbatim; stdout gets a
     // COMPACT line (headline + per-query medians + a pointer). BENCH_r03's
     // official record arrived tail-truncated because the full record was one
@@ -461,6 +597,9 @@ object Bench {
         s""""scaling_fixture":{"convs":$sConvs,"turns_per_conv":$turns,"tools":$nTools,"batch":$sBatch,"durable":$durable},""" +
         s""""scaling_levels":$scalingJson,"scaling_efficiency":${f"$scalingEff%.3f"},""" +
         s""""scaling_efficiency_8_32":${f"$scalingEffHi%.3f"},"totals_match":$totalsMatch,""" +
+        s"""$clusterJson,""" +
+        s""""bulk_levels":$bulkJson,"bulk_totals_match":$bulkTotalsMatch,"bulk_efficiency":${f"$bulkEff%.3f"},""" +
+        s""""emission_stress":$stressJson,""" +
         s""""enumerate_levels":$enumJson,"enumerate_scaling_efficiency":${f"$enumEff%.3f"},"enumerate_totals_match":$enumTotalsMatch}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_full_latest.json")
     try {
@@ -476,6 +615,17 @@ object Bench {
         s""""batch_p50_ms":${f"${results.last.p50Ms}%.1f"},""" +
         s""""latency_step_efficiency":${f"$latencyEff%.3f"},"scaling_efficiency":${f"$scalingEff%.3f"},""" +
         s""""scaling_efficiency_8_32":${f"$scalingEffHi%.3f"},"totals_match":$totalsMatch,""" +
+        (clusterResults match {
+          case Right(rs) if rs.nonEmpty && scalingResults.exists(_.cores == 32) =>
+            val vs = rs.head.matchesPerSec / scalingResults.find(_.cores == 32).get.matchesPerSec
+            s""""cluster_vs_local32":${f"$vs%.3f"},"""
+          case _ => ""
+        }) +
+        s""""bulk_efficiency":${f"$bulkEff%.3f"},""" +
         s""""enumerate_scaling_efficiency":${f"$enumEff%.3f"},"detail_file":"$outPath"}""")
   }
+
+  /** Minimal JSON string escaping for error/spec fields. */
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

@@ -123,6 +123,32 @@ object SparkEntry {
       val e = edges(s, dir)
       graft.fast.FastBatch.queryStatic(e.where(col("src") < 50), e, Planner.triangle)
     }),
+    // DISTRIBUTED bulk absorb: the whole derived edge set as ONE large batch
+    // through applyBatchDistributed (no driver collect/broadcast, parquet
+    // WAL path, pre/post shard le-lt reads) — the backfill regime; output
+    // must equal the batch triangle enumeration
+    "wco_triangle_bulk" -> ((s, dir) => {
+      val st = new graft.fast.FastGraphState(s, Planner.triangle,
+        numParts = 8, largeBatchThreshold = 1)
+      val out = st.applyBatchDistributed(0L, edges(s, dir)).localCheckpoint()
+      st.close()
+      out
+    }),
+    // driver degree mirror OFF: the seed phase runs fully distributed with a
+    // sharded degree hop through the count chain (no per-batch collect job,
+    // O(1) driver state) — the form for key sets that outgrow the driver
+    "wco_cycle3_sharded" -> ((s, dir) => {
+      val st = new graft.fast.FastGraphState(s, Planner.cycle3,
+        numParts = 8, driverDegrees = false)
+      val out = st.applyBatch(0L, edges(s, dir)).localCheckpoint()
+      st.close()
+      out
+    }),
+    // dense open-path enumeration (~1.8M rows at sf0.01): a full
+    // materialization whose stage output dwarfs any single task's buffers —
+    // driver-gates the effort-bounded chunked emission end to end
+    "wco_path3" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edges(s, dir), Seq((0, 1), (1, 2)))),
 
     // ---- degree / consolidation (reference count op + index consolidation) ----
     "degree_table" -> ((s, dir) =>
@@ -261,6 +287,9 @@ object SparkEntry {
         "CAST(1 AS BIGINT) AS w FROM edges q " +
         "JOIN edges e1 ON e1.src = q.src " +
         "JOIN edges e2 ON e2.src = q.dst AND e2.dst = e1.dst WHERE q.src < 50"),
+    "wco_triangle_bulk" -> motifOracle(Planner.triangle),
+    "wco_cycle3_sharded" -> motifOracle(Planner.cycle3),
+    "wco_path3" -> motifOracle(Seq((0, 1), (1, 2))),
     "degree_table" ->
       s"$edgesCte SELECT src AS k, count(*) AS deg FROM edges GROUP BY src",
     "degree_relabel" ->

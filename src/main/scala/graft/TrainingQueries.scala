@@ -100,6 +100,48 @@ object TrainingQueries {
       s"SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold"
   }
 
+  /** DuckDB replay of [[Embeddings.ivfTopKKMeans]]: the same fixed-iteration
+    * integer-arithmetic Lloyd's loop, unrolled — every value is a 64-bit
+    * integer (scaled embeddings, exact squared-L2 sums) except the one
+    * floor(sum/count) per mean coordinate, exact below 2^53 in both
+    * engines, so the comparison is hash-exact. */
+  private def kmeansIvfOracle(nCells: Int, nProbe: Int, k: Int, iters: Int,
+                              dim: Int, nQueries: Int): String = {
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1,$dim), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "ei AS (SELECT vec_id AS id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS v FROM embeddings)",
+      s"c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cvec " +
+        s"FROM (SELECT id, v FROM ei ORDER BY id LIMIT $nCells))")
+    var prev = "c0"
+    for (it <- 1 to iters) {
+      parts += s"d$it AS (SELECT e.id, e.v, c.cell, ${d2("e.v", "c.cvec")} AS dist " +
+        s"FROM ei e CROSS JOIN $prev c)"
+      parts += s"a$it AS (SELECT id, v, cell FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY id ORDER BY dist, cell) AS rn FROM d$it) WHERE rn = 1)"
+      parts += s"m$it AS (SELECT cell, list(m ORDER BY j) AS nvec FROM " +
+        s"(SELECT cell, j, CAST(floor(CAST(sum(v[j]) AS DOUBLE) / count(*)) AS BIGINT) AS m " +
+        s"FROM a$it, generate_series(1,$dim) g(j) GROUP BY cell, j) GROUP BY cell)"
+      parts += s"c$it AS (SELECT p.cell, coalesce(m$it.nvec, p.cvec) AS cvec " +
+        s"FROM $prev p LEFT JOIN m$it USING (cell))"
+      prev = s"c$it"
+    }
+    parts += s"fa AS (SELECT id AS cand_id, v AS cv, cell FROM (SELECT e.id, e.v, c.cell, " +
+      s"${d2("e.v", "c.cvec")} AS dist, row_number() OVER (PARTITION BY e.id " +
+      s"ORDER BY ${d2("e.v", "c.cvec")}, c.cell) AS rn FROM ei e CROSS JOIN $prev c) WHERE rn = 1)"
+    parts += s"prb AS (SELECT query_id, qv, cell FROM (SELECT e.id AS query_id, e.v AS qv, " +
+      s"c.cell, row_number() OVER (PARTITION BY e.id ORDER BY ${d2("e.v", "c.cvec")}, c.cell) AS prn " +
+      s"FROM ei e CROSS JOIN $prev c WHERE e.id < $nQueries) WHERE prn <= $nProbe)"
+    parts += s"sc AS (SELECT p.query_id, a.cand_id, ${d2("p.qv", "a.cv")} AS dist " +
+      s"FROM prb p JOIN fa a USING (cell) WHERE p.query_id <> a.cand_id)"
+    parts += "r AS (SELECT query_id, cand_id, dist, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY dist, cand_id) AS rank FROM sc)"
+    "WITH " + parts.mkString(", ") +
+      s" SELECT query_id, cand_id, dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $k"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "doc_fingerprint" -> ((s, dir) =>
@@ -124,13 +166,16 @@ object TrainingQueries {
           element_at(col("sh"), 4).as("b3"))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs2(s, dir), "doc_id", "text", maxHamming = 6)),
+    // prefix-filtered (AllPairs) form: same output as Dedup.jaccardPairs
+    // (equality pinned in DedupSpec) at a fraction of the candidate pairs —
+    // the oracle below remains the naive inverted-index formulation
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.jaccardPairsPrefix(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     // document-frequency cut: the corpus-wide planted phrase is dropped
     // from the inverted index, so the hot shingle never joins
     "ngram_jaccard_pairs_capped" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
+      Dedup.jaccardPairsPrefix(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
           maxShingleFreq = 100L)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -150,6 +195,14 @@ object TrainingQueries {
       val e = embs(s, dir)
       Embeddings.ivfTopK(e.where(col("vec_id") < 20), e, k = 5,
         nCells = 16, nProbe = 4)
+    }),
+    // TRAINED coarse quantizer: fixed-iteration integer-arithmetic k-means
+    // (deterministic, replayed bit-exactly by the DuckDB oracle); better
+    // recall than member-centroids at the same nProbe on clustered corpora
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Embeddings.ivfTopKKMeans(e.where(col("vec_id") < 20), e, k = 5,
+        nCells = 8, nProbe = 2, iters = 2)
     }),
 
     // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
@@ -216,7 +269,7 @@ object TrainingQueries {
     "lsh_cosine_pairs" -> lshOracle(threshold = 0.3, nPlanes = 12, tables = 4,
       seed = 42L, dim = 64),
     "ann_ivf_topk" ->
-      ("WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+      ("WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
         "ac AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell, " +
         "round(" + cosSql("e.embedding", "c.cvec", 64) + ", 9) AS ccos " +
         "FROM embeddings e CROSS JOIN cent c), " +
@@ -234,6 +287,8 @@ object TrainingQueries {
         "r AS (SELECT query_id, cand_id, cos, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM sc) " +
         "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
+    "ann_ivf_kmeans_topk" -> kmeansIvfOracle(nCells = 8, nProbe = 2, k = 5,
+      iters = 2, dim = 64, nQueries = 20),
     "ngram_jaccard_pairs" ->
       (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
         "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +

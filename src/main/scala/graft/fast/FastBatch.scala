@@ -134,6 +134,28 @@ object FastBatch {
       () => { rows.unpersist(false); () })
   }
 
+  /** FULL-emission row count: every match row flows through the complete
+    * enumeration pipeline — packed-block exchanges AND the UnsafeRow emit —
+    * and is counted per partition without retention. This is the
+    * effort-bounded-emission stress harness: total output can exceed
+    * executor memory many times over and the job must still complete,
+    * because every stage streams chunks through its partition iterator
+    * (see [[DeltaEngine.BoundedStage]]). [[enumerateAgg]] is the fast path
+    * that SKIPS row materialization; this deliberately does not. */
+  def enumerateRowCount(edges: DataFrame, motif: Seq[(Int, Int)],
+                        predicates: Seq[Pred] = Nil, numParts: Int = -1,
+                        hotKeys: Int = -1): Long =
+    withState(edges, motif, predicates, numParts, hotKeys) {
+      (engine, shards, hot, dp, e) =>
+        engine.enumerateInternalRows(shards, hot, dp, e)
+          .mapPartitions { it =>
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            Iterator.single(n)
+          }
+          .fold(0L)(_ + _)
+    }
+
   /** Count-only enumeration: one row (n = distinct bindings, total = net
     * Z-set weight) without materializing any match. */
   def enumerateAgg(edges: DataFrame, motif: Seq[(Int, Int)],

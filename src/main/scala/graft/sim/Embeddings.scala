@@ -90,7 +90,12 @@ object Embeddings {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = corpus.where(col(idCol) < nCells)
+    // the nCells SMALLEST ids (not `id < nCells`, which silently under-fills
+    // the quantizer on sparse/offset id spaces): rank + limit, one pass
+    val cw = Window.orderBy(col(idCol).asc)
+    val cent = corpus.select(col(idCol), col(vecCol))
+      .withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
     // inverted lists: every corpus vector joins its single nearest cell
     val aw = Window.partitionBy("cand_id")
@@ -119,6 +124,80 @@ object Embeddings {
       .withColumn("rank", row_number().over(rw))
       .where(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding scaled to 64-bit integers (floor(x·2^20 + 0.5)): the exact,
+    * order-independent arithmetic domain for [[ivfTopKKMeans]]. */
+  def toIntVec(c: Column, scale: Double = 1048576.0): Column =
+    transform(c, x => floor(x.cast("double") * scale + 0.5).cast("long"))
+
+  /** Squared L2 distance between two integer vectors (exact, long). */
+  def dist2Int(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** IVF top-k with a TRAINED coarse quantizer: fixed-iteration Lloyd's
+    * k-means run entirely in scaled-INTEGER arithmetic, so training and
+    * search are deterministic and bit-exactly reproducible in SQL (the
+    * driver oracle replays the same iterations in DuckDB) while recall at a
+    * fixed nProbe improves over [[ivfTopK]]'s untrained member-centroids on
+    * clustered corpora (pinned by EmbeddingsSpec on a planted-cluster
+    * fixture).
+    *
+    * Determinism: embeddings → floor(x·2^20 + 0.5) longs; distances are
+    * exact long sums (order-independent); per-coordinate means are
+    * floor(sum/count) with the one double division exact below 2^53;
+    * assignment/probe/rank ties break on the lowest cell / candidate id.
+    * Scale shape unchanged from ivfTopK: tiny centroid broadcast, one
+    * corpus scan per iteration + one per assignment, per-query rerank work
+    * ~|corpus|·nProbe/nCells. Cells that lose all members keep their
+    * previous centroid. Output: (query_id, cand_id, dist, rank) with dist
+    * the exact integer squared L2 (ascending = most similar first). */
+  def ivfTopKKMeans(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nCells: Int = 8, nProbe: Int = 2, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusInt = corpus.select(col(idCol).as("cand_id"), toIntVec(col(vecCol)).as("cv"))
+    // init: the nCells smallest-id vectors, cells renumbered 0..nCells-1
+    val cw = Window.orderBy(col("cand_id").asc)
+    var cent = corpusInt
+      .withColumn("crn", row_number().over(cw)).where(col("crn") <= nCells)
+      .select((col("crn") - 1).cast("long").as("cell"), col("cv").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val aw = Window.partitionBy("cand_id").orderBy(col("dist").asc, col("cell").asc)
+      val assigned = corpusInt.join(broadcast(cent))
+        .withColumn("dist", dist2Int(col("cv"), col("cvec")))
+        .withColumn("arn", row_number().over(aw)).where(col("arn") === 1)
+        .select(col("cell"), col("cv"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("nvec"))
+      cent = cent.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+        .localCheckpoint() // nCells rows; keeps the iteration plan flat
+    }
+    val aw = Window.partitionBy("cand_id").orderBy(col("dist").asc, col("cell").asc)
+    val assigned = corpusInt.join(broadcast(cent))
+      .withColumn("dist", dist2Int(col("cv"), col("cvec")))
+      .withColumn("arn", row_number().over(aw)).where(col("arn") === 1)
+      .select(col("cand_id"), col("cv"), col("cell"))
+    val pw = Window.partitionBy("query_id").orderBy(col("pdist").asc, col("cell").asc)
+    val probes = queries.select(col(idCol).as("query_id"), toIntVec(col(vecCol)).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("pdist", dist2Int(col("qv"), col("cvec")))
+      .withColumn("prn", row_number().over(pw)).where(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val rw = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("dist", dist2Int(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rw)).where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
         col("rank").cast("long").as("rank"))
   }
 

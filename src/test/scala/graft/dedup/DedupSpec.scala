@@ -58,6 +58,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 
+  private def runPrefix(cap: Long, threshold: Double = 0.3): Set[(Long, Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      corpus.map { case (id, t) => Row(id, t) }.asJava, docSchema)
+    Dedup.jaccardPairsPrefix(df, "id", "text", n = 3, threshold = threshold,
+        maxShingleFreq = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("prefix-filtered jaccard == naive jaccard (uncapped and capped)") {
+    for (cap <- Seq(0L, 5L)) {
+      assert(runPrefix(cap) == run(cap), s"cap=$cap")
+      assert(runPrefix(cap) == expectedPairs(corpus, 3, 0.3, cap), s"cap=$cap mirror")
+    }
+  }
+
+  test("prefix-filtered jaccard == naive on a random corpus at several thresholds") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(97L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val bases = (0 until 60).map { _ =>
+      (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // 60 random docs + 10 planted near-dups of the first ten
+    val all = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      (0 until 10).map(i => (100L + i, bases(i) + " extra"))
+    val df = spark.createDataFrame(
+      all.map { case (id, t) => Row(id, t) }.asJava, docSchema)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.jaccardPairs(df, "id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.jaccardPairsPrefix(df, "id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == naive, s"threshold=$t")
+      if (t <= 0.5) assert(naive.nonEmpty) // the planted near-dups are found
+    }
+  }
+
   test("uncapped: hot shingle creates cross-cluster candidate pairs") {
     val got = run(0L)
     assert(got == expectedPairs(corpus, 3, 0.3, 0L))

@@ -54,4 +54,98 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.map(_.getDouble(2)).max <= exact(qid) + 1e-12)
     }
   }
+
+  // ---- trained (k-means) IVF ----
+
+  /** Clustered corpus: `nClusters` well-separated centers, docs = center +
+    * small noise. `skewedInit=true` places the first nCells docs (the
+    * quantizer's init vectors) all inside cluster 0 — the adversarial init
+    * that an UNTRAINED member-centroid quantizer cannot recover from. */
+  private def clustered(n: Int, nClusters: Int, seed: Long,
+                        skewedInit: Boolean, initK: Int) = {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.tabulate(nClusters, dim)((c, d) =>
+      math.sin(c * 3.7 + d * 1.3).toFloat) // fixed, well-separated
+    def point(cl: Int): Seq[Float] =
+      (0 until dim).map(d => centers(cl)(d) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val rows = (0 until n).map { i =>
+      val cl =
+        if (i < initK) { if (skewedInit) 0 else i % nClusters }
+        else i % nClusters
+      Row(i.toLong, point(cl))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  /** Exact integer-L2 top-k ground truth, computed in plain Scala with the
+    * same floor(x·2^20 + 0.5) scaling the engine uses. */
+  private def intTopK(df: org.apache.spark.sql.DataFrame, nQ: Int, k: Int): Map[Long, Seq[Long]] = {
+    val vecs = df.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray
+    }.toMap
+    (0L until nQ.toLong).map { q =>
+      val qv = vecs(q)
+      val ranked = vecs.toSeq.filter(_._1 != q).map { case (id, v) =>
+        var s = 0L; var i = 0
+        while (i < v.length) { val d = qv(i) - v(i); s += d * d; i += 1 }
+        (id, s)
+      }.sortBy(t => (t._2, t._1)).take(k).map(_._1)
+      q -> ranked
+    }.toMap
+  }
+
+  private def recallOf(got: Array[Row], truth: Map[Long, Seq[Long]], k: Int): Double = {
+    val byQ = got.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val scores = truth.map { case (q, t) =>
+      t.toSet.intersect(byQ.getOrElse(q, Set.empty)).size.toDouble / k
+    }
+    scores.sum / scores.size
+  }
+
+  test("k-means IVF with nProbe = nCells == exhaustive integer top-k") {
+    val c = clustered(90, 6, 11L, skewedInit = false, initK = 6)
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 12)
+    val got = Embeddings.ivfTopKKMeans(q, c, k = 4, nCells = 6, nProbe = 6, iters = 2)
+      .collect()
+    val truth = intTopK(c, 12, 4)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq == truth(qid),
+        s"query $qid")
+    }
+  }
+
+  test("training recovers from a skewed init: recall(iters=2) > recall(iters=0)") {
+    // all 6 init vectors inside cluster 0 — member-centroids (iters=0) can
+    // only serve cluster-0 geometry; two Lloyd's iterations must spread the
+    // centroids enough to beat it at the same nProbe
+    val c = clustered(120, 6, 13L, skewedInit = true, initK = 6)
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 24)
+    val truth = intTopK(c, 24, 4)
+    val untrained = recallOf(
+      Embeddings.ivfTopKKMeans(q, c, k = 4, nCells = 6, nProbe = 2, iters = 0).collect(),
+      truth, 4)
+    val trained = recallOf(
+      Embeddings.ivfTopKKMeans(q, c, k = 4, nCells = 6, nProbe = 2, iters = 2).collect(),
+      truth, 4)
+    assert(trained > untrained,
+      s"trained recall $trained should beat untrained $untrained")
+    assert(trained >= 0.8, s"trained recall $trained below 0.8")
+  }
+
+  test("k-means IVF is deterministic across runs and partitionings") {
+    val c = clustered(80, 5, 17L, skewedInit = false, initK = 5)
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 8)
+    def run() = Embeddings.ivfTopKKMeans(q, c, k = 3, nCells = 5, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    assert(run() == run())
+    val rep = Embeddings.ivfTopKKMeans(q, c.repartition(7), k = 3, nCells = 5,
+      nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    assert(rep == run())
+  }
 }
