@@ -166,16 +166,20 @@ object TrainingQueries {
           element_at(col("sh"), 4).as("b3"))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs2(s, dir), "doc_id", "text", maxHamming = 6)),
-    // prefix-filtered (AllPairs) form: same output as Dedup.jaccardPairs
-    // (equality pinned in DedupSpec) at a fraction of the candidate pairs —
-    // the oracle below remains the naive inverted-index formulation
+    // inverted-index form. The AllPairs prefix-filtered variant
+    // (Dedup.jaccardPairsPrefix, identical output, DedupSpec-pinned) was
+    // MEASURED SLOWER on this corpus shape (21-26s vs 12.4s at sf0.1:
+    // near-unique synthetic text keeps per-shingle df at 1-2, so the naive
+    // candidate aggregation is already ~linear while prefix verification
+    // ships full shingle arrays through two joins) — it is the right form
+    // only when duplication makes Σ df² superlinear; see BASELINE.md.
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsPrefix(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.jaccardPairs(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     // document-frequency cut: the corpus-wide planted phrase is dropped
     // from the inverted index, so the hot shingle never joins
     "ngram_jaccard_pairs_capped" -> ((s, dir) =>
-      Dedup.jaccardPairsPrefix(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
+      Dedup.jaccardPairs(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
           maxShingleFreq = 100L)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 

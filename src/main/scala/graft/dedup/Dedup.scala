@@ -155,8 +155,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
     * family, published in Bayardo et al. WWW'07): IDENTICAL output to
-    * [[jaccardPairs]] — including the `maxShingleFreq` capped semantics —
-    * at a fraction of the join+aggregation work.
+    * [[jaccardPairs]] — including the `maxShingleFreq` capped semantics.
+    *
+    * WHEN TO USE WHICH: this form pays a per-candidate verification that
+    * ships both docs' shingle arrays; it wins when duplication is heavy
+    * enough that the naive form's Σ df(s)² candidate aggregation goes
+    * superlinear (real web corpora with boilerplate and near-dup clusters).
+    * On corpora of near-unique text (per-shingle df ≈ 1-2, e.g. the sandbox
+    * synthetic corpus) the naive aggregation is already ~linear and
+    * MEASURED FASTER (12.4s vs 21-26s at sf0.1) — keep [[jaccardPairs]]
+    * there. Both are exact; DedupSpec pins their equality.
     *
     * Shingles get a global canonical order (document frequency asc, shingle
     * asc — rarest first); a doc whose surviving shingle set has size m
@@ -172,33 +180,34 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5,
                          maxShingleFreq: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
-    val invAll = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
-      .localCheckpoint() // feeds df-count + both join sides (see minhashPairs)
-    val dfc = invAll.groupBy("s").agg(count(lit(1)).as("_df"))
-    val inv =
-      if (maxShingleFreq <= 0L) invAll.join(dfc, "s")
-      else invAll.join(dfc.where(col("_df") <= maxShingleFreq), "s")
-    val ord = Window.partitionBy("id").orderBy(col("_df").asc, col("s").asc)
-    val ranked = inv
-      .withColumn("rk", row_number().over(ord))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("id")))
-      .localCheckpoint() // feeds the prefix index AND the per-doc sets
-    val pre = ranked
-      .where(col("rk") <= col("m") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("id"), col("s"))
+    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    val dfc = inv.groupBy("s").agg(count(lit(1)).as("_df"))
+    val kept =
+      if (maxShingleFreq <= 0L) inv.join(dfc, "s")
+      else inv.join(dfc.where(col("_df") <= maxShingleFreq), "s")
+    // ONE aggregation per doc; the canonical (df asc, shingle asc) order is
+    // established ROW-LOCALLY by sorting the collected (df, s) structs — no
+    // window sorts, no second shuffle over the inverted index
+    val docSets = kept.groupBy(col("id"), col("nsh"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("s")))).as("ord"))
+      .withColumn("ss", transform(col("ord"), e => e.getField("s")))
+      .withColumn("plen",
+        greatest(lit(0L),
+          size(col("ord")) - ceil(lit(threshold) * col("nsh")) + 1).cast("int"))
+      .select(col("id"), col("nsh"), col("ss"),
+        slice(col("ss"), lit(1), col("plen")).as("pre"))
+      .localCheckpoint() // feeds the prefix index AND both verify sides
+    val pre = docSets.select(col("id"), explode(col("pre")).as("s"))
     val cand = pre.select(col("id").as("id_a"), col("s"))
       .join(pre.select(col("id").as("id_b"), col("s")), "s")
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = ranked.groupBy(col("id"), col("nsh"))
-      .agg(sort_array(collect_list(col("s"))).as("ss"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("nsh").as("na"), col("ss").as("sa")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("nsh").as("nb"), col("ss").as("sb")), "id_b")
+      .join(docSets.select(col("id").as("id_a"), col("nsh").as("na"), col("ss").as("sa")), "id_a")
+      .join(docSets.select(col("id").as("id_b"), col("nsh").as("nb"), col("ss").as("sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

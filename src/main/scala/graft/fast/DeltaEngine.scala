@@ -453,30 +453,34 @@ final class DeltaEngine(
           val h = hot.value
           val d = dp.value
           new BoundedStage(np, it) {
-            protected def process(block: Array[Long], off: Int): Int = {
-              val rel = block(off).toInt
-              val w = block(off + 1)
-              var minDeg = block(off + 2)
-              var minExt = block(off + 3).toInt
-              val pOff = off + 4
-              val cs = stages(rel)
-              if (i < cs.size) {
-                val cst = cs(i)
-                val deg = engine.degAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
-                  cst.forward, cst.inclusive)
-                if (deg < minDeg) { minDeg = deg; minExt = i }
+            protected def processSome(block: Array[Long], off0: Int): Int = {
+              var off = off0
+              while (off < block.length && bb.completedChunks == 0) {
+                val rel = block(off).toInt
+                val w = block(off + 1)
+                var minDeg = block(off + 2)
+                var minExt = block(off + 3).toInt
+                val pOff = off + 4
+                val cs = stages(rel)
+                if (i < cs.size) {
+                  val cst = cs(i)
+                  val deg = engine.degAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
+                    cst.forward, cst.inclusive)
+                  if (deg < minDeg) { minDeg = deg; minExt = i }
+                }
+                if (!last) {
+                  val pid = engine.countPid(stages, h, rel, block, pOff, pLen, s, i + 1)
+                  putPfx(bb, pid, rel, w, minDeg, minExt, block, pOff, pLen)
+                } else if (minDeg > 0L) { // pruneZero (net multiplicities non-negative)
+                  // route for the propose lookup on the argmin extender's key
+                  val k = block(pOff + cs(minExt).prefixPos)
+                  val key = engine.routeKeyAt(k, h, block, pOff, pLen, s * 7 + 5)
+                  putPfx(bb, DeltaEngine.partOf(key, np), rel, w, minDeg, minExt,
+                    block, pOff, pLen)
+                }
+                off += rec
               }
-              if (!last) {
-                val pid = engine.countPid(stages, h, rel, block, pOff, pLen, s, i + 1)
-                putPfx(bb, pid, rel, w, minDeg, minExt, block, pOff, pLen)
-              } else if (minDeg > 0L) { // pruneZero (net multiplicities non-negative)
-                // route for the propose lookup on the argmin extender's key
-                val k = block(pOff + cs(minExt).prefixPos)
-                val key = engine.routeKeyAt(k, h, block, pOff, pLen, s * 7 + 5)
-                putPfx(bb, DeltaEngine.partOf(key, np), rel, w, minDeg, minExt,
-                  block, pOff, pLen)
-              }
-              rec
+              off
             }
           }
         }
@@ -491,22 +495,26 @@ final class DeltaEngine(
         val h = hot.value
         val d = dp.value
         new BoundedStage(np, it) {
-          protected def process(block: Array[Long], off: Int): Int = {
-            val rel = block(off).toInt
-            val w = block(off + 1)
-            val minExt = block(off + 3).toInt
-            val pOff = off + 4
-            val cst = stages(rel)(minExt)
-            val (vs, ws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
-              cst.forward, cst.inclusive)
-            val (from, until) = engine.sliceRangeAt(rel, pLen + 1, block, pOff, vs)
-            if (until > from) {
-              val pid =
-                if (maxE >= 2) engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, 0)
-                else curPid
-              putProp(bb, pid, rel, w, minExt, block, pOff, pLen, vs, ws, from, until)
+          protected def processSome(block: Array[Long], off0: Int): Int = {
+            var off = off0
+            while (off < block.length && bb.completedChunks == 0) {
+              val rel = block(off).toInt
+              val w = block(off + 1)
+              val minExt = block(off + 3).toInt
+              val pOff = off + 4
+              val cst = stages(rel)(minExt)
+              val (vs, ws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
+                cst.forward, cst.inclusive)
+              val (from, until) = engine.sliceRangeAt(rel, pLen + 1, block, pOff, vs)
+              if (until > from) {
+                val pid =
+                  if (maxE >= 2) engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, 0)
+                  else curPid
+                putProp(bb, pid, rel, w, minExt, block, pOff, pLen, vs, ws, from, until)
+              }
+              off += rec
             }
-            rec
+            off
           }
         }
       }
@@ -539,31 +547,35 @@ final class DeltaEngine(
           val h = hot.value
           val d = dp.value
           new BoundedStage(np, it) {
-            protected def process(block: Array[Long], off: Int): Int = {
-              val rel = block(off).toInt
-              val w = block(off + 1)
-              val minExt = block(off + 2).toInt
-              val pOff = off + 3
-              val ncOff = pOff + pLen
-              val nc = block(ncOff).toInt
-              val cOff = ncOff + 1
-              val wOff = cOff + nc
-              val cs = stages(rel)
-              if (j < cs.size - 1) {
-                val o = if (j < minExt) j else j + 1
-                val cst = cs(o)
-                val (avs, aws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
-                  cst.forward, cst.inclusive)
-                val (nvs, nws) = DeltaEngine.intersectRunsAt(block, cOff, wOff, nc, avs, aws)
-                if (nvs.length > 0) {
+            protected def processSome(block: Array[Long], off0: Int): Int = {
+              var off = off0
+              while (off < block.length && bb.completedChunks == 0) {
+                val rel = block(off).toInt
+                val w = block(off + 1)
+                val minExt = block(off + 2).toInt
+                val pOff = off + 3
+                val ncOff = pOff + pLen
+                val nc = block(ncOff).toInt
+                val cOff = ncOff + 1
+                val wOff = cOff + nc
+                val cs = stages(rel)
+                if (j < cs.size - 1) {
+                  val o = if (j < minExt) j else j + 1
+                  val cst = cs(o)
+                  val (avs, aws) = engine.adjAt(preSh, postSh, h, d, block(pOff + cst.prefixPos),
+                    cst.forward, cst.inclusive)
+                  val (nvs, nws) = DeltaEngine.intersectRunsAt(block, cOff, wOff, nc, avs, aws)
+                  if (nvs.length > 0) {
+                    val pid = engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, j + 1)
+                    putProp(bb, pid, rel, w, minExt, block, pOff, pLen, nvs, nws, 0, nvs.length)
+                  }
+                } else {
                   val pid = engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, j + 1)
-                  putProp(bb, pid, rel, w, minExt, block, pOff, pLen, nvs, nws, 0, nvs.length)
+                  putPropFromBlock(bb, pid, rel, w, minExt, block, pOff, pLen, block, cOff, wOff, nc)
                 }
-              } else {
-                val pid = engine.isectPid(stages, h, rel, minExt, block, pOff, pLen, s, j + 1)
-                putPropFromBlock(bb, pid, rel, w, minExt, block, pOff, pLen, block, cOff, wOff, nc)
+                off = wOff + nc
               }
-              wOff + nc - off
+              off
             }
           }
         }
@@ -1235,6 +1247,10 @@ object DeltaEngine {
     }
     def off(pid: Int): Int = lens(pid)
     def advance(pid: Int, n: Int): Unit = lens(pid) += n
+    /** Chunks completed and not yet drained — stages use this as their
+      * yield criterion (process until ≥1 chunk is ready, then hand it to
+      * the consumer). */
+    def completedChunks: Int = done.size
     /** Hands over the chunks completed so far (ownership transfers to the
       * caller; internal queue is cleared). Allocation-free when empty. */
     def drain(): Iterator[(Int, Array[Long])] =
@@ -1258,20 +1274,25 @@ object DeltaEngine {
     }
   }
 
-  /** Effort-bounded stage emission over packed-block input: decodes one
-    * record at a time and yields completed output chunks as they fill, so a
-    * task's live memory is bounded by `np` partial chunks + one record's
-    * output regardless of total stage size — the Spark analog of the
-    * reference's bounded activation loop, which retires ≤4096 queued records
-    * per activation precisely so full enumerations whose output exceeds
-    * memory still complete (/root/reference/src/extender.rs:259-262,
+  /** Effort-bounded stage emission over packed-block input: the stage
+    * processes records and yields completed output chunks as they fill, so
+    * a task's live memory is bounded by `np` partial chunks + ~1 completed
+    * chunk + one record's output regardless of total stage size — the Spark
+    * analog of the reference's bounded activation loop, which retires ≤4096
+    * queued records per activation precisely so full enumerations whose
+    * output exceeds memory still complete
+    * (/root/reference/src/extender.rs:259-262,
     * /root/reference/static_graph/src/lib.rs:106-118). Spark's shuffle
     * writer consumes this iterator record-by-record, streaming each
     * completed chunk to the shuffle file before the next is built.
     *
-    * Subclasses implement [[process]]: handle the record at `block(off)`,
-    * append output to [[bb]], return the record's length in longs. No
-    * per-record allocation is imposed by the harness. */
+    * Subclasses implement [[processSome]]: starting at `block(off)`, decode
+    * records in the subclass's OWN tight loop until the block is exhausted
+    * or `bb.completedChunks > 0`, then return the new offset. The loop
+    * lives in the subclass so the per-record path stays monomorphic and
+    * JIT-inlined — a per-RECORD virtual `process` call here was measured
+    * costing 2× end-to-end at low core counts (the dispatch boundary is now
+    * crossed once per 256KB output chunk, not once per record). */
   private[fast] abstract class BoundedStage(np: Int, input: Iterator[(Int, Array[Long])])
       extends Iterator[(Int, Array[Long])] {
     protected val bb = new BlockBuf(np)
@@ -1281,12 +1302,13 @@ object DeltaEngine {
     private var off = 0
     private var pending: Iterator[(Int, Array[Long])] = Iterator.empty
     private var finished = false
-    /** Process one record; return its length (longs consumed at `off`). */
-    protected def process(block: Array[Long], off: Int): Int
+    /** Process records from `off` until block end or a chunk completes;
+      * return the new offset. */
+    protected def processSome(block: Array[Long], off: Int): Int
     final def hasNext: Boolean = {
       while (!pending.hasNext && !finished) {
         if (block != null && off < block.length) {
-          off += process(block, off)
+          off = processSome(block, off)
           pending = bb.drain()
         } else if (input.hasNext) {
           val kv = input.next()
@@ -1315,8 +1337,14 @@ object DeltaEngine {
       private var finished = false
       def hasNext: Boolean = {
         while (!pending.hasNext && !finished) {
-          if (input.hasNext) { process(input.next(), bb); pending = bb.drain() }
-          else { finished = true; pending = bb.result() }
+          if (input.hasNext) {
+            // several elements per drain round (until a chunk completes):
+            // keeps the dispatch overhead per element amortized while the
+            // live-output bound stays ~1 chunk + one element's output
+            while (input.hasNext && bb.completedChunks == 0)
+              process(input.next(), bb)
+            pending = bb.drain()
+          } else { finished = true; pending = bb.result() }
         }
         pending.hasNext
       }

@@ -157,15 +157,38 @@ final class SpillConsolidator(n: Int, maxEntries: Int) {
 }
 
 object SpillConsolidator {
-  /** In-memory entry cap before a sorted run is spilled. ~120B/entry for
-    * 3-attribute motifs, so the default (2^21) bounds a reduce task's map at
-    * ~250MB. Override with `spark.graft.consolidate.maxEntries` (session
-    * conf — propagated to executors) for tests or tighter heaps. */
+  /** In-memory entry cap before a sorted run is spilled, HEAP-AWARE:
+    * heap/(2·cores) bytes per task at ~96B/entry (clamped to [2^20, 2^24]),
+    * so a task only pays the sort+spill+merge once its map is a real
+    * fraction of its fair heap share. A fixed low cap was measured costing
+    * 2× end-to-end at 2 cores (few partitions → millions of entries per
+    * reduce task → every batch spilled needlessly while the 48g heap sat
+    * idle). Override with `spark.graft.consolidate.maxEntries` (session
+    * conf — propagated to executors) for tests or special shapes. */
   def defaultMaxEntries: Int = {
     val env = org.apache.spark.SparkEnv.get
     val conf = if (env != null) env.conf.getOption("spark.graft.consolidate.maxEntries") else None
     conf.orElse(sys.props.get("spark.graft.consolidate.maxEntries"))
-      .map(_.toInt).getOrElse(1 << 21)
+      .map(_.toInt)
+      .getOrElse {
+        // concurrent TASK SLOTS in this JVM, not machine processors: a
+        // local[2] session on a 32-CPU box runs 2 reduce tasks, so each may
+        // use half the heap share — sizing by CPU count made those tasks
+        // spill at 1/16 of their fair share (measured: a needless multi-
+        // second sort per partition per batch at 2 cores)
+        val rt = Runtime.getRuntime
+        val procs = math.max(1, rt.availableProcessors())
+        val slots =
+          (if (env != null) env.conf.getOption("spark.master") else None) match {
+            case Some(m) if m.startsWith("local[") =>
+              val n = m.stripPrefix("local[").takeWhile(c => c != ']' && c != ',')
+              if (n == "*") procs else n.toIntOption.getOrElse(procs)
+            case _ =>
+              if (env != null) env.conf.getInt("spark.executor.cores", procs) else procs
+          }
+        val perTask = rt.maxMemory() / (2L * math.max(1, slots))
+        math.max(1 << 20, math.min(1 << 24, (perTask / 96L).toInt))
+      }
   }
 
   private def spillDir: File = {

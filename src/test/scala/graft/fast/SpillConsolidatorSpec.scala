@@ -74,15 +74,64 @@ class SpillConsolidatorSpec extends AnyFunSuite with SparkTestBase {
       (0, Array(i.toLong, 0L, 0L))
     }
     val stage = new DeltaEngine.BoundedStage(2, blocks) {
-      protected def process(block: Array[Long], off: Int): Int = {
-        bb.reserve(1, 32768); bb.advance(1, 32768)
-        3
+      protected def processSome(block: Array[Long], off0: Int): Int = {
+        var off = off0
+        while (off < block.length && bb.completedChunks == 0) {
+          bb.reserve(1, 32768); bb.advance(1, 32768)
+          off += 3
+        }
+        off
       }
     }
     val first = stage.next()
     assert(first._1 == 1)
     assert(consumed <= 3, s"consumed=$consumed")
     assert(stage.size == 49 && consumed == 50)
+  }
+
+  test("planted hub-edge batch: huge per-batch delta set absorbs with bounded memory") {
+    // a hub node connected to everything: every streamed edge (a,b) between
+    // hub neighbors closes triangles through the hub, so a modest batch
+    // explodes into a delta set far larger than the batch — the streaming
+    // OOM shape. Forced-tiny consolidation cap ⇒ every reduce task spills;
+    // output must still equal the DataFrame engine.
+    val prev = sys.props.get("spark.graft.consolidate.maxEntries")
+    sys.props("spark.graft.consolidate.maxEntries") = "16"
+    try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("src", LongType),
+        StructField("dst", LongType), StructField("w", LongType)))
+      def df(edges: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+        edges.map(e => Row(e._1, e._2, e._3)).asJava, schema)
+      val hub = 0L
+      val n = 120
+      val preload = (1 to n).flatMap(i =>
+        Seq((hub, i.toLong, 1L), (i.toLong, hub, 1L)))
+      val rnd = new scala.util.Random(83L)
+      val batch = (0 until 300).map { _ =>
+        var a = 0L; var b = 0L
+        while (a == b) { a = 1L + rnd.nextInt(n); b = 1L + rnd.nextInt(n) }
+        (a, b, 1L)
+      }
+      val slow = new GraphState(spark, Planner.triangle)
+      val fast = new FastGraphState(spark, Planner.triangle, numParts = 4)
+      slow.initialize(df(preload)); fast.initialize(df(preload))
+      val expect = slow.applyBatch(0L, df(batch)).collect()
+        .map(_.toSeq.map(_.asInstanceOf[Long])).sortBy(_.mkString(","))
+      val got = fast.applyBatch(0L, df(batch)).collect()
+        .map(_.toSeq.map(_.asInstanceOf[Long])).sortBy(_.mkString(","))
+      assert(got.length == expect.length && got.toSeq == expect.toSeq)
+      // the stress is real: deltas ≫ batch rows
+      assert(expect.length > 3 * batch.size)
+      slow.close(); fast.close()
+    } finally {
+      prev match {
+        case Some(v) => sys.props("spark.graft.consolidate.maxEntries") = v
+        case None => sys.props.remove("spark.graft.consolidate.maxEntries")
+      }
+    }
   }
 
   test("fast engine matches the DataFrame engine under a forced-tiny spill cap") {
