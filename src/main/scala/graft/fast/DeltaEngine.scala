@@ -1191,15 +1191,29 @@ object DeltaEngine {
   /** Selects the `hotK` largest adjacencies (by stored row count) from the
     * shards as the hot-hub replica — used at initialize / recover /
     * compaction and by batch enumeration. Membership is a perf heuristic
-    * only; replica CONTENT is always exact. */
-  def buildHot(shards: RDD[Shard.T], hotK: Int): HotMap = {
+    * only; replica CONTENT is always exact.
+    *
+    * `maxBytes` bounds the DRIVER-side rebuild spike (and the broadcast):
+    * hub keys are admitted largest-first until their estimated stored size
+    * (~32B per (v,w) pair across both directions) exhausts the budget —
+    * at LiveJournal-scale hubs an unbounded top-K collect was a multi-GB
+    * driver allocation per compaction. Keys that miss the cut simply stay
+    * shard-served (correct, just not scatter-routed). */
+  def buildHot(shards: RDD[Shard.T], hotK: Int,
+               maxBytes: Long = 512L << 20): HotMap = {
     val m = new HotMap()
     if (hotK <= 0) return m
     val top = shards.flatMap(_.iterator.map { case (k, adj) =>
         (k, adj.fwdVs.length + adj.revVs.length)
       }).top(hotK)(Ordering.by(_._2))
-    val keys = top.map(_._1).toSet
-    val entries = shards.flatMap(_.iterator.filter(e => keys.contains(e._1))).collect()
+    var pairBudget = math.max(1L, maxBytes / 32)
+    val keys = scala.collection.mutable.HashSet.empty[Long]
+    top.foreach { case (k, n) =>
+      if (n <= pairBudget) { keys += k; pairBudget -= n }
+    }
+    if (keys.isEmpty) return m
+    val keySet = keys.toSet
+    val entries = shards.flatMap(_.iterator.filter(e => keySet.contains(e._1))).collect()
     entries.foreach { case (k, adj) => m.put(k, adj) }
     m
   }
