@@ -187,6 +187,26 @@ object SparkEntry {
         .drop("sess_id")
     }),
 
+    // ---- CEP sequence detection [north: CEP engine surface] ----
+    // contiguous view→click→purchase runs per user within 24h, the batch
+    // form of graft.streaming.Patterns (its fMGWS streaming twin is pinned
+    // equal in PatternsSpec)
+    "cep_pattern_seq" -> ((s, dir) =>
+      graft.streaming.Patterns.detectBatch(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id").as("key"), col("ts"),
+            col("event_id").as("ev_id"), col("event_type").as("tag")),
+        Seq("view", "click", "purchase"), maxSpanMs = 24L * 3600 * 1000)),
+    // negation form: signups with no purchase within 24h (the
+    // request-without-response shape; streaming twin emits on watermark
+    // passing the deadline — PatternsSpec)
+    "cep_absence" -> ((s, dir) =>
+      graft.streaming.Patterns.detectAbsenceBatch(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id").as("key"), col("ts"),
+            col("event_id").as("ev_id"), col("event_type").as("tag")),
+        a = "signup", b = "purchase", withinMs = 24L * 3600 * 1000)),
+
     // ---- turn-ordering adjacency derivation (SURVEY.md §1.4) ----
     "adjacency_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -318,6 +338,20 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked) " +
         "SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end, " +
         "count(*) AS n_events FROM sess GROUP BY user_id, sess_id"),
+    "cep_pattern_seq" ->
+      ("WITH e AS (SELECT user_id AS key, ts, event_id AS ev_id, event_type AS tag FROM events), " +
+        "led AS (SELECT key, ts, ev_id, tag, lead(tag, 1) OVER w AS tag_1, " +
+        "lead(tag, 2) OVER w AS tag_2, lead(ts, 2) OVER w AS ts_2 FROM e " +
+        "WINDOW w AS (PARTITION BY key ORDER BY ts, ev_id)) " +
+        "SELECT key, ts AS start_ts, ts_2 AS end_ts, ev_id AS start_id FROM led " +
+        "WHERE tag = 'view' AND tag_1 = 'click' AND tag_2 = 'purchase' " +
+        "AND epoch_us(ts_2) - epoch_us(ts) <= CAST(86400 AS BIGINT) * 1000000"),
+    "cep_absence" ->
+      ("WITH e AS (SELECT user_id AS key, ts, event_id AS ev_id, event_type AS tag FROM events), " +
+        "m AS (SELECT key, ts, ev_id, tag, min(CASE WHEN tag = 'purchase' THEN epoch_us(ts) END) OVER " +
+        "(PARTITION BY key ORDER BY ts, ev_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_us FROM e) " +
+        "SELECT key, ts AS start_ts, ev_id AS start_id FROM m " +
+        "WHERE tag = 'signup' AND (next_b_us IS NULL OR next_b_us > epoch_us(ts) + CAST(86400 AS BIGINT) * 1000000)"),
     "adjacency_lag" ->
       ("WITH nxt AS (SELECT event_type, lead(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) " +
