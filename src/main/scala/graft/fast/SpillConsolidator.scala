@@ -57,27 +57,35 @@ final class SpillConsolidator(n: Int, maxEntries: Int) {
   /** Number of spill files written so far (diagnostics / tests). */
   def spillCount: Int = spills.size
 
-  private def sortedEntries(): Array[(Array[Long], Long)] = {
-    val arr = new Array[(Array[Long], Long)](map.size())
+  private def spill(): Unit = {
+    // pack entries into one primitive buffer and sort an offset index with
+    // an inlined-comparison quicksort — a boxed-tuple TimSort here cost
+    // multi-second sorts per 4M-entry run (jstack-measured as the dominant
+    // executor state whenever consolidation spilled)
+    val rec = n + 1
+    val size = map.size()
+    val buf = new Array[Long](size * rec)
+    val idx = new Array[Int](size)
     val it = map.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
-      arr(i) = (e.getKey.unsafeArray.asInstanceOf[Array[Long]], e.getValue.longValue())
+      val k = e.getKey.unsafeArray.asInstanceOf[Array[Long]]
+      System.arraycopy(k, 0, buf, i * rec, n)
+      buf(i * rec + n) = e.getValue.longValue()
+      idx(i) = i * rec
       i += 1
     }
-    java.util.Arrays.sort(arr, SpillConsolidator.entryOrder)
-    arr
-  }
-
-  private def spill(): Unit = {
+    SpillConsolidator.sortOffsets(buf, idx, n)
     val f = File.createTempFile("graft-consolidate-", ".bin", SpillConsolidator.spillDir)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
     try {
-      sortedEntries().foreach { case (k, w) =>
-        var i = 0
-        while (i < n) { out.writeLong(k(i)); i += 1 }
-        out.writeLong(w)
+      i = 0
+      while (i < size) {
+        val off = idx(i)
+        var j = 0
+        while (j <= n) { out.writeLong(buf(off + j)); j += 1 }
+        i += 1
       }
     } finally out.close()
     spills += f
@@ -210,6 +218,59 @@ object SpillConsolidator {
     0
   }
 
-  private val entryOrder: java.util.Comparator[(Array[Long], Long)] =
-    (x: (Array[Long], Long), y: (Array[Long], Long)) => compareKeys(x._1, y._1)
+  /** Quicksort of record offsets into `buf`, ordering the n-long keys at
+    * each offset lexicographically (keys are hash-map distinct, so no
+    * equal-key runs; median-of-3 pivots guard the sorted/reversed cases).
+    * Primitive throughout — no per-comparison allocation or boxing. */
+  private[fast] def sortOffsets(buf: Array[Long], idx: Array[Int], n: Int): Unit = {
+    def cmp(a: Int, b: Int): Int = {
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Long.compare(buf(a + i), buf(b + i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+    def swap(i: Int, j: Int): Unit = { val t = idx(i); idx(i) = idx(j); idx(j) = t }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val v = idx(i)
+        var j = i - 1
+        while (j >= lo && cmp(idx(j), v) > 0) { idx(j + 1) = idx(j); j -= 1 }
+        idx(j + 1) = v
+        i += 1
+      }
+    }
+    def qsort(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (hi - lo > 24) {
+        val mid = lo + (hi - lo) / 2
+        // median-of-3 → pivot at hi
+        if (cmp(idx(mid), idx(lo)) < 0) swap(mid, lo)
+        if (cmp(idx(hi), idx(lo)) < 0) swap(hi, lo)
+        if (cmp(idx(hi), idx(mid)) < 0) swap(hi, mid)
+        swap(mid, hi - 1)
+        val pivot = idx(hi - 1)
+        var i = lo
+        var j = hi - 1
+        var done = false
+        while (!done) {
+          i += 1
+          while (cmp(idx(i), pivot) < 0) i += 1
+          j -= 1
+          while (cmp(idx(j), pivot) > 0) j -= 1
+          if (i >= j) done = true else swap(i, j)
+        }
+        swap(i, hi - 1)
+        // recurse on the smaller side, loop on the larger (bounded stack)
+        if (i - lo < hi - i) { qsort(lo, i - 1); lo = i + 1 }
+        else { qsort(i + 1, hi); hi = i - 1 }
+      }
+      insertion(lo, hi)
+    }
+    if (idx.length > 1) qsort(0, idx.length - 1)
+  }
 }

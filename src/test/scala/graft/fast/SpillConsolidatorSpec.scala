@@ -42,6 +42,28 @@ class SpillConsolidatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("offset quicksort == reference lexicographic sort (large random + adversarial)") {
+    val rnd = new scala.util.Random(19)
+    for ((n, size) <- Seq((3, 100000), (1, 50000), (5, 20000))) {
+      val rec = n + 1
+      // distinct keys (mirrors the hash-map source); sorted + reversed +
+      // random sections to poke pivot selection
+      val keys = (0 until size).map(i => Array.fill(n)(rnd.nextLong())).distinctBy(_.toSeq)
+      val ordered = keys.sortBy(_.toSeq)(math.Ordering.Implicits.seqOrdering)
+      for (arrangement <- Seq(keys, ordered, ordered.reverse)) {
+        val buf = new Array[Long](arrangement.size * rec)
+        val idx = new Array[Int](arrangement.size)
+        arrangement.zipWithIndex.foreach { case (k, i) =>
+          System.arraycopy(k, 0, buf, i * rec, n); buf(i * rec + n) = i.toLong
+          idx(i) = i * rec
+        }
+        SpillConsolidator.sortOffsets(buf, idx, n)
+        val got = idx.map(off => (0 until n).map(j => buf(off + j)).toSeq).toSeq
+        assert(got == ordered.map(_.toSeq), s"n=$n size=${arrangement.size}")
+      }
+    }
+  }
+
   test("no-spill fast path equals reference too") {
     val recs = Seq(Array(1L, 2L, 5L), Array(1L, 2L, -5L), Array(3L, 4L, 2L))
     val c = new SpillConsolidator(2, 1 << 20)
