@@ -215,6 +215,15 @@ object TrainingQueries {
         Multimodal.assetsFromText(docs(s, dir), "doc_id", "text"), partitions = 8)
       feats.toDF().select(col("asset_id"), col("modality"), col("n_bytes"),
         size(col("features")).cast("long").as("n_features"))
+    }),
+    // frame sampling: one row per sampled video frame (fan-out shape,
+    // per-frame timestamps, deterministic byte-range frames); integer
+    // columns oracle-exact, per-frame features spec-mirrored
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val frames = Multimodal.sampleFrames(
+        Multimodal.assetsFromText(docs(s, dir), "doc_id", "text"))
+      frames.toDF().select(col("asset_id"), col("frame_idx"), col("frame_ts_ms"),
+        col("n_bytes"), size(col("features")).cast("long").as("n_features"))
     })
   )
 
@@ -328,6 +337,14 @@ object TrainingQueries {
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
         "CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 64 END AS BIGINT) AS n_features " +
-        "FROM documents")
+        "FROM documents"),
+    "multimodal_frame_sample" ->
+      ("WITH v AS (SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS len " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT asset_id, len, g.f AS frame_idx FROM v, generate_series(0, 9) g(f) " +
+        "WHERE g.f % 3 = 0) " +
+        "SELECT asset_id, frame_idx, frame_idx * 100 AS frame_ts_ms, " +
+        "((frame_idx + 1) * len) // 10 - (frame_idx * len) // 10 AS n_bytes, " +
+        "CAST(16 AS BIGINT) AS n_features FROM f")
   )
 }

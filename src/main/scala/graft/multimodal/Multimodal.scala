@@ -91,6 +91,43 @@ object Multimodal {
       }
   }
 
+  /** One sampled video frame: the explode-shaped unit a training pipeline
+    * embeds per frame. */
+  final case class Frame(
+      asset_id: Long,
+      frame_idx: Long,
+      frame_ts_ms: Long,
+      n_bytes: Long,
+      features: Array[Float])
+
+  /** FRAME SAMPLING for video assets: of the asset's `nFrames` (from
+    * duration at `fps`), take every `stride`-th frame and emit ONE ROW PER
+    * FRAME — fan-out shape, per-frame timestamps, deterministic byte-range
+    * "frames" ([f·len/nFrames, (f+1)·len/nFrames) slices standing in for
+    * decoded frames; a real build swaps [[StubCodec]] for a video decoder
+    * without touching the fan-out). Load spreads by asset before the
+    * decode, exactly like [[extractFeatures]]. The integer columns
+    * (frame_idx, frame_ts_ms, n_bytes) are SQL-reproducible and drive the
+    * driver oracle; features are spec-mirrored in Scala. */
+  def sampleFrames(assets: Dataset[Asset], fps: Int = 10, stride: Int = 3,
+                   partitions: Int = 8): Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("modality") === "video")
+      .repartition(partitions, col("asset_id"))
+      .flatMap { a =>
+        val nFrames = math.max(1L, a.duration_ms * fps / 1000L)
+        val len = a.content.length.toLong
+        Iterator.range(0L, nFrames, stride.toLong).map { f =>
+          val from = (f * len / nFrames).toInt
+          val until = ((f + 1) * len / nFrames).toInt
+          val slice = java.util.Arrays.copyOfRange(a.content, from, until)
+          Frame(a.asset_id, f, f * 1000L / fps, (until - from).toLong,
+            StubCodec.imageFeatures(slice))
+        }
+      }
+  }
+
   /** Builds a deterministic asset table from any text table (payload =
     * UTF-8 bytes) — the sandbox stand-in for reading real media files. */
   def assetsFromText(docs: DataFrame, idCol: String, textCol: String): Dataset[Asset] = {
