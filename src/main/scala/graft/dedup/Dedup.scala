@@ -157,14 +157,17 @@ object Dedup {
     * family, published in Bayardo et al. WWW'07): IDENTICAL output to
     * [[jaccardPairs]] — including the `maxShingleFreq` capped semantics.
     *
-    * WHEN TO USE WHICH: this form pays a per-candidate verification that
-    * ships both docs' shingle arrays; it wins when duplication is heavy
-    * enough that the naive form's Σ df(s)² candidate aggregation goes
-    * superlinear (real web corpora with boilerplate and near-dup clusters).
-    * On corpora of near-unique text (per-shingle df ≈ 1-2, e.g. the sandbox
-    * synthetic corpus) the naive aggregation is already ~linear and
-    * MEASURED FASTER (12.4s vs 21-26s at sf0.1) — keep [[jaccardPairs]]
-    * there. Both are exact; DedupSpec pins their equality.
+    * WHEN TO USE WHICH (measured, `graft.tools.JaccardShape` +
+    * BASELINE.md round 4): this form wins — 3× at df=6000 and growing as
+    * df² — when heavy SUB-threshold boilerplate (site chrome, license
+    * headers) makes the naive form's Σ df(s)² candidate aggregation
+    * superlinear while few pairs actually qualify; unlike the
+    * `maxShingleFreq` df-cut it keeps the jaccard EXACT. The naive
+    * [[jaccardPairs]] wins on near-unique corpora (df ≈ 1-2, Σ df² already
+    * linear — the sandbox documents table) and when duplication is ABOVE
+    * threshold (quadratic true-pair output: nothing to prune, and count
+    * aggregation beats per-pair array verification). Both are exact;
+    * DedupSpec pins their equality.
     *
     * Shingles get a global canonical order (document frequency asc, shingle
     * asc — rarest first); a doc whose surviving shingle set has size m
