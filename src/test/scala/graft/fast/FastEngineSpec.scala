@@ -245,6 +245,35 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("distributed absorb with ordered predicates == broadcast absorb") {
+    val batches = randomBatches(20, 4, 45, seed = 79L)
+    val preds = GenericJoin.ordered(3)
+    val a = new FastGraphState(spark, Planner.triangle, numParts = 4, predicates = preds)
+    val b = new FastGraphState(spark, Planner.triangle, numParts = 4, predicates = preds)
+    for ((batch, id) <- batches.zipWithIndex) {
+      val r1 = sortedRows(a.applyBatch(id.toLong, df(batch)))
+      val r2 = sortedRows(
+        if (id % 2 == 1) b.applyBatchDistributed(id.toLong, df(batch))
+        else b.applyBatch(id.toLong, df(batch)))
+      assert(r1 == r2, s"batch=$id")
+    }
+    a.close(); b.close()
+  }
+
+  test("mirror off + ordered predicates: sharded-degree seed phase stays exact") {
+    val batches = randomBatches(22, 4, 45, seed = 89L)
+    val preds = GenericJoin.ordered(3)
+    val a = new FastGraphState(spark, Planner.triangle, numParts = 4, predicates = preds)
+    val b = new FastGraphState(spark, Planner.triangle, numParts = 4, predicates = preds,
+      driverDegrees = false)
+    for ((batch, id) <- batches.zipWithIndex) {
+      val r1 = sortedRows(a.applyBatch(id.toLong, df(batch)))
+      val r2 = sortedRows(b.applyBatch(id.toLong, df(batch)))
+      assert(r1 == r2, s"batch=$id")
+    }
+    a.close(); b.close()
+  }
+
   test("distributed absorb: single-edge motif (no extension stage)") {
     val batches = randomBatches(15, 3, 30, seed = 61L)
     val a = new FastGraphState(spark, Seq((0, 1)), numParts = 3)
