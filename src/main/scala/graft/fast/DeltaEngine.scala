@@ -1138,14 +1138,18 @@ object DeltaEngine {
           val k = it.next()
           if (k._1 == ref.id && k._2 < ref.gen) it.remove()
         }
-        // bound the cache globally: drop foreign-state/old-gen entries
-        // until under the cap (arbitrary victim order is fine — evicted
-        // live entries rebuild from base + chain on their next resolve)
+        // bound the cache globally: drop foreign-state entries and THIS
+        // state's strictly-older generations until under the cap (arbitrary
+        // victim order is fine — evicted live entries rebuild from base +
+        // chain on their next resolve). Never touch this state's entries at
+        // gen >= the resolving gen: a STRAGGLER task of an older generation
+        // must not evict the snapshots current-batch tasks are using (the
+        // same invariant as the gen-eviction loop above).
         if (cache.size() > maxEntries) {
           val it2 = cache.keySet().iterator()
           while (cache.size() > maxEntries && it2.hasNext) {
             val k = it2.next()
-            if (!(k._1 == ref.id && k._2 == ref.gen)) it2.remove()
+            if (!(k._1 == ref.id && k._2 >= ref.gen)) it2.remove()
           }
         }
         m

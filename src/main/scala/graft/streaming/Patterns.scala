@@ -38,9 +38,47 @@ object Patterns {
 
   final case class Ev(key: Long, ts: Timestamp, evId: Long, tag: String)
   final case class PatMatch(key: Long, startTs: Timestamp, endTs: Timestamp, startId: Long)
-  /** Buffered per-key events + the watermark up to which matches have
-    * already been emitted (exactly-once under watermark advancement). */
+  /** Buffered per-key events + the watermark up to which results have
+    * already been emitted (exactly-once under watermark advancement).
+    * Shared by the sequence and absence detectors. */
   final case class PatState(events: List[(Long, Long, String)], emittedThroughMs: Long)
+
+  /** Shared per-invocation scaffolding for both detectors: watermark
+    * sentinel, beyond-watermark drop, duplicate-delivery dedup, merge into
+    * ts-ordered state. Returns (watermarkMs, previous state, merged). */
+  private def absorb(rows: Iterator[Ev], state: GroupState[PatState])
+      : (Long, PatState, IndexedSeq[(Long, Long, String)]) = {
+    val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
+    val old = state.getOption.getOrElse(PatState(Nil, Long.MinValue))
+    val known = old.events.iterator.map(_._2).toSet
+    val incoming = rows
+      .filter(e => e.ts.getTime >= wm)       // late beyond watermark → dropped
+      .filter(e => !known.contains(e.evId))  // duplicate delivery → no-op
+      .map(e => (e.ts.getTime, e.evId, e.tag)).toList.distinctBy(_._2)
+    (wm, old, (old.events ++ incoming).sortBy(t => (t._1, t._2)).toIndexedSeq)
+  }
+
+  /** Commits post-invocation state: evicts events older than
+    * `wm - retainMs`, advances the emitted-through mark, and — because the
+    * operators run with EventTimeTimeout — re-arms a timeout just past the
+    * current watermark so a key with PENDING buffered events still emits
+    * its finalized results when only OTHER keys advance the watermark
+    * (with NoTimeout a quiescent key would withhold output forever). */
+  private def commit(state: GroupState[PatState], wm: Long, retainMs: Long,
+                     merged: IndexedSeq[(Long, Long, String)],
+                     emittedThroughMs: Long): Unit = {
+    val evictBefore = if (wm == Long.MinValue) Long.MinValue else wm - retainMs
+    val kept = merged.filter(_._1 >= evictBefore).toList
+    if (kept.isEmpty) {
+      // nothing pending: drop the state (safe — any later event arrives at
+      // ts >= wm, so re-starting with a fresh emitted-through mark cannot
+      // duplicate results that were finalized strictly before wm)
+      if (state.exists) state.remove()
+    } else {
+      state.update(PatState(kept, math.max(emittedThroughMs, wm)))
+      state.setTimeoutTimestamp(math.max(wm, 0L) + 1L)
+    }
+  }
 
   /** Batch form: (key, start_ts, end_ts, start_id) per occurrence. */
   def detectBatch(events: DataFrame, steps: Seq[String], maxSpanMs: Long,
@@ -88,50 +126,42 @@ object Patterns {
     out.toList
   }
 
-  /** One fMGWS invocation for key `key`: absorb in-watermark events, emit
-    * every match whose window the watermark has CLOSED (end ts < wm — no
-    * late event can land at or before it anymore), evict buffer entries
-    * that can no longer begin an open match. */
+  /** One fMGWS invocation for key `key` — on new data OR on an event-time
+    * timeout (watermark advanced past this key's re-armed timestamp with no
+    * new rows): absorb in-watermark events, emit every match whose window
+    * the watermark has CLOSED (end ts < wm — no late event can land at or
+    * before it anymore), evict buffer entries that can no longer begin an
+    * open match, re-arm the timeout while anything is pending. */
   def updateKey(steps: Seq[String], maxSpanMs: Long)(
       key: Long, rows: Iterator[Ev], state: GroupState[PatState]): Iterator[PatMatch] = {
-    val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
-    val old = state.getOption.getOrElse(PatState(Nil, Long.MinValue))
-    val known = old.events.iterator.map(_._2).toSet
-    val incoming = rows
-      .filter(e => e.ts.getTime >= wm)       // late beyond watermark → dropped
-      .filter(e => !known.contains(e.evId))  // duplicate delivery → no-op
-      .map(e => (e.ts.getTime, e.evId, e.tag)).toList.distinctBy(_._2)
-    val merged = (old.events ++ incoming).sortBy(t => (t._1, t._2)).toIndexedSeq
+    val (wm, old, merged) = absorb(rows, state)
     // emit matches finalized since the last invocation: end ts in
     // [emittedThrough, wm). Events < emittedThrough are immutable (earlier
     // watermark), so each match is emitted exactly once.
     val out = matchesIn(merged, steps, maxSpanMs, old.emittedThroughMs, wm, key)
-    // evict: an event can still matter only if some future match's window
-    // [start, end] with end >= wm could contain it → keep ts >= wm - maxSpan
-    // (no eviction before the watermark first advances — the subtraction
-    // would wrap below Long.MinValue)
-    val evictBefore = if (wm == Long.MinValue) Long.MinValue else wm - maxSpanMs
-    val kept = merged.filter(_._1 >= evictBefore).toList
-    state.update(PatState(kept, math.max(old.emittedThroughMs, wm)))
+    // an event can still matter only if some future match's window
+    // [start, end] with end >= wm could contain it → retain maxSpan
+    commit(state, wm, maxSpanMs, merged, old.emittedThroughMs)
     out.iterator
   }
 
   /** The streaming operator. `events` must carry a watermark on its ts
     * column for finalization to advance; emitted columns match
-    * [[detectBatch]]. */
+    * [[detectBatch]]. EventTimeTimeout, not NoTimeout: a key whose events
+    * have stopped still emits its finalized matches as soon as OTHER keys
+    * advance the watermark. */
   def detectStream(events: Dataset[Ev], steps: Seq[String],
                    maxSpanMs: Long): Dataset[PatMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateKey(steps, maxSpanMs))
   }
 
   // ---- negation: A with NO B within a deadline ----
 
   final case class Absence(key: Long, startTs: Timestamp, startId: Long)
-  final case class AbsState(events: List[(Long, Long, String)], emittedThroughMs: Long)
 
   /** Batch form of "every `a`-tagged event NOT followed by a `b`-tagged
     * event within `withinMs`" (per key, followers ordered by (ts, event
@@ -159,15 +189,8 @@ object Patterns {
     * which is exactly batch-over-final-data semantics. Buffered events are
     * evicted once their deadline influence has passed. */
   def updateAbsence(a: String, b: String, withinMs: Long)(
-      key: Long, rows: Iterator[Ev], state: GroupState[AbsState]): Iterator[Absence] = {
-    val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
-    val old = state.getOption.getOrElse(AbsState(Nil, Long.MinValue))
-    val known = old.events.iterator.map(_._2).toSet
-    val incoming = rows
-      .filter(e => e.ts.getTime >= wm)
-      .filter(e => !known.contains(e.evId))
-      .map(e => (e.ts.getTime, e.evId, e.tag)).toList.distinctBy(_._2)
-    val merged = (old.events ++ incoming).sortBy(t => (t._1, t._2)).toIndexedSeq
+      key: Long, rows: Iterator[Ev], state: GroupState[PatState]): Iterator[Absence] = {
+    val (wm, old, merged) = absorb(rows, state)
     // finalize `a` events whose deadline fell in [emittedThrough, wm)
     val out = scala.collection.mutable.ListBuffer.empty[Absence]
     var i = 0
@@ -187,13 +210,10 @@ object Patterns {
       }
       i += 1
     }
-    // evict events that can no longer influence any open deadline: a `b` at
-    // ts matters to `a`s with deadline >= wm, i.e. a.ts >= wm - within and
-    // b.ts >= a.ts → keep ts >= wm - within (same bound finalizes the a's)
-    val evictBefore =
-      if (wm == Long.MinValue) Long.MinValue else wm - withinMs
-    state.update(AbsState(merged.filter(_._1 >= evictBefore).toList,
-      math.max(old.emittedThroughMs, wm)))
+    // a `b` at ts matters to `a`s with deadline >= wm, i.e. a.ts >=
+    // wm - within and b.ts >= a.ts → retain `within` (same bound
+    // finalizes the a's)
+    commit(state, wm, withinMs, merged, old.emittedThroughMs)
     out.iterator
   }
 
@@ -202,7 +222,7 @@ object Patterns {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateAbsence(a, b, withinMs))
   }
 }

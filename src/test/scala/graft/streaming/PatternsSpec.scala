@@ -71,10 +71,13 @@ class PatternsSpec extends AnyFunSuite with SparkTestBase {
         mem.addData(shuffler.shuffle(chunk.toList): _*)
         q.processAllAvailable()
       }
+      // advance the watermark with events on an UNRELATED key only: the
+      // real keys are quiescent, so their finalized matches must flow out
+      // of the event-time-timeout path, not piggyback on new data
       val flushTs = sorted.last.ts.getTime + 10 * 60 * 1000L
-      mem.addData((0 until 4).map(k => ev(k.toLong, flushTs, 100000L + k, "noop")): _*)
+      mem.addData(ev(99L, flushTs, 100000L, "noop"))
       q.processAllAvailable()
-      mem.addData((0 until 4).map(k => ev(k.toLong, flushTs + 120000L, 200000L + k, "noop")): _*)
+      mem.addData(ev(99L, flushTs + 120000L, 200000L, "noop"))
       q.processAllAvailable()
 
       val got = spark.table("cep_test").as[PatMatch].collect()
@@ -134,10 +137,12 @@ class PatternsSpec extends AnyFunSuite with SparkTestBase {
         mem.addData(shuffler.shuffle(chunk.toList): _*)
         q.processAllAvailable()
       }
+      // unrelated-key watermark advancement: quiescent keys emit their
+      // finalized absences via the event-time timeout
       val flushTs = sorted.last.ts.getTime + 10 * 60 * 1000L
-      mem.addData((0 until 4).map(k => ev(k.toLong, flushTs, 100000L + k, "noop")): _*)
+      mem.addData(ev(99L, flushTs, 100000L, "noop"))
       q.processAllAvailable()
-      mem.addData((0 until 4).map(k => ev(k.toLong, flushTs + 300000L, 200000L + k, "noop")): _*)
+      mem.addData(ev(99L, flushTs + 300000L, 200000L, "noop"))
       q.processAllAvailable()
       val got = spark.table("cep_abs").as[Patterns.Absence].collect()
         .map(m => (m.key, m.startTs.getTime, m.startId))
