@@ -191,16 +191,22 @@ final class FastGraphState(
                  sink: DataFrame => Unit = _ => ()): DataFrame = {
     if (batchId <= _lastBatchId) return emptyMatches
     // threshold switch: a backfill/catch-up batch must not funnel through
-    // the driver (collect + broadcast + O(|batch|) routing table).
-    // `maxRows` is an UPPER BOUND, so it can only PROVE smallness — a
-    // filtered LocalRelation reports its child's bound, and routing such a
-    // tiny batch through the distributed path (shard rebuild + O(|V|)
-    // mirror rebuild per batch) would silently cost orders of magnitude.
-    // When the plan can't prove smallness, one count job decides — only on
-    // this DataFrame entry point, never on the hot applyBatchRdd path.
-    val big = deltas.queryExecution.optimizedPlan.maxRows match {
-      case Some(bound) if bound <= largeBatchThreshold => false
-      case _ => deltas.count() > largeBatchThreshold
+    // the driver (collect + broadcast + O(|batch|) routing table). A bare
+    // LocalRelation's row count is EXACT and free; for any other plan
+    // `maxRows` is an UPPER BOUND and can only PROVE smallness — a filtered
+    // LocalRelation reports its child's bound, and routing such a tiny
+    // batch through the distributed path (shard rebuild + O(|V|) mirror
+    // rebuild per batch) would silently cost orders of magnitude. When the
+    // plan can't decide, one count job does — only on this DataFrame entry
+    // point, never on the hot applyBatchRdd path.
+    val plan = deltas.queryExecution.optimizedPlan
+    val big = plan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.length > largeBatchThreshold // exact, no job
+      case p => p.maxRows match {
+        case Some(bound) if bound <= largeBatchThreshold => false
+        case _ => deltas.count() > largeBatchThreshold
+      }
     }
     if (big) return applyBatchDistributed(batchId, deltas, sink)
     val arr = collectConsolidated(deltas)

@@ -33,6 +33,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`GroupState` watermarks are ms); the batch forms compare microseconds.
   * Stream==batch equality therefore holds for ms-resolution event times
   * (spec fixtures); µs-resolution inputs should use the batch forms.
+  * Both stream operators use EventTimeTimeout; Spark does not allow a
+  * checkpointed query to change timeout mode, so these operators cannot
+  * resume a checkpoint written by a different-timeout build (they shipped
+  * with EventTimeTimeout from their first release).
   */
 object Patterns {
 
@@ -50,12 +54,15 @@ object Patterns {
       : (Long, PatState, IndexedSeq[(Long, Long, String)]) = {
     val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
     val old = state.getOption.getOrElse(PatState(Nil, Long.MinValue))
+    if (rows.isEmpty) // timeout invocation: stored state is already sorted
+      return (wm, old, old.events.toIndexedSeq)
     val known = old.events.iterator.map(_._2).toSet
     val incoming = rows
       .filter(e => e.ts.getTime >= wm)       // late beyond watermark → dropped
       .filter(e => !known.contains(e.evId))  // duplicate delivery → no-op
       .map(e => (e.ts.getTime, e.evId, e.tag)).toList.distinctBy(_._2)
-    (wm, old, (old.events ++ incoming).sortBy(t => (t._1, t._2)).toIndexedSeq)
+    if (incoming.isEmpty) (wm, old, old.events.toIndexedSeq)
+    else (wm, old, (old.events ++ incoming).sortBy(t => (t._1, t._2)).toIndexedSeq)
   }
 
   /** Commits post-invocation state: evicts events older than
