@@ -256,8 +256,12 @@ final class FastGraphState(
       .filter(_._3 != 0L)
       .persist()
     // write-ahead, distributed: the batch goes to parquet under wal/ before
-    // any output, replacing the driver-funnel .bin WAL for this path
+    // any output, replacing the driver-funnel .bin WAL for this path (any
+    // orphan .bin for this id from a crashed driver-path attempt is
+    // cleared first — recovery must never replay both forms)
     stateDir.foreach { dir =>
+      Files.createDirectories(Paths.get(dir, "wal"))
+      Files.deleteIfExists(Paths.get(dir, "wal", s"batch=$batchId.bin"))
       spark.createDataFrame(batch.map(e => Row(e._1, e._2, e._3)),
           FastGraphState.edgeSchema)
         .write.mode("overwrite").parquet(walParquet(dir, batchId))
@@ -508,6 +512,11 @@ final class FastGraphState(
   private def writeWal(dir: String, batchId: Long, arr: Array[(Long, Long, Long)]): Unit = {
     val path = Paths.get(dir, "wal", s"batch=$batchId.bin")
     Files.createDirectories(path.getParent)
+    // a crash between a DISTRIBUTED absorb's parquet WAL and its meta
+    // commit leaves an orphan parquet for this id; if the batch is then
+    // re-delivered through THIS path, recovery would replay both forms —
+    // clear the other form before committing ours
+    rmrf(Paths.get(dir, "wal", s"batch=$batchId.parquet").toFile)
     val buf = ByteBuffer.allocate(arr.length * 24)
     for ((s, d, w) <- arr) { buf.putLong(s); buf.putLong(d); buf.putLong(w) }
     buf.flip()

@@ -201,6 +201,47 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
     s2.close(); ref.close()
   }
 
+  test("crash window: a WAL'd-but-uncommitted batch is an ignorable orphan") {
+    // exactly-once contract: WAL lands BEFORE meta commits. A crash in
+    // between leaves a WAL file for a batch id meta never recorded — on
+    // restart it must be ignored (the upstream re-delivers that batch) and
+    // re-absorbing the same edges must produce the normal result.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fast_orphan").toString
+    val batches = randomBatches(20, 4, 30, seed = 101L)
+    val s1 = new FastGraphState(spark, Planner.triangle, Some(dir),
+      numParts = 3, maxTail = 100)
+    s1.initialize(df(batches.head))
+    sortedRows(s1.applyBatch(0L, df(batches(1))))
+    s1.close()
+    // simulate the crash: batch 1's WALs exist in BOTH forms, no meta
+    val walDir = java.nio.file.Paths.get(dir, "wal")
+    java.nio.file.Files.write(walDir.resolve("batch=1.bin"),
+      Array.fill[Byte](24)(7))
+    val orphanPq = walDir.resolve("batch=1.parquet")
+    java.nio.file.Files.createDirectories(orphanPq)
+    java.nio.file.Files.write(orphanPq.resolve("junk"), Array[Byte](1))
+
+    val s2 = new FastGraphState(spark, Planner.triangle, Some(dir),
+      numParts = 3, maxTail = 100)
+    assert(s2.lastBatchId == 0L) // the orphan did not advance the state
+    val got = sortedRows(s2.applyBatch(1L, df(batches(2))))
+    s2.close()
+    // re-absorbing over the orphan must leave ONE replayable WAL form:
+    // a further restart replays batch 1 exactly once
+    assert(!java.nio.file.Files.exists(orphanPq))
+    val s3 = new FastGraphState(spark, Planner.triangle, Some(dir),
+      numParts = 3, maxTail = 100)
+    assert(s3.lastBatchId == 1L)
+    val got3 = sortedRows(s3.applyBatch(2L, df(batches(3))))
+
+    val ref = new FastGraphState(spark, Planner.triangle, numParts = 3)
+    ref.initialize(df(batches.head))
+    ref.applyBatch(0L, df(batches(1))).collect()
+    assert(got == sortedRows(ref.applyBatch(1L, df(batches(2)))))
+    assert(got3 == sortedRows(ref.applyBatch(2L, df(batches(3)))))
+    s3.close(); ref.close()
+  }
+
   test("pipelined async absorb (depth 3, overlapping jobs) == sync stats") {
     val batches = randomBatches(25, 8, 40, seed = 53L)
     val sync = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 3)
