@@ -13,10 +13,17 @@ import graft.state.IndexState
 /** Per-node adjacency state: consolidated, value-sorted neighbor runs with
   * signed multiplicities in both directions, plus cached signed degrees —
   * the Spark-executor-resident form of the reference's per-worker
-  * forward/reverse index pair (/root/reference/src/motif.rs:49-65). */
+  * forward/reverse index pair (/root/reference/src/motif.rs:49-65).
+  *
+  * `degOnly = true` marks a DEGREE-ONLY hot entry (runs empty, degrees
+  * real): the bulk absorb path broadcasts these for hub keys so COUNT
+  * lookups can scatter instead of concentrating on the hub's partition,
+  * while adjacency lookups ignore the entry and stay key-routed to the
+  * shard that actually holds the runs. */
 final class Adj(
     val fwdVs: Array[Long], val fwdWs: Array[Long], val degFwd: Long,
-    val revVs: Array[Long], val revWs: Array[Long], val degRev: Long) extends Serializable {
+    val revVs: Array[Long], val revWs: Array[Long], val degRev: Long,
+    val degOnly: Boolean = false) extends Serializable {
   def vs(forward: Boolean): Array[Long] = if (forward) fwdVs else revVs
   def ws(forward: Boolean): Array[Long] = if (forward) fwdWs else revWs
   def deg(forward: Boolean): Long = if (forward) degFwd else degRev
@@ -223,9 +230,11 @@ final class DeltaEngine(
   //    row lands on an arbitrary partition whose shard does not hold its
   //    key; the (pre-content) hot replica does.
   //  - DISTRIBUTED (bulk absorb): `post` is the physically updated shard
-  //    co-partitioned with `pre`, `dp` is empty, and `hot` MUST be empty
-  //    (its content is pre-batch; serving an inclusive read from it would
-  //    be stale) — see [[deltaStepDistributed]].
+  //    co-partitioned with `pre`; `hot` holds DEGREE-ONLY hub entries
+  //    (pre-batch degrees) and `dp` carries runs-empty degree deltas for
+  //    those hubs, so count reads resolve hub degrees anywhere while
+  //    adjacency reads ignore the entries and hit the shards — see
+  //    [[deltaStepDistributed]] and [[buildDegOnlyHot]].
 
   private def degAt(pre: Shard.T, post: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
                     forward: Boolean, inclusive: Boolean): Long = {
@@ -240,7 +249,8 @@ final class DeltaEngine(
   private def adjAt(pre: Shard.T, post: Shard.T, hot: HotMap, dp: DeltaPack, k: Long,
                     forward: Boolean, inclusive: Boolean): (Array[Long], Array[Long]) = {
     val shard = if (inclusive) post else pre
-    val h = hot.get(k)
+    val h0 = hot.get(k)
+    val h = if (h0 != null && h0.degOnly) null else h0 // degree-only ≠ adjacency
     val a = if (h != null) Some(h) else shard.get(k)
     val bvs = a.map(_.vs(forward)).getOrElse(Array.empty[Long])
     val bws = a.map(_.ws(forward)).getOrElse(Array.empty[Long])
@@ -255,10 +265,17 @@ final class DeltaEngine(
     * partition; HOT (replicated) keys scatter by prefix-content hash — the
     * skew treatment the north rule requires. Without it the Zipf hubs pull
     * whole levels onto one partition and core-count scaling inverts
-    * (measured: the hub partition processed ~90% of a batch's bytes). */
+    * (measured: the hub partition processed ~90% of a batch's bytes).
+    * `adjacency = true` marks hops that will READ THE RUNS: degree-only
+    * hot entries (bulk path) can serve only counts, so adjacency hops
+    * stay key-routed for them. */
   private def routeKeyAt(k: Long, hot: HotMap, p: Array[Long], pOff: Int,
-                         pLen: Int, salt: Int): Long =
-    if (hot.containsKey(k)) DeltaEngine.scatterKeyAt(p, pOff, pLen, salt) else k
+                         pLen: Int, salt: Int, adjacency: Boolean = false): Long = {
+    val h = hot.get(k)
+    if (h != null && !(adjacency && h.degOnly))
+      DeltaEngine.scatterKeyAt(p, pOff, pLen, salt)
+    else k
+  }
 
   /** Target partition for count slot `i` of stage `s` (out-of-range slots
     * pass through, scattered for balance). */
@@ -273,7 +290,8 @@ final class DeltaEngine(
   }
 
   /** Target partition for intersect hop `j` of stage `s` (the j-th
-    * non-proposing extender; pass-throughs scattered). */
+    * non-proposing extender; pass-throughs scattered). Intersect READS the
+    * extender's runs → adjacency routing. */
   private def isectPid(stages: IndexedSeq[IndexedSeq[Planner.Constraint]],
                        hot: HotMap, rel: Int, minExt: Int, p: Array[Long],
                        pOff: Int, pLen: Int, s: Int, j: Int): Int = {
@@ -281,7 +299,8 @@ final class DeltaEngine(
     val key =
       if (j < cs.size - 1) {
         val o = if (j < minExt) j else j + 1
-        routeKeyAt(p(pOff + cs(o).prefixPos), hot, p, pOff, pLen, s * 7 + 6 + j)
+        routeKeyAt(p(pOff + cs(o).prefixPos), hot, p, pOff, pLen, s * 7 + 6 + j,
+          adjacency = true)
       } else DeltaEngine.scatterKeyAt(p, pOff, pLen, s * 7 + 6 + j)
     DeltaEngine.partOf(key, numParts)
   }
@@ -472,9 +491,11 @@ final class DeltaEngine(
                   val pid = engine.countPid(stages, h, rel, block, pOff, pLen, s, i + 1)
                   putPfx(bb, pid, rel, w, minDeg, minExt, block, pOff, pLen)
                 } else if (minDeg > 0L) { // pruneZero (net multiplicities non-negative)
-                  // route for the propose lookup on the argmin extender's key
+                  // route for the propose lookup on the argmin extender's
+                  // key — propose READS the runs → adjacency routing
                   val k = block(pOff + cs(minExt).prefixPos)
-                  val key = engine.routeKeyAt(k, h, block, pOff, pLen, s * 7 + 5)
+                  val key = engine.routeKeyAt(k, h, block, pOff, pLen, s * 7 + 5,
+                    adjacency = true)
                   putPfx(bb, DeltaEngine.partOf(key, np), rel, w, minDeg, minExt,
                     block, pOff, pLen)
                 }
@@ -794,11 +815,14 @@ final class DeltaEngine(
     * `deltaStep` on the same batch (pinned by FastEngineSpec): post = pre ⊎
     * delta by construction, so every lookup sees byte-equal state.
     *
-    * Hot-hub scatter routing is intentionally OFF here (a replica's content
-    * is pre-batch; serving an inclusive read from it would be stale): the
-    * bulk path trades hub-partition concentration for O(1) driver cost,
-    * which is the right trade for backfill/catch-up batches where
-    * throughput, not tail latency, is the goal. */
+    * Hub skew is handled with DEGREE-ONLY hot entries
+    * ([[DeltaEngine.buildDegOnlyHot]]): a full adjacency replica cannot be
+    * broadcast here (its pre-batch runs would serve stale inclusive reads,
+    * and hub adjacency deltas can be as large as the batch), but hub
+    * DEGREES are O(1) scalars — count hops scatter hub traffic and answer
+    * from the broadcast (pre degree + batch degree-delta), while
+    * propose/intersect hops stay key-routed to the shards that hold the
+    * runs. */
   def deltaStepDistributed(sc: SparkContext, preShards: RDD[Shard.T],
                            postShards: RDD[Shard.T],
                            batch: RDD[(Long, Long, Long)]): RDD[(ArraySeq[Long], Long)] = {
@@ -818,8 +842,15 @@ final class DeltaEngine(
         .reduceByKey(new HashPartitioner(numParts), _ + _)
         .filter(_._2 != 0L)
     }
-    val hot = DeltaEngine.BcastHot(sc.broadcast(new DeltaEngine.HotMap()))
-    val dp = sc.broadcast(DeltaPack.empty)
+    // degree-only hub broadcast: COUNT hops on hub keys scatter and answer
+    // from these O(hotK)-scalar structures; adjacency hops stay key-routed
+    // (degOnly entries are invisible to adjAt). Replaces the earlier
+    // hot-disabled regime where hub count traffic concentrated on the
+    // hub's partition for the whole bulk absorb.
+    val (degHot, degPack) =
+      DeltaEngine.buildDegOnlyHot(preShards, batch, 8 * numParts)
+    val hot = DeltaEngine.BcastHot(sc.broadcast(degHot))
+    val dp = sc.broadcast(degPack)
     var pr: RDD[Prop] = intersectChain(preShards, postShards, hot, dp,
       countPropose(preShards, postShards, hot, dp, deltaSeedBlocks(batch, hot), 0), 0)
     for (s <- 1 to numAttrs - 3) {
@@ -1220,6 +1251,60 @@ object DeltaEngine {
     val entries = shards.flatMap(_.iterator.filter(e => keySet.contains(e._1))).collect()
     entries.foreach { case (k, adj) => m.put(k, adj) }
     m
+  }
+
+  /** Degree-only hot structures for the DISTRIBUTED bulk absorb: hub keys
+    * (largest stored adjacencies ∪ most-frequent batch endpoints) get
+    * their PRE-batch signed degrees broadcast as `degOnly` [[Adj]] entries
+    * plus a runs-empty [[DeltaPack]] carrying each hub's batch degree
+    * delta — exactly what COUNT hops need to scatter hub traffic, while
+    * adjacency hops stay key-routed to the shards that hold the runs.
+    * Everything broadcast here is O(hotK) scalars, so the bulk path keeps
+    * its no-O(|batch|)-broadcast guarantee. Costs 3-4 small jobs per bulk
+    * absorb (amortized: this path serves backfill batches). */
+  def buildDegOnlyHot(preShards: RDD[Shard.T], batch: RDD[(Long, Long, Long)],
+                      hotK: Int): (HotMap, DeltaPack) = {
+    val m = new HotMap()
+    if (hotK <= 0) return (m, DeltaPack.empty)
+    val stateTop = preShards.flatMap(_.iterator.map { case (k, a) =>
+        (k, a.fwdVs.length + a.revVs.length, a.degFwd, a.degRev)
+      }).top(hotK)(Ordering.by(_._2))
+    val batchTop = batch.flatMap(e => Iterator((e._1, 1L), (e._2, 1L)))
+      .reduceByKey(_ + _).top(hotK)(Ordering.by(_._2)).map(_._1)
+    val known = stateTop.map(_._1).toSet
+    val missing = batchTop.filterNot(known).toSet
+    val extra =
+      if (missing.isEmpty) Array.empty[(Long, Int, Long, Long)]
+      else preShards.flatMap(_.iterator.collect {
+        case (k, a) if missing.contains(k) =>
+          (k, a.fwdVs.length + a.revVs.length, a.degFwd, a.degRev)
+      }).collect()
+    (stateTop ++ extra).foreach { case (k, _, dF, dR) =>
+      m.put(k, new Adj(Array.empty, Array.empty, dF,
+        Array.empty, Array.empty, dR, degOnly = true))
+    }
+    // batch-borne hubs absent from the state still scatter (pre degree 0)
+    missing.foreach { k =>
+      if (!m.containsKey(k))
+        m.put(k, new Adj(Array.empty, Array.empty, 0L,
+          Array.empty, Array.empty, 0L, degOnly = true))
+    }
+    val keys = known ++ missing
+    val keysB = batch.sparkContext.broadcast(keys)
+    val deltas = batch.flatMap { case (s, d, w) =>
+      val ks = keysB.value
+      val a = if (ks.contains(s)) Iterator.single((s, (w, 0L))) else Iterator.empty
+      val b = if (ks.contains(d)) Iterator.single((d, (0L, w))) else Iterator.empty
+      a ++ b
+    }.reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2)).collect()
+    keysB.unpersist(false)
+    val fwd = deltas.iterator.filter(_._2._1 != 0L)
+      .map { case (k, (f, _)) => k -> DeltaPack.Run(Array.empty, Array.empty, f) }
+      .toMap
+    val rev = deltas.iterator.filter(_._2._2 != 0L)
+      .map { case (k, (_, r)) => k -> DeltaPack.Run(Array.empty, Array.empty, r) }
+      .toMap
+    (m, new DeltaPack(Array.empty, fwd, rev))
   }
 
   /** Deterministic balance key for rows whose lookup key is hot-replicated:

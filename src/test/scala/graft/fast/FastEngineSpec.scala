@@ -315,6 +315,35 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
     a.close(); b.close()
   }
 
+  test("distributed absorb on a planted hub: degree-only hot routing stays exact") {
+    // hub 0 connected to everything, then a batch of hub edges + edges
+    // between hub neighbors — the shape whose count traffic concentrates
+    // without the degree-only hub broadcast. Distributed must equal
+    // broadcast, and subsequent broadcast batches must stay equal
+    // (validates the rebuilt post-bulk state too).
+    val n = 60
+    val preload = (1 to n).flatMap(i => Seq((0L, i.toLong, 1L), (i.toLong, 0L, 1L)))
+    val rnd = new scala.util.Random(103L)
+    val batch1 = (0 until 150).map { _ =>
+      var a = 0L; var b = 0L
+      while (a == b) { a = 1L + rnd.nextInt(n); b = 1L + rnd.nextInt(n) }
+      (a, b, 1L)
+    } ++ (0 until 20).map(i => (0L, (1L + i), 1L)) // more hub edges
+    val batch2 = (0 until 60).map { _ =>
+      var a = 0L; var b = 0L
+      while (a == b) { a = rnd.nextInt(n + 1).toLong; b = rnd.nextInt(n + 1).toLong }
+      (a, b, 1L)
+    }
+    val a1 = new FastGraphState(spark, Planner.triangle, numParts = 4)
+    val b1 = new FastGraphState(spark, Planner.triangle, numParts = 4)
+    a1.initialize(df(preload)); b1.initialize(df(preload))
+    assert(sortedRows(a1.applyBatch(0L, df(batch1))) ==
+      sortedRows(b1.applyBatchDistributed(0L, df(batch1))))
+    assert(sortedRows(a1.applyBatch(1L, df(batch2))) ==
+      sortedRows(b1.applyBatch(1L, df(batch2))))
+    a1.close(); b1.close()
+  }
+
   test("distributed absorb: single-edge motif (no extension stage)") {
     val batches = randomBatches(15, 3, 30, seed = 61L)
     val a = new FastGraphState(spark, Seq((0, 1)), numParts = 3)
