@@ -37,6 +37,33 @@ object Bench {
   private def withLocalDir(b: SparkSession.Builder): SparkSession.Builder =
     localDir.fold(b)(d => b.config("spark.local.dir", d))
 
+  /** Teardown must never decide the round's exit code. BENCH_r04 died with
+    * rc=1 because the local-cluster session's scheduler backend was torn
+    * down twice (our stop racing Spark's shutdown hook after the
+    * local-cluster workers exited) and `SparkContext.stop` threw
+    * `Could not find AppClient` in the caller. Stopping a session is
+    * cleanup, not measurement — swallow anything it throws. */
+  private def safeStop(spark: SparkSession): Unit =
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ignoring teardown failure: ${e.toString.linesIterator.next().take(200)}")
+    }
+
+  /** Phase guard: a failed phase must surface as a recorded error in the
+    * artifact, never as a dead JVM with no JSON line. */
+  private val phaseErrors = scala.collection.mutable.ArrayBuffer[(String, String)]()
+  private def phase[T](name: String, fallback: => T)(body: => T): T =
+    try body
+    catch { case e: Throwable =>
+      val msg = e.toString.linesIterator.next().take(300)
+      System.err.println(s"[bench] phase $name FAILED: $msg")
+      phaseErrors += ((name, msg))
+      // a dead phase may leave its session active; the next phase's
+      // getOrCreate would silently reuse it with the wrong master
+      SparkSession.getDefaultSession.foreach(safeStop)
+      fallback
+    }
+
   final case class StreamResult(
       cores: Int, loadSec: Double, streamSec: Double, edgesStreamed: Long,
       matchChanges: Long, netTotal: Long, p50Ms: Double, p95Ms: Double,
@@ -114,7 +141,7 @@ object Bench {
         else QStat(ok.sorted.apply(ok.size / 2), ok.min, ok.max, times.size - ok.size)
       n -> stat
     }.toMap
-    spark.stop()
+    safeStop(spark)
     out
   }
 
@@ -140,7 +167,7 @@ object Bench {
           StructField("idx", LongType), StructField("src", LongType),
           StructField("dst", LongType), StructField("w", LongType))))
         .write.mode("overwrite").parquet(path)
-      if (current == null) spark.stop()
+      if (current == null) safeStop(spark)
     }
     path
   }
@@ -294,7 +321,7 @@ object Bench {
       streamSec = (System.nanoTime() - tStream0) / 1e9
       state.close()
     }
-    spark.stop()
+    safeStop(spark)
     val sorted = latencies.sorted
     def pct(p: Double) = if (sorted.isEmpty) 0.0 else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
     val edgesStreamed = math.min(streamEdges.length.toLong, maxBatches.toLong * batchSize)
@@ -332,7 +359,7 @@ object Bench {
     val agg = m.agg(count(lit(1)), coalesce(sum("w"), lit(0L))).collect()(0)
     val sec = (System.nanoTime() - t0) / 1e9
     state.close()
-    spark.stop()
+    safeStop(spark)
     (sec, total - preloadN, agg.getLong(0), agg.getLong(1))
   }
 
@@ -358,7 +385,7 @@ object Bench {
     val t0 = System.nanoTime()
     val rows = graft.fast.FastBatch.enumerateRowCount(edges, Planner.triangle)
     val sec = (System.nanoTime() - t0) / 1e9
-    spark.stop()
+    safeStop(spark)
     (sec, rows)
   }
 
@@ -385,11 +412,29 @@ object Bench {
     val row = graft.fast.FastBatch.enumerateAgg(edges, Planner.triangle).collect()(0)
     val n = row.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
-    spark.stop()
+    safeStop(spark)
     (sec, n)
   }
 
+  /** The round record must ALWAYS be a parseable JSON line and exit code 0:
+    * rounds 2–4 each lost their official bench artifact to a crash or a
+    * teardown race AFTER the measurements had succeeded. Any failure inside
+    * `runBench` becomes an `"error"` field, and `sys.exit(0)` (after an
+    * explicit flush) makes the status immune to exceptions thrown by
+    * Spark's own shutdown hooks racing session teardown. */
   def main(args: Array[String]): Unit = {
+    try runBench(args)
+    catch { case e: Throwable =>
+      println(s"""{"metric":"triangle_stream_matches_per_sec","value":-1.0,""" +
+        s""""unit":"matches/sec","queries":{},""" +
+        s""""error":${jstr(e.toString.linesIterator.next().take(300))}}""")
+    }
+    System.out.flush()
+    System.err.flush()
+    sys.exit(0)
+  }
+
+  private def runBench(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
@@ -405,14 +450,18 @@ object Bench {
     val sConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_CONVS", (nConvs * 2).toString).toInt
     val eConvsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 8).toString).toInt
     val eToolsPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt
-    ensureFixture(null, nConvs, turns, nTools)
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
-      ensureFixture(null, sConvsPre, turns, nTools)
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
-      ensureFixture(null, eConvsPre, turns, eToolsPre)
+    phase("fixtures", ()) {
+      ensureFixture(null, nConvs, turns, nTools)
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
+        ensureFixture(null, sConvsPre, turns, nTools)
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
+        ensureFixture(null, eConvsPre, turns, eToolsPre)
+      ()
+    }
 
     val q = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1")
-      headlineQueries(sfDir, cpus) else Map.empty[String, QStat]
+      phase("queries", Map.empty[String, QStat])(headlineQueries(sfDir, cpus))
+    else Map.empty[String, QStat]
 
     // This shared box drifts 2-4× in per-batch latency between runs minutes
     // apart (measured: identical command, p50 197 → 482 ms). Single samples
@@ -439,8 +488,11 @@ object Bench {
     // (1000) on the sf0.1-equivalent fixture; reports per-batch p50/p95 and
     // the w1-vs-w2 totals-equality gate.
     val streamReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "3").toInt)
-    val (results, resultSpread) = interleaved(streamReps, levels)(
-      c => streamBench(c, nConvs, turns, nTools, batchSize, durable))
+    val (results, resultSpread) =
+      phase("stream", (Seq.empty[StreamResult], Map.empty[Int, (Double, Double)])) {
+        interleaved(streamReps, levels)(
+          c => streamBench(c, nConvs, turns, nTools, batchSize, durable))
+      }
     // Phase B2 — N→4N scaling run (the north rule's two-cluster-size
     // criterion): a fixture + batch size where parallel work dominates the
     // per-batch floor (single-core batch time ≥ 20× the ~0.2s stage floor),
@@ -453,8 +505,10 @@ object Bench {
     val scalingReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_REPS", "2").toInt)
     val (scalingResults, scalingSpread) =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
-        interleaved(scalingReps, sLevels)(
-          c => streamBench(c, sConvs, turns, nTools, sBatch, durable))
+        phase("scaling", (Seq.empty[StreamResult], Map.empty[Int, (Double, Double)])) {
+          interleaved(scalingReps, sLevels)(
+            c => streamBench(c, sConvs, turns, nTools, sBatch, durable))
+        }
       else (Nil, Map.empty[Int, (Double, Double)])
     // Phase B3 — the SAME scaling job on a multi-JVM `local-cluster` master
     // (4 workers × 8 cores, separate block managers and executor heaps on
@@ -479,7 +533,8 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val bulkResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_BULK", "1") == "1")
-        bulkLevels.map(c => c -> bulkBench(c, sConvs, turns, nTools))
+        phase("bulk", Seq.empty[(Int, (Double, Long, Long, Long))])(
+          bulkLevels.map(c => c -> bulkBench(c, sConvs, turns, nTools)))
       else Nil
 
     // Phase C — effort-bounded emission stress: FULL enumeration (every
@@ -487,10 +542,10 @@ object Bench {
     // fixture's ~2×10^8 triangles, counted without retention.
     val stress =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STRESS", "1") == "1")
-        Some(emissionStress(cpus.toInt,
+        phase("stress", Option.empty[(Double, Long)])(Some(emissionStress(cpus.toInt,
           sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 8).toString).toInt,
           turns,
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt))
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt)))
       else None
 
     // enumerate scaling probe may use a LARGER fixture than the stream so
@@ -503,14 +558,16 @@ object Bench {
     // interleaved medians, same rationale as the stream phases
     val enumReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_REPS", "2").toInt)
     val enumResults =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1") {
-        val runs = for (r <- 1 to enumReps; c <- eLevels)
-          yield c -> enumerateBench(c, eConvs, turns, eTools)
-        eLevels.map { c =>
-          val rs = runs.filter(_._1 == c).map(_._2).sortBy(_._1)
-          c -> rs(rs.size / 2)
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
+        phase("enumerate", Seq.empty[(Int, (Double, Long))]) {
+          val runs = for (r <- 1 to enumReps; c <- eLevels)
+            yield c -> enumerateBench(c, eConvs, turns, eTools)
+          eLevels.map { c =>
+            val rs = runs.filter(_._1 == c).map(_._2).sortBy(_._1)
+            c -> rs(rs.size / 2)
+          }
         }
-      } else Nil
+      else Nil
 
     def sr(r: StreamResult, spread: Map[Int, (Double, Double)]): String = {
       val (mn, mx) = spread.getOrElse(r.cores, (r.matchesPerSec, r.matchesPerSec))
@@ -583,14 +640,20 @@ object Bench {
     val stressJson = stress.map { case (sec, rows) =>
       s"""{"rows":$rows,"sec":${f"$sec%.2f"},"rows_per_sec":${f"${rows / sec}%.1f"}}"""
     }.getOrElse("null")
+    // a dead stream phase reports -1, never kills the artifact
+    val headlineVal = results.lastOption.map(_.matchesPerSec).getOrElse(-1.0)
+    val headlineP50 = results.lastOption.map(_.p50Ms).getOrElse(-1.0)
+    val phaseErrJson = phaseErrors
+      .map { case (n, e) => s"""{"phase":${jstr(n)},"error":${jstr(e)}}""" }
+      .mkString("[", ",", "]")
 
     // FULL artifact → a file the driver can archive verbatim; stdout gets a
     // COMPACT line (headline + per-query medians + a pointer). BENCH_r03's
     // official record arrived tail-truncated because the full record was one
     // very long stdout line — the file is now the record of note.
     val fullJson =
-      s"""{"metric":"triangle_stream_matches_per_sec","value":${f"${results.last.matchesPerSec}%.1f"},""" +
-        s""""unit":"matches/sec","queries":$qJson,"queries_detail":$qDetailJson,""" +
+      s"""{"metric":"triangle_stream_matches_per_sec","value":${f"$headlineVal%.1f"},""" +
+        s""""unit":"matches/sec","phase_errors":$phaseErrJson,"queries":$qJson,"queries_detail":$qDetailJson,""" +
         s""""queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
         s""""stream_fixture":{"convs":$nConvs,"turns_per_conv":$turns,"tools":$nTools,"batch":$batchSize,"durable":$durable,"reps":$streamReps,"scaling_reps":$scalingReps},""" +
         s""""stream_levels":$streamJson,"latency_step_efficiency":${f"$latencyEff%.3f"},""" +
@@ -610,9 +673,10 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e")
     }
     println(
-      s"""{"metric":"triangle_stream_matches_per_sec","value":${f"${results.last.matchesPerSec}%.1f"},""" +
+      s"""{"metric":"triangle_stream_matches_per_sec","value":${f"$headlineVal%.1f"},""" +
         s""""unit":"matches/sec","queries":$qJson,"queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
-        s""""batch_p50_ms":${f"${results.last.p50Ms}%.1f"},""" +
+        s""""batch_p50_ms":${f"$headlineP50%.1f"},""" +
+        (if (phaseErrors.nonEmpty) s""""phase_errors":$phaseErrJson,""" else "") +
         s""""latency_step_efficiency":${f"$latencyEff%.3f"},"scaling_efficiency":${f"$scalingEff%.3f"},""" +
         s""""scaling_efficiency_8_32":${f"$scalingEffHi%.3f"},"totals_match":$totalsMatch,""" +
         (clusterResults match {

@@ -70,6 +70,64 @@ object SparkEntry {
     graft.fast.FastBatch.enumerate(
       edges(spark, "/root/testdata/sf0.001"), Planner.triangle)
 
+  private val cepDayMs = 24L * 3600 * 1000
+  private val cepStreamCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Events projected for the CEP kernels with ts TRUNCATED to milliseconds:
+    * the streaming kernels operate at ms resolution (GroupState watermarks
+    * are ms), so the stream entries and their oracles are defined over the
+    * ms-floored event times (ties within one ms order by ev_id on both
+    * sides). */
+  private def cepEventsMs(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("key"),
+        timestamp_micros(us - pmod(us, lit(1000L))).as("ts"),
+        col("event_id").as("evId"), col("event_type").as("tag"))
+  }
+
+  /** Replays the events table through the fMGWS streaming CEP kernels
+    * ([[graft.streaming.Patterns.detectStream]] / detectAbsenceStream) —
+    * MemoryStream source fed in event-time-ordered chunks (multiple
+    * micro-batches, watermark advancing between them), memory sink, then a
+    * far-future sentinel key so the final watermark passes every real
+    * window/deadline and EventTimeTimeout flushes quiescent keys. The
+    * result must hash-match the same DuckDB oracle as the batch forms —
+    * `flatMapGroupsWithState` end to end in the driver harness. */
+  private def cepStream(s: SparkSession, dir: String, absence: Boolean): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Patterns
+    val evs = cepEventsMs(s, dir).as[Patterns.Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.evId))
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
+    val in = src.toDS().withWatermark("ts", "0 milliseconds")
+    val out =
+      if (absence) Patterns.detectAbsenceStream(in, "signup", "purchase", cepDayMs).toDF()
+      else Patterns.detectStream(in, Seq("view", "click", "purchase"), cepDayMs).toDF()
+    val name = s"graft_cep_stream_${cepStreamCounter.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      // two sentinels: the first advances the watermark beyond every real
+      // deadline, the second forces one more micro-batch so EventTimeTimeout
+      // invocations run under that watermark
+      val far = evs.last.ts.getTime + 3L * cepDayMs
+      src.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"))
+      q.processAllAvailable()
+      src.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = s.table(name).where(col("key") =!= -1L)
+    if (absence)
+      t.select(col("key"), col("startTs").cast("timestamp_ntz").as("start_ts"),
+        col("startId").as("start_id"))
+    else
+      t.select(col("key"), col("startTs").cast("timestamp_ntz").as("start_ts"),
+        col("endTs").cast("timestamp_ntz").as("end_ts"), col("startId").as("start_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----
     // headline motifs run the fast RDD engine's batch mode (packed-block
@@ -84,17 +142,23 @@ object SparkEntry {
     // count-only fast path: no per-binding consolidation shuffle
     "wco_triangle_count" -> ((s, dir) =>
       graft.fast.FastBatch.enumerateAgg(edges(s, dir), Planner.triangle)),
-    // 5-variable motifs on the denser K5-modulus graph (zero matches at K)
-    "wco_clique5" -> motifQuery(Planner.clique5, m = K5),
-    "wco_clique_hat" -> motifQuery(Planner.cliqueHat),
+    // 5-variable motifs on the denser K5-modulus graph (zero matches at K);
+    // fast engine since round 5 (reference q6/q7-lean) — the DataFrame
+    // engine stays gated by wco_clique4/seed_k4/cycle4 here plus the
+    // fast==sql pins in FastBatchSpec (clique5, cliqueHat+predicates)
+    "wco_clique5" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edgesM(K5)(s, dir), Planner.clique5)),
+    "wco_clique_hat" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edges(s, dir), Planner.cliqueHat)),
     // symmetry-broken / filtered enumeration (reference q6-lean retain
     // filters + diamonds.rs ordered mode); the ordered predicates are
     // galloped into the candidate runs, never propose-then-discard
     "wco_clique4_ordered" -> ((s, dir) =>
       graft.fast.FastBatch.enumerate(edges(s, dir), Planner.clique4,
         GenericJoin.ordered(4))),
-    "wco_clique_hat_filtered" -> motifQuery(Planner.cliqueHat, m = K,
-      predicates = Seq(GenericJoin.Pred(1, 4, "!="), GenericJoin.Pred(2, 4, "<"))),
+    "wco_clique_hat_filtered" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerate(edges(s, dir), Planner.cliqueHat,
+        Seq(GenericJoin.Pred(1, 4, "!="), GenericJoin.Pred(2, 4, "<")))),
     // factorized counting (seed-q5-lean mode): last attribute never exploded
     "wco_clique5_factorized_count" -> ((s, dir) =>
       GenericJoin.enumerateFactorizedCount(edgesM(K5)(s, dir), Planner.clique5)),
@@ -206,6 +270,11 @@ object SparkEntry {
           .select(col("user_id").as("key"), col("ts"),
             col("event_id").as("ev_id"), col("event_type").as("tag")),
         a = "signup", b = "purchase", withinMs = 24L * 3600 * 1000)),
+    // the fMGWS STREAMING twins, driver-gated end to end (memory source →
+    // flatMapGroupsWithState → memory sink; ms-truncated event times, see
+    // cepStream) against the same lead()/min-over-window DuckDB oracles
+    "cep_pattern_seq_stream" -> ((s, dir) => cepStream(s, dir, absence = false)),
+    "cep_absence_stream" -> ((s, dir) => cepStream(s, dir, absence = true)),
 
     // ---- turn-ordering adjacency derivation (SURVEY.md §1.4) ----
     "adjacency_lag" -> ((s, dir) => {
@@ -348,6 +417,25 @@ object SparkEntry {
         "AND epoch_us(ts_2) - epoch_us(ts) <= CAST(86400 AS BIGINT) * 1000000"),
     "cep_absence" ->
       ("WITH e AS (SELECT user_id AS key, ts, event_id AS ev_id, event_type AS tag FROM events), " +
+        "m AS (SELECT key, ts, ev_id, tag, min(CASE WHEN tag = 'purchase' THEN epoch_us(ts) END) OVER " +
+        "(PARTITION BY key ORDER BY ts, ev_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_us FROM e) " +
+        "SELECT key, ts AS start_ts, ev_id AS start_id FROM m " +
+        "WHERE tag = 'signup' AND (next_b_us IS NULL OR next_b_us > epoch_us(ts) + CAST(86400 AS BIGINT) * 1000000)"),
+    // streaming twins: identical logic over ms-FLOORED event times (the
+    // streaming kernels' resolution); ties within a ms order by ev_id on
+    // both sides, exactly as the Spark entries do
+    "cep_pattern_seq_stream" ->
+      ("WITH e AS (SELECT user_id AS key, make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1000)) AS ts, " +
+        "event_id AS ev_id, event_type AS tag FROM events), " +
+        "led AS (SELECT key, ts, ev_id, tag, lead(tag, 1) OVER w AS tag_1, " +
+        "lead(tag, 2) OVER w AS tag_2, lead(ts, 2) OVER w AS ts_2 FROM e " +
+        "WINDOW w AS (PARTITION BY key ORDER BY ts, ev_id)) " +
+        "SELECT key, ts AS start_ts, ts_2 AS end_ts, ev_id AS start_id FROM led " +
+        "WHERE tag = 'view' AND tag_1 = 'click' AND tag_2 = 'purchase' " +
+        "AND epoch_us(ts_2) - epoch_us(ts) <= CAST(86400 AS BIGINT) * 1000000"),
+    "cep_absence_stream" ->
+      ("WITH e AS (SELECT user_id AS key, make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1000)) AS ts, " +
+        "event_id AS ev_id, event_type AS tag FROM events), " +
         "m AS (SELECT key, ts, ev_id, tag, min(CASE WHEN tag = 'purchase' THEN epoch_us(ts) END) OVER " +
         "(PARTITION BY key ORDER BY ts, ev_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_us FROM e) " +
         "SELECT key, ts AS start_ts, ev_id AS start_id FROM m " +

@@ -166,20 +166,21 @@ object TrainingQueries {
           element_at(col("sh"), 4).as("b3"))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs2(s, dir), "doc_id", "text", maxHamming = 6)),
-    // inverted-index form. The AllPairs prefix-filtered variant
-    // (Dedup.jaccardPairsPrefix, identical output, DedupSpec-pinned) was
-    // MEASURED SLOWER on this corpus shape (21-26s vs 12.4s at sf0.1:
-    // near-unique synthetic text keeps per-shingle df at 1-2, so the naive
-    // candidate aggregation is already ~linear while prefix verification
-    // ships full shingle arrays through two joins) — it is the right form
-    // only when duplication makes Σ df² superlinear; see BASELINE.md.
+    // AUTO strategy (round 5): one cheap shape measurement picks the naive
+    // inverted-index form vs the AllPairs prefix-filtered form per corpus —
+    // the regime map JaccardShape measured (near-unique → naive; heavy
+    // sub-threshold boilerplate → prefix 3×; above-threshold dup → naive),
+    // now a plan decision the engine makes itself. Both branches are exact
+    // and identical-output (DedupSpec); this corpus is near-unique → naive.
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.jaccardPairsAuto(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     // document-frequency cut: the corpus-wide planted phrase is dropped
-    // from the inverted index, so the hot shingle never joins
+    // from the inverted index, so the hot shingle never joins (stats are
+    // computed over the surviving shingles, so the cut bucket doesn't sway
+    // the strategy pick either)
     "ngram_jaccard_pairs_capped" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
+      Dedup.jaccardPairsAuto(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
           maxShingleFreq = 100L)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -224,6 +225,20 @@ object TrainingQueries {
         Multimodal.assetsFromText(docs(s, dir), "doc_id", "text"))
       frames.toDF().select(col("asset_id"), col("frame_idx"), col("frame_ts_ms"),
         col("n_bytes"), size(col("features")).cast("long").as("n_features"))
+    }),
+    // REAL image decode (javax.imageio): deterministic grayscale PNGs
+    // (pixel = (id·31+x·7+y·13) mod 256, size keyed off doc_id) are encoded
+    // AND decoded by the actual JDK codec on executors; the decoded
+    // width/height/pixel-checksum must equal DuckDB's closed-form replay —
+    // pixel-exact round-trip through a real encoder/decoder, not shape-only
+    "multimodal_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.map(id => Multimodal.ImageAsset(id,
+        Multimodal.ImageCodec.syntheticPng(id, (8 + id % 9).toInt, (8 + id % 7).toInt)))
+      Multimodal.decodeImages(assets, partitions = 8).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_pixels"), col("pix_sum"))
     })
   )
 
@@ -345,6 +360,16 @@ object TrainingQueries {
         "WHERE g.f % 3 = 0) " +
         "SELECT asset_id, frame_idx, frame_idx * 100 AS frame_ts_ms, " +
         "((frame_idx + 1) * len) // 10 - (frame_idx * len) // 10 AS n_bytes, " +
-        "CAST(16 AS BIGINT) AS n_features FROM f")
+        "CAST(16 AS BIGINT) AS n_features FROM f"),
+    "multimodal_image_decode" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w, " +
+        "CAST(8 + doc_id % 7 AS INT) AS h FROM documents), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, " +
+        "(d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS v " +
+        "FROM d, generate_series(0, 15) gx(x), generate_series(0, 13) gy(y) " +
+        "WHERE gx.x < d.w AND gy.y < d.h) " +
+        "SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels, " +
+        "CAST(sum(v) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id, w, h")
   )
 }

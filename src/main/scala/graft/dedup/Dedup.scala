@@ -218,6 +218,99 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Corpus-shape statistics driving [[jaccardPairsAuto]]'s strategy pick —
+    * one pass over the inverted index plus two tiny aggregations.
+    *
+    *  - `postings` = Σ df(s) (inverted-index size, the linear baseline);
+    *  - `work` = Σ df(s)² (the naive form's shared-shingle aggregation
+    *    volume);
+    *  - `heavyFrac` = average over documents of (shingles with df >
+    *    `heavyDf`) / (all shingles) — how much of a typical document is
+    *    corpus-wide template;
+    *  - `estTemplateJaccard` = f/(2−f) with f = heavyFrac: the Jaccard two
+    *    documents would score if they shared exactly their template parts
+    *    (intersection f·n over union (2−f)·n) — the quantity whose position
+    *    relative to the query threshold separates SUB-threshold boilerplate
+    *    (prefix filtering prunes everything) from ABOVE-threshold
+    *    duplication (output quadratic, nothing prunable).
+    *
+    * When `maxShingleFreq` > 0 the stats are computed over the SURVIVING
+    * shingles (the df-cut removes the heavy buckets from both algorithms,
+    * so cut shingles must not count toward work). */
+  final case class JaccardStats(
+      nDocs: Long, postings: Long, work: Long, distinctShingles: Long,
+      heavyShingles: Long, heavyFrac: Double) {
+    def estTemplateJaccard: Double =
+      if (heavyFrac <= 0.0) 0.0 else heavyFrac / (2.0 - heavyFrac)
+  }
+
+  def jaccardStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, heavyDf: Long = 16L,
+                   maxShingleFreq: Long = 0L): JaccardStats = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+      .localCheckpoint() // feeds the df agg AND the heavy-fraction join
+    val dfcAll = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfc = (if (maxShingleFreq > 0L) dfcAll.where(col("df") <= maxShingleFreq)
+               else dfcAll).localCheckpoint()
+    val g = dfc.agg(
+      coalesce(sum(col("df")), lit(0L)).as("postings"),
+      coalesce(sum(col("df") * col("df")), lit(0L)).as("work"),
+      count(lit(1)).as("distinct"),
+      coalesce(sum(when(col("df") > heavyDf, 1L).otherwise(0L)), lit(0L)).as("heavy"))
+      .collect()(0)
+    val nDocs = docs.select(col(idCol)).count()
+    // per-doc heavy fraction; docs with no heavy shingles contribute 0 by
+    // summing matched fractions over ALL docs (no left join needed). The
+    // heavy set is small by construction in the regime where this branch
+    // matters; Catalyst broadcasts it when under the threshold.
+    val heavy = dfc.where(col("df") > heavyDf).select("s")
+    val fracSum = inv.join(heavy, Seq("s"))
+      .where(col("nsh") > 0L)
+      .groupBy("id").agg((count(lit(1)).cast("double") / first(col("nsh"))).as("hf"))
+      .agg(coalesce(sum("hf"), lit(0.0))).collect()(0).getDouble(0)
+    JaccardStats(nDocs, g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+      if (nDocs == 0) 0.0 else fracSum / nDocs)
+  }
+
+  /** The regime map measured in `graft.tools.JaccardShape` (BASELINE.md
+    * round 4), as a decision function:
+    *  - Σdf² within a small factor of Σdf → the naive aggregation is
+    *    already linear; prefix filtering's extra sort/verify cannot pay
+    *    (near-unique corpora, df ≈ 1–2);
+    *  - heavy templates whose implied pair similarity REACHES the query
+    *    threshold → the qualifying output is itself quadratic, no candidate
+    *    filter prunes anything, and the count aggregation beats per-pair
+    *    array verification (dup-heavy corpora) → naive;
+    *  - otherwise heavy SUB-threshold boilerplate dominates Σdf² while few
+    *    pairs qualify — exactly what prefix filtering exists for. */
+  def chooseJaccardStrategy(stats: JaccardStats, threshold: Double,
+                            workFactor: Double = 8.0): String =
+    if (stats.work <= workFactor * math.max(1L, stats.postings)) "naive"
+    else if (stats.estTemplateJaccard >= threshold) "naive"
+    else "prefix"
+
+  /** Exact n-gram Jaccard with AUTOMATIC strategy selection: one cheap
+    * shape measurement ([[jaccardStats]]) picks [[jaccardPairs]] or
+    * [[jaccardPairsPrefix]] per corpus — the engine makes the call the
+    * JaccardShape measurements dictate instead of the caller guessing.
+    * Both branches are exact and emit identical pairs (DedupSpec pins it),
+    * so the pick is a pure plan decision, like Catalyst choosing a join. */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxShingleFreq: Long = 0L): DataFrame = {
+    val stats = jaccardStats(docs, idCol, textCol, n, maxShingleFreq = maxShingleFreq)
+    val pick = chooseJaccardStrategy(stats, threshold)
+    System.err.println(s"[dedup] jaccard strategy=$pick " +
+      s"(docs=${stats.nDocs} postings=${stats.postings} work=${stats.work} " +
+      f"heavy=${stats.heavyShingles} heavyFrac=${stats.heavyFrac}%.3f " +
+      f"estTemplateJ=${stats.estTemplateJaccard}%.3f threshold=$threshold)")
+    if (pick == "prefix")
+      jaccardPairsPrefix(docs, idCol, textCol, n, threshold, maxShingleFreq)
+    else jaccardPairs(docs, idCol, textCol, n, threshold, maxShingleFreq)
+  }
+
   /** 64-bit SimHash over tokens, materialized as 4×16-bit band values
     * (keeps all arithmetic < 2^62 → ANSI-safe and SQL-portable; banding on
     * 16-bit chunks is also exactly the hamming-LSH candidate scheme).

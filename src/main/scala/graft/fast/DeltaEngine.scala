@@ -1134,30 +1134,60 @@ object DeltaEngine {
       * is unaffected, an evicted live entry just re-folds from its base on
       * the next resolve. */
     private val maxEntries = 16
+    private final class Entry(val m: HotMap, @volatile var at: Long)
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), HotMap]()
+      new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Entry]()
+
+    /** Idle TTL: entries untouched this long are swept on ANY state's next
+      * resolve — so a CLOSED state's replicas expire on executor JVMs that
+      * never see the driver's invalidate(), without waiting for cache-cap
+      * pressure and without a generation bump. Eviction is always safe
+      * (re-fold from base + chain); the TTL only bounds idle retention.
+      * Override (ms) with `spark.graft.hotcache.ttlMs` for tests. */
+    private def ttlMs: Long = {
+      val env = org.apache.spark.SparkEnv.get
+      (if (env != null) env.conf.getOption("spark.graft.hotcache.ttlMs") else None)
+        .orElse(sys.props.get("spark.graft.hotcache.ttlMs"))
+        .map(_.toLong).getOrElse(10L * 60 * 1000)
+    }
+
+    private def sweep(now: Long): Unit = {
+      val cutoff = now - ttlMs
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.at < cutoff) it.remove()
+    }
+
+    /** Entry count for one state id (spec observability). */
+    private[fast] def entryCount(id: String): Int = {
+      var n = 0
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == id) n += 1
+      n
+    }
 
     def resolve(ref: ChainHot): HotMap = {
       val want = ref.chain.size
+      val now = System.currentTimeMillis()
       val hit = cache.get((ref.id, ref.gen, want))
-      if (hit != null) return hit
+      if (hit != null) { hit.at = now; return hit.m }
       cache.synchronized {
+        sweep(now)
         val again = cache.get((ref.id, ref.gen, want))
-        if (again != null) return again
+        if (again != null) { again.at = now; return again.m }
         // fold forward from the nearest retained earlier epoch (or base)
         var epoch = 0
         var m = ref.base.value
         var e = want - 1
         while (e > 0 && epoch == 0) {
           val c = cache.get((ref.id, ref.gen, e))
-          if (c != null) { epoch = e; m = c }
+          if (c != null) { epoch = e; m = c.m }
           e -= 1
         }
         while (epoch < want) {
           m = foldHot(m, ref.chain(epoch).value)
           epoch += 1
         }
-        cache.put((ref.id, ref.gen, want), m)
+        cache.put((ref.id, ref.gen, want), new Entry(m, now))
         if (want - retain >= 0) cache.remove((ref.id, ref.gen, want - retain))
         // a new generation (rebase/compaction) supersedes all OLDER-gen
         // snapshots of this state — drop them, or every executor leaks one

@@ -43,7 +43,8 @@ final class FastGraphState(
     hotKeys: Int = -1,
     driverDegrees: Boolean = true,
     pipelineDepth: Int = 1,
-    largeBatchThreshold: Int = 1 << 20) extends graft.incr.MotifState {
+    largeBatchThreshold: Int = 1 << 20,
+    degMirrorMaxKeys: Long = 1L << 23) extends graft.incr.MotifState {
 
   private val sc = spark.sparkContext
   private val parts = if (numParts > 0) numParts else sc.defaultParallelism
@@ -73,24 +74,53 @@ final class FastGraphState(
     * per extender slot, no collect job, O(1) driver state). */
   private val degF = new java.util.HashMap[Long, java.lang.Long]()
   private val degR = new java.util.HashMap[Long, java.lang.Long]()
+  /** The mirror is a BUDGETED accelerator, not an invariant: when the shard
+    * key set outgrows `degMirrorMaxKeys` (~70 B/key of boxed driver heap),
+    * the engine switches itself to the sharded-degree seed phase
+    * (degFn=None → count-chain lookups, O(1) driver state) and never
+    * rebuilds the mirror again. The switch only changes WHERE degrees are
+    * read, never their values — FastEngineSpec pins result equality. */
+  private var driverDegreesActive: Boolean = driverDegrees
+  private def disableDriverDegrees(keys: Long): Unit = {
+    driverDegreesActive = false
+    degF.clear(); degR.clear()
+    System.err.println(s"[fastgraph] driver degree mirror off ($keys keys > " +
+      s"budget $degMirrorMaxKeys); sharded-degree seed phase active")
+  }
   private def degFn: Option[(Long, Boolean) => Long] =
-    if (!driverDegrees) None
+    if (!driverDegreesActive) None
     else Some((k, fwd) => {
       val v = (if (fwd) degF else degR).get(k)
       if (v == null) 0L else v.longValue()
     })
-  private def foldDegMirror(dp: DeltaPack): Unit = if (driverDegrees) {
-    def fold(m: java.util.HashMap[Long, java.lang.Long], runs: Map[Long, DeltaPack.Run]): Unit =
-      runs.foreach { case (k, r) =>
-        if (r.degSum != 0L) {
-          val cur = m.get(k)
-          val next = (if (cur == null) 0L else cur.longValue()) + r.degSum
-          if (next == 0L) m.remove(k) else m.put(k, java.lang.Long.valueOf(next))
-        }
-      }
-    fold(degF, dp.fwd); fold(degR, dp.rev)
+  private def foldDeg(m: java.util.HashMap[Long, java.lang.Long], k: Long, d: Long): Unit =
+    if (d != 0L) {
+      val cur = m.get(k)
+      val next = (if (cur == null) 0L else cur.longValue()) + d
+      if (next == 0L) m.remove(k) else m.put(k, java.lang.Long.valueOf(next))
+    }
+  private def foldDegMirror(dp: DeltaPack): Unit = if (driverDegreesActive) {
+    dp.fwd.foreach { case (k, r) => foldDeg(degF, k, r.degSum) }
+    dp.rev.foreach { case (k, r) => foldDeg(degR, k, r.degSum) }
   }
-  private def rebuildDegMirror(): Unit = if (driverDegrees) {
+  /** Incremental mirror fold for the bulk path: per-touched-key degree
+    * deltas (degree = Σw, [[DeltaPack.Run]].degSum semantics) aggregated
+    * distributed and collected — O(|batch keys|) driver work, replacing the
+    * round-4 full-state O(|V|) `rebuildDegMirror` collect per bulk batch. */
+  private def foldDegMirrorDistributed(batch: RDD[(Long, Long, Long)]): Unit =
+    if (driverDegreesActive) {
+      batch.flatMap { case (s, d, w) => Iterator((s, (w, 0L)), (d, (0L, w))) }
+        .reduceByKey((a: (Long, Long), b: (Long, Long)) => (a._1 + b._1, a._2 + b._2))
+        .collect()
+        .foreach { case (k, fr) => foldDeg(degF, k, fr._1); foldDeg(degR, k, fr._2) }
+      val sz = math.max(degF.size.toLong, degR.size.toLong)
+      if (sz > degMirrorMaxKeys) disableDriverDegrees(sz)
+    }
+  private def rebuildDegMirror(): Unit = if (driverDegreesActive) {
+    // budget gate first: one cheap size job (no adjacency data moves)
+    // decides whether an O(|V|) mirror is affordable at all
+    val keys = shards.map(_.size.toLong).fold(0L)(_ + _)
+    if (keys > degMirrorMaxKeys) { disableDriverDegrees(keys); return }
     degF.clear(); degR.clear()
     shards.flatMap(_.iterator.map { case (k, adj) => (k, adj.degFwd, adj.degRev) })
       .collect()
@@ -168,13 +198,15 @@ final class FastGraphState(
     * shards must stay alive until the new ones are materialized, i.e. until
     * the NEXT batch's job has run — so retirement is deferred two absorbs
     * (`retiringShards` → `pendingShards` → unpersist). */
-  private def installShards(next: RDD[Shard.T]): Unit = {
-    next.persist()
-    next.localCheckpoint() // truncate lineage: recovery is WAL replay, not recompute
-    // single-relation motifs never run a per-batch job over the shards
-    // (seeds ARE the matches), so nothing would materialize `next` before
-    // its ancestor retires — materialize eagerly in that case only
-    if (engine.numAttrs == 2) next.count()
+  private def installShards(next: RDD[Shard.T], prepared: Boolean = false): Unit = {
+    if (!prepared) {
+      next.persist()
+      next.localCheckpoint() // truncate lineage: recovery is WAL replay, not recompute
+      // single-relation motifs never run a per-batch job over the shards
+      // (seeds ARE the matches), so nothing would materialize `next` before
+      // its ancestor retires — materialize eagerly in that case only
+      if (engine.numAttrs == 2) next.count()
+    }
     retired ::= (absorbSeq, shards)
     shards = next
   }
@@ -197,19 +229,28 @@ final class FastGraphState(
     // LocalRelation reports its child's bound, and routing such a tiny
     // batch through the distributed path (shard rebuild + O(|V|) mirror
     // rebuild per batch) would silently cost orders of magnitude. When the
-    // plan can't decide, one count job does — only on this DataFrame entry
-    // point, never on the hot applyBatchRdd path.
+    // plan can't decide, ONE bounded collect does double duty: it both
+    // sizes the batch and (when small) IS the driver-path collect — the
+    // round-4 form ran a full count() job and then re-scanned the same
+    // source in collectConsolidated, doubling every small parquet/stream-
+    // sourced micro-batch's input scan. Driver exposure is bounded at
+    // largeBatchThreshold+1 rows (~24 B each) even for a huge batch.
     val plan = deltas.queryExecution.optimizedPlan
-    val big = plan match {
-      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        lr.data.length > largeBatchThreshold // exact, no job
-      case p => p.maxRows match {
-        case Some(bound) if bound <= largeBatchThreshold => false
-        case _ => deltas.count() > largeBatchThreshold
-      }
+    plan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.length > largeBatchThreshold => // exact, no job
+        return applyBatchDistributed(batchId, deltas, sink)
+      case _ =>
     }
-    if (big) return applyBatchDistributed(batchId, deltas, sink)
-    val arr = collectConsolidated(deltas)
+    val provenSmall = plan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case p => p.maxRows.exists(_ <= largeBatchThreshold)
+    }
+    val arr =
+      if (provenSmall) collectConsolidated(deltas)
+      else collectConsolidated(deltas, limit = Some(largeBatchThreshold + 1))
+    if (arr.length > largeBatchThreshold)
+      return applyBatchDistributed(batchId, deltas, sink)
     val rdd = applyBatchRdd(batchId, arr, df => sink(df))
     toDF(rdd)
   }
@@ -268,13 +309,21 @@ final class FastGraphState(
     }
     val post = engine.updateShardsDistributed(shards, batch)
     val matches = engine.deltaStepDistributed(sc, shards, post, batch)
+    // persist + truncate + materialize the post generation BEFORE the sink
+    // runs: a sink that executes a job would otherwise compute the full
+    // distributed shard merge uncached, and rebuildHot/rebuildDegMirror
+    // would recompute it a second time right after
+    post.persist()
+    post.localCheckpoint()
+    post.count()
     if (sink != null) sink(toDF(matches))
-    installShards(post)
-    // the driver's replica/mirror folds never saw this batch: rebuild both
-    // from the new shards (generation bump evicts executor hot caches; the
-    // DeltaPack chain restarts empty)
+    installShards(post, prepared = true)
+    // the driver's replica never saw this batch: rebuild it from the new
+    // shards (generation bump evicts executor hot caches; the DeltaPack
+    // chain restarts empty). The degree mirror folds the batch's own
+    // per-key deltas instead — no O(|V|) collect in the bulk path.
     rebuildHot()
-    rebuildDegMirror()
+    foldDegMirrorDistributed(batch)
     pendingRdds ::= batch // lineage feeds `matches`; dropped next absorb
     tailIds :+= batchId
     _lastBatchId = batchId
@@ -461,14 +510,17 @@ final class FastGraphState(
 
   // ---- plumbing ----
 
-  private def collectConsolidated(deltas: DataFrame): Array[(Long, Long, Long)] = {
+  private def collectConsolidated(deltas: DataFrame,
+                                  limit: Option[Int] = None): Array[(Long, Long, Long)] = {
     val w = if (deltas.columns.contains("w"))
       org.apache.spark.sql.functions.col("w").cast("long")
     else org.apache.spark.sql.functions.lit(1L)
-    deltas.select(
-        org.apache.spark.sql.functions.col("src").cast("long"),
-        org.apache.spark.sql.functions.col("dst").cast("long"), w.as("w"))
-      .collect()
+    val sel = deltas.select(
+      org.apache.spark.sql.functions.col("src").cast("long"),
+      org.apache.spark.sql.functions.col("dst").cast("long"), w.as("w"))
+    // row order is irrelevant downstream (DeltaPack consolidates by key),
+    // so a limit-probe collect is a valid batch when it comes in under it
+    limit.fold(sel)(sel.limit).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }
 

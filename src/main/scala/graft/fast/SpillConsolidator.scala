@@ -27,13 +27,25 @@ final class SpillConsolidator(n: Int, maxEntries: Int) {
   private val map = new java.util.HashMap[ArraySeq[Long], java.lang.Long](
     math.min(maxEntries.toLong + 1, 1L << 20).toInt)
   private val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+  /** Runs whose streams are open. EOF-driven cleanup alone is not enough:
+    * a merge iterator abandoned mid-stream (downstream take/limit, task
+    * kill) would hold open FDs — and an open FD pins the disk space even
+    * after the file is unlinked. */
+  private val openRuns = scala.collection.mutable.ArrayBuffer.empty[Run]
 
-  // a task killed mid-merge must not leak spill files
+  // a task killed mid-merge must not leak spill files or open streams
   {
     val tc = org.apache.spark.TaskContext.get()
-    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-      spills.foreach(f => if (f.exists()) f.delete())
-    }
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ => close() }
+  }
+
+  /** Releases every open run stream and deletes remaining spill files.
+    * Idempotent; registered as the task-completion listener, and the
+    * explicit release for driver-side use (no TaskContext there). */
+  def close(): Unit = {
+    openRuns.foreach(_.close())
+    openRuns.clear()
+    spills.foreach(f => if (f.exists()) f.delete())
   }
 
   /** Folds in one packed record: `n` binding longs at `block(off)` followed
@@ -96,9 +108,17 @@ final class SpillConsolidator(n: Int, maxEntries: Int) {
   private final class Run(f: File) {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 20))
+    private var closed = false
+    openRuns += this
     var key: Array[Long] = null
     var w: Long = 0L
     var live: Boolean = advance()
+    def close(): Unit = if (!closed) {
+      closed = true
+      try in.close() catch { case _: Throwable => () }
+      f.delete()
+      live = false
+    }
     def advance(): Boolean =
       try {
         val k = new Array[Long](n)
@@ -111,7 +131,7 @@ final class SpillConsolidator(n: Int, maxEntries: Int) {
         true
       } catch {
         case _: EOFException =>
-          in.close(); f.delete(); live = false; false
+          close(); false
       }
   }
 

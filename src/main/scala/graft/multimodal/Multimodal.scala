@@ -128,6 +128,91 @@ object Multimodal {
       }
   }
 
+  /** ======== REAL image decode (javax.imageio, JDK-native) ========
+    * Unlike [[StubCodec]], this path decodes ACTUAL image bytes: the JDK
+    * ships PNG/JPEG/BMP/GIF readers, so no external codec is needed on
+    * executors. The driver gate round-trips deterministic grayscale PNGs
+    * through the real encoder and decoder: pixel(x,y) = (id·31+x·7+y·13)
+    * mod 256 is SQL-reproducible, PNG is lossless, so the decoded width /
+    * height / pixel checksum are DuckDB-oracle-exact — the decode is
+    * verified pixel-for-pixel, not shape-only. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    /** Deterministic 8-bit grayscale PNG via the real JDK encoder. */
+    def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, pixSum: Long, hist: Array[Float])
+
+    /** Real decode: None for undecodable payloads (a corrupt asset must be
+      * a skipped row, never a task failure, at pipeline scale). Features =
+      * 16-bin luminance histogram over band 0, L1-normalized. */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        val hist = new Array[Float](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            hist((v & 0xff) >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toFloat
+        Some(Decoded(w, h, sum, hist.map(_ / n)))
+      }
+    }
+  }
+
+  final case class ImageAsset(asset_id: Long, content: Array[Byte])
+  final case class ImageDecoded(
+      asset_id: Long, width: Long, height: Long,
+      n_pixels: Long, pix_sum: Long, features: Array[Float])
+
+  /** Distributed REAL image decode: repartition by asset so decode load
+    * spreads regardless of upstream layout, then one per-partition pass
+    * through [[ImageCodec.decode]]. Undecodable assets are dropped (flatMap
+    * of the None), the per-row cost is pure executor-local CPU, and nothing
+    * here is driver-resident — the same shape at 10^9 images. */
+  def decodeImages(assets: Dataset[ImageAsset], partitions: Int): Dataset[ImageDecoded] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.repartition(partitions, col("asset_id"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          ImageCodec.decode(a.content).map(d =>
+            ImageDecoded(a.asset_id, d.width.toLong, d.height.toLong,
+              d.width.toLong * d.height, d.pixSum, d.hist))
+        }
+      }
+  }
+
   /** Builds a deterministic asset table from any text table (payload =
     * UTF-8 bytes) — the sandbox stand-in for reading real media files. */
   def assetsFromText(docs: DataFrame, idCol: String, textCol: String): Dataset[Asset] = {

@@ -91,11 +91,12 @@ object Embeddings {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the nCells SMALLEST ids (not `id < nCells`, which silently under-fills
-    // the quantizer on sparse/offset id spaces): rank + limit, one pass
-    val cw = Window.orderBy(col(idCol).asc)
+    // the quantizer on sparse/offset id spaces). orderBy+limit plans as
+    // TakeOrderedAndProject — a parallel per-partition top-nCells then a
+    // tiny driver merge — where an unpartitioned row_number window would
+    // funnel the ENTIRE corpus through one task's sort at 10^9 vectors.
     val cent = corpus.select(col(idCol), col(vecCol))
-      .withColumn("crn", row_number().over(cw))
-      .where(col("crn") <= nCells)
+      .orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
     // inverted lists: every corpus vector joins its single nearest cell
     val aw = Window.partitionBy("cand_id")
@@ -158,10 +159,14 @@ object Embeddings {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpusInt = corpus.select(col(idCol).as("cand_id"), toIntVec(col(vecCol)).as("cv"))
-    // init: the nCells smallest-id vectors, cells renumbered 0..nCells-1
+    // init: the nCells smallest-id vectors, cells renumbered 0..nCells-1.
+    // orderBy+limit = TakeOrderedAndProject (parallel top-nCells); the
+    // renumbering window then sorts only the nCells surviving rows, never
+    // the corpus (the round-4 form windowed the full corpus in one task).
     val cw = Window.orderBy(col("cand_id").asc)
     var cent = corpusInt
-      .withColumn("crn", row_number().over(cw)).where(col("crn") <= nCells)
+      .orderBy(col("cand_id").asc).limit(nCells)
+      .withColumn("crn", row_number().over(cw))
       .select((col("crn") - 1).cast("long").as("cell"), col("cv").as("cvec"))
       .localCheckpoint()
     for (_ <- 0 until iters) {

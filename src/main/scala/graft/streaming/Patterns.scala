@@ -49,7 +49,18 @@ object Patterns {
 
   /** Shared per-invocation scaffolding for both detectors: watermark
     * sentinel, beyond-watermark drop, duplicate-delivery dedup, merge into
-    * ts-ordered state. Returns (watermarkMs, previous state, merged). */
+    * ts-ordered state. Returns (watermarkMs, previous state, merged).
+    *
+    * WATERMARK SENTINEL CAVEAT: `getCurrentWatermarkMs()` returns 0 both
+    * before the first watermark commit AND for a genuine watermark of 0, so
+    * `> 0` is the only safe "initialized" test the GroupState API permits.
+    * Consequence: a stream whose event times sit at/near the epoch
+    * indefinitely (max event time never exceeds the watermark delay) keeps
+    * wm pinned at the sentinel — results are WITHHELD (never wrong) and
+    * per-key buffers are not evicted. Post-1970 event times — every real
+    * transcript — advance past this in the first batch; pre-/at-epoch
+    * synthetic streams should use the batch forms (same semantics, no
+    * watermark). Documented with the ms-resolution caveat above. */
   private def absorb(rows: Iterator[Ev], state: GroupState[PatState])
       : (Long, PatState, IndexedSeq[(Long, Long, String)]) = {
     val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue

@@ -73,6 +73,17 @@ object JaccardShape {
       val key = (r: Row) => (r.getLong(0), r.getLong(1), r.getDouble(2))
       assert(naive.map(key).toSet == prefix.map(key).toSet,
         s"$name: algorithms disagree")
+      // the auto strategy must pick each regime's measured winner (naive /
+      // prefix / naive) and produce the identical pair set
+      val stats = Dedup.jaccardStats(df, "id", "text", n = 3)
+      val pick = Dedup.chooseJaccardStrategy(stats, threshold = 0.5)
+      val expectPick =
+        if (name == "sub_threshold_boilerplate") "prefix" else "naive"
+      println(s"[jshape] $name auto-pick=$pick (expected $expectPick) stats=$stats")
+      assert(pick == expectPick, s"$name: auto picked $pick, measured winner is $expectPick")
+      val auto = time("auto  ")(
+        Dedup.jaccardPairsAuto(df, "id", "text", n = 3, threshold = 0.5).collect())
+      assert(auto.map(key).toSet == naive.map(key).toSet, s"$name: auto output differs")
     }
     spark.stop()
   }

@@ -23,12 +23,17 @@ object TranscriptEdges {
   def convNodeId(convId: Column): Column =
     pmod(xxhash64(convId), lit(convBase)) + lit(convBase)
 
-  /** Dense ids for a LOW-cardinality string attribute, assigned by sorted
-    * key order (deterministic under any parallelism). Single-partition
-    * window — never call on high-cardinality keys. */
-  def denseDict(df: DataFrame, keyCol: String, base: Long): DataFrame =
-    df.select(col(keyCol).as("key")).where(col("key").isNotNull).distinct()
-      .withColumn("id", row_number().over(Window.orderBy("key")).cast("long") + lit(base - 1))
+  /** Dense ids for a string attribute, assigned by sorted key order
+    * (deterministic under any parallelism). The rank plan is size-gated
+    * ([[graft.sources.Layout.denseRankByOrder]]): a single row_number
+    * window only while the key set is small; past the threshold a
+    * range-partitioned sort + zipWithIndex computes the identical ids with
+    * no single-partition exchange. */
+  def denseDict(df: DataFrame, keyCol: String, base: Long,
+                windowMaxRows: Long = graft.sources.Layout.defaultWindowMaxRows): DataFrame =
+    graft.sources.Layout.denseRankByOrder(
+      df.select(col(keyCol).as("key")).where(col("key").isNotNull).distinct(),
+      Seq(col("key").asc), "id", base, windowMaxRows)
 
   def toolDict(transcripts: DataFrame): DataFrame = denseDict(transcripts, "tool", toolBase)
   def roleDict(transcripts: DataFrame): DataFrame = denseDict(transcripts, "role", 0L)

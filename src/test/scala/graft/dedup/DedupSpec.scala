@@ -75,6 +75,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("auto strategy: regime picks + identical output on all three shapes") {
+    import scala.jdk.CollectionConverters._
+    def mk(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      rows.map { case (id, t) => Row(id, t) }.asJava, docSchema)
+    val rnd = new scala.util.Random(41L)
+    def words(n: Int, tag: String) =
+      (0 until n).map(_ => s"$tag${rnd.nextInt(1000000)}").mkString(" ")
+    // (a) near-unique: df ≈ 1 → work ≈ postings → naive
+    val unique = (0L until 60L).map(i => (i, words(40, "u")))
+    // (b) sub-threshold boilerplate: 40% shared template, pairs score ~0.25
+    val tmpl40 = words(24, "t")
+    val boiler = (0L until 200L).map(i => (i, tmpl40 + " " + words(36, "b")))
+    // (c) above-threshold duplication: 70% shared template, pairs ~0.54
+    val tmpl70 = words(42, "t")
+    val dup = (0L until 200L).map(i => (i, tmpl70 + " " + words(18, "b")))
+    val picks = Seq(("near_unique", unique, "naive"),
+      ("boilerplate", boiler, "prefix"), ("dup_heavy", dup, "naive"))
+    for ((name, rows, expect) <- picks) {
+      val df = mk(rows)
+      val stats = Dedup.jaccardStats(df, "id", "text", n = 3)
+      val pick = Dedup.chooseJaccardStrategy(stats, threshold = 0.5)
+      assert(pick == expect, s"$name: picked $pick (stats=$stats)")
+      val key = (r: Row) => (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val auto = Dedup.jaccardPairsAuto(df, "id", "text", n = 3, threshold = 0.5)
+        .collect().map(key).toSet
+      val naive = Dedup.jaccardPairs(df, "id", "text", n = 3, threshold = 0.5)
+        .collect().map(key).toSet
+      assert(auto == naive, s"$name: auto output differs from naive")
+    }
+  }
+
   test("prefix-filtered jaccard == naive on a random corpus at several thresholds") {
     import scala.jdk.CollectionConverters._
     val rnd = new scala.util.Random(97L)

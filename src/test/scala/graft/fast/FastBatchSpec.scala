@@ -67,6 +67,10 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
     check(Planner.clique4, GenericJoin.ordered(4), randomEdges(25, 500, 17L), parts = 4)
   }
 
+  test("batch fast == sql: clique5 (three extension levels)") {
+    check(Planner.clique5, Nil, randomEdges(14, 400, 37L), parts = 4)
+  }
+
   test("batch fast == sql: cliqueHat with mixed !=/< predicates") {
     check(Planner.cliqueHat,
       Seq(GenericJoin.Pred(1, 4, "!="), GenericJoin.Pred(2, 4, "<")),

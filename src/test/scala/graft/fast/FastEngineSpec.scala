@@ -286,6 +286,29 @@ class FastEngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("degree-mirror budget auto-switch: tiny budget == default, incl. bulk absorb") {
+    // budget 0 → sharded from initialize; budget 25 → the mirror starts
+    // driver-side and switches itself off mid-stream as the key set grows
+    // (and the bulk batch's incremental fold must stay exact up to the
+    // switch). Results must be identical in every configuration.
+    val batches = randomBatches(40, 6, 40, seed = 131L)
+    val base = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 100)
+    val auto0 = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 100,
+      degMirrorMaxKeys = 0L)
+    val autoMid = new FastGraphState(spark, Planner.triangle, numParts = 4, maxTail = 100,
+      degMirrorMaxKeys = 25L)
+    for ((batch, id) <- batches.zipWithIndex) {
+      val r1 = sortedRows(base.applyBatch(id.toLong, df(batch)))
+      // one bulk batch exercises foldDegMirrorDistributed on all three
+      def step(st: FastGraphState) = sortedRows(
+        if (id == 3) st.applyBatchDistributed(id.toLong, df(batch))
+        else st.applyBatch(id.toLong, df(batch)))
+      assert(step(auto0) == r1, s"budget=0 batch=$id")
+      assert(step(autoMid) == r1, s"budget=25 batch=$id")
+    }
+    base.close(); auto0.close(); autoMid.close()
+  }
+
   test("distributed absorb with ordered predicates == broadcast absorb") {
     val batches = randomBatches(20, 4, 45, seed = 79L)
     val preds = GenericJoin.ordered(3)

@@ -1,0 +1,63 @@
+package graft.fast
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Executor-side hot-replica cache hygiene: a CLOSED state's cached
+  * snapshots must not live for the executor JVM's lifetime. The driver's
+  * invalidate() only runs in the driver JVM; on a real cluster the idle
+  * TTL is what reclaims dead states' replicas — without a generation bump
+  * and without waiting for cache-cap pressure. */
+class HotCacheSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ref(id: String, gen: Long = 0L): DeltaEngine.ChainHot = {
+    val base = spark.sparkContext.broadcast(new DeltaEngine.HotMap())
+    DeltaEngine.ChainHot(id, gen, base, IndexedSeq.empty)
+  }
+
+  test("idle TTL evicts a dead state's entries on another state's resolve") {
+    val prev = sys.props.get("spark.graft.hotcache.ttlMs")
+    sys.props("spark.graft.hotcache.ttlMs") = "50"
+    try {
+      val dead = ref("ttl-dead-state")
+      DeltaEngine.HotCache.resolve(dead)
+      assert(DeltaEngine.HotCache.entryCount("ttl-dead-state") == 1)
+      Thread.sleep(120) // let the dead state's entry age past the TTL
+      // an UNRELATED state's resolve sweeps it — no generation bump, no
+      // invalidate() call, no cache-cap pressure
+      DeltaEngine.HotCache.resolve(ref("ttl-live-state"))
+      assert(DeltaEngine.HotCache.entryCount("ttl-dead-state") == 0)
+      assert(DeltaEngine.HotCache.entryCount("ttl-live-state") == 1)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("spark.graft.hotcache.ttlMs") = v
+        case None => sys.props.remove("spark.graft.hotcache.ttlMs")
+      }
+      DeltaEngine.HotCache.invalidate("ttl-live-state")
+      DeltaEngine.HotCache.invalidate("ttl-dead-state")
+    }
+  }
+
+  test("a hot entry's TTL is refreshed by access") {
+    val prev = sys.props.get("spark.graft.hotcache.ttlMs")
+    sys.props("spark.graft.hotcache.ttlMs") = "150"
+    try {
+      val live = ref("ttl-refresh-state")
+      DeltaEngine.HotCache.resolve(live)
+      for (_ <- 0 until 4) {
+        Thread.sleep(60) // under TTL between touches, over TTL in total
+        DeltaEngine.HotCache.resolve(live)
+      }
+      // trigger a sweep from another state: the touched entry survives
+      DeltaEngine.HotCache.resolve(ref("ttl-other-state"))
+      assert(DeltaEngine.HotCache.entryCount("ttl-refresh-state") == 1)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("spark.graft.hotcache.ttlMs") = v
+        case None => sys.props.remove("spark.graft.hotcache.ttlMs")
+      }
+      DeltaEngine.HotCache.invalidate("ttl-refresh-state")
+      DeltaEngine.HotCache.invalidate("ttl-other-state")
+    }
+  }
+}

@@ -57,4 +57,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(frames.length == videoIds.size * 4)
   }
+
+  test("ImageCodec: real PNG encode→decode round-trip is pixel-exact") {
+    for (id <- Seq(0L, 7L, 123L, 499L)) {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val png = Multimodal.ImageCodec.syntheticPng(id, w, h)
+      // a real PNG payload, not a fake: magic bytes
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val d = Multimodal.ImageCodec.decode(png).get
+      assert(d.width == w && d.height == h)
+      var expectSum = 0L
+      val expectHist = new Array[Float](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        expectSum += v
+        expectHist(v >> 4) += 1f
+      }
+      assert(d.pixSum == expectSum)
+      assert(d.hist.toSeq == expectHist.map(_ / (w * h)).toSeq)
+    }
+    // corrupt payloads are skipped rows, not task failures
+    assert(Multimodal.ImageCodec.decode("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeImages: distributed decode drops undecodable assets") {
+    import spark.implicits._
+    val assets = spark.createDataset((0L until 20L).map { id =>
+      if (id % 5 == 4) Multimodal.ImageAsset(id, Array[Byte](1, 2, 3)) // corrupt
+      else Multimodal.ImageAsset(id,
+        Multimodal.ImageCodec.syntheticPng(id, (8 + id % 9).toInt, (8 + id % 7).toInt))
+    })
+    val out = Multimodal.decodeImages(assets, partitions = 4).collect()
+      .map(d => d.asset_id -> d).toMap
+    assert(out.keySet == (0L until 20L).filter(_ % 5 != 4).toSet)
+    for ((id, d) <- out) {
+      assert(d.width == 8 + id % 9 && d.height == 8 + id % 7)
+      assert(d.n_pixels == d.width * d.height)
+    }
+  }
 }

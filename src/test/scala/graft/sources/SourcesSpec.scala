@@ -66,4 +66,26 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(Set(dict(10L), dict(30L)) == Set(0L, 1L))
   }
+
+  test("dense rank: zipWithIndex path == window path, and has no Window node") {
+    val rnd = new scala.util.Random(73L)
+    val edges = spark.createDataFrame(
+      (0 until 800).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+    ).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    // windowMaxRows = 0 forces the large-input (zipWithIndex) plan
+    val small = Layout.degreeDict(edges)
+    val large = Layout.degreeDict(edges, windowMaxRows = 0L)
+    assert(rows(large) == rows(small))
+    assert(!large.queryExecution.executedPlan.toString.contains("Window"),
+      "large-input rank plan must not contain a global Window")
+    assert(rows(Layout.relabel(edges, windowMaxRows = 0L)) == rows(Layout.relabel(edges)))
+    // same switch behind the transcript dictionaries
+    val t = spark.createDataFrame(
+      (0 until 100).map(i => (s"conv$i", s"tool${i % 17}"))).toDF("conv_id", "tool")
+    val dSmall = graft.transcripts.TranscriptEdges.denseDict(t, "tool", 1000L)
+    val dLarge = graft.transcripts.TranscriptEdges.denseDict(t, "tool", 1000L, windowMaxRows = 0L)
+    assert(rows(dLarge) == rows(dSmall))
+  }
 }
