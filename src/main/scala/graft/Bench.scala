@@ -113,6 +113,22 @@ object Bench {
         graft.dedup.Dedup.minhashPairs(d2, "doc_id", "text",
           n = 3, k = 16, bands = 4, threshold = 0.5, hash = graft.dedup.Dedup.FastHash)
       }))
+    // Unrecorded warmup: JIT-compile the fast-engine and shuffle paths on a
+    // tiny in-memory graph so the first recorded query doesn't carry the
+    // JVM's compilation debt (BENCH_r5_full1: wco_triangle rep1 = 37.3 s vs
+    // 4.8 s warm — the median of 3 was dragged 2× by pure warmup).
+    locally {
+      import org.apache.spark.sql.types._
+      val rnd = new scala.util.Random(7L)
+      val warmRows = (0 until 2000).map { _ =>
+        Row(rnd.nextInt(60).toLong, rnd.nextInt(60).toLong, 1L) }
+      import scala.jdk.CollectionConverters._
+      val warm = spark.createDataFrame(warmRows.asJava, StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("w", LongType))))
+      graft.fast.FastBatch.enumerate(warm, Planner.triangle).count()
+      ()
+    }
     val out = names.map { n =>
       val times = (1 to reps).map { r =>
         // release blocks pinned by the previous repetition (FastBatch
@@ -524,7 +540,14 @@ object Bench {
           streamBenchMaster(clusterSpec, 32, sConvs, turns, nTools, sBatch, durable)
         }.sortBy(_.matchesPerSec)
         Right(Seq(runs((runs.size - 1) / 2))) // conservative lower median
-      } catch { case e: Throwable => Left(e.toString.linesIterator.next().take(300)) }
+      } catch { case e: Throwable =>
+        // BENCH_r5_full1: a failed local-cluster app left its STOPPED
+        // session as the default, and every later phase's getOrCreate
+        // returned it ("Cannot call methods on a stopped SparkContext")
+        // — drop it so subsequent phases build a fresh local session
+        SparkSession.getDefaultSession.foreach(safeStop)
+        Left(e.toString.linesIterator.next().take(300))
+      }
 
     // Phase B4 — bulk distributed absorb (backfill regime): one ~20K-edge
     // 10%-tail... sized by the scaling fixture (~200K updates at the

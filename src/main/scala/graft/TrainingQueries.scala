@@ -239,6 +239,17 @@ object TrainingQueries {
       Multimodal.decodeImages(assets, partitions = 8).toDF()
         .select(col("asset_id"), col("width"), col("height"),
           col("n_pixels"), col("pix_sum"))
+    }),
+    // REAL audio decode (javax.sound.sampled): deterministic 16-bit mono
+    // PCM WAVs round-trip through the actual JDK codec; decoded frame
+    // count / sample rate / signed sample checksum replayed in DuckDB
+    "multimodal_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.map(id => Multimodal.AudioAsset(id,
+        Multimodal.AudioCodec.syntheticWav(id, (200 + (id % 23) * 8).toInt)))
+      Multimodal.decodeAudio(assets, partitions = 8).toDF()
+        .select(col("asset_id"), col("n_samples"), col("sample_rate"), col("sample_sum"))
     })
   )
 
@@ -370,6 +381,13 @@ object TrainingQueries {
         "WHERE gx.x < d.w AND gy.y < d.h) " +
         "SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width, " +
         "CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels, " +
-        "CAST(sum(v) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id, w, h")
+        "CAST(sum(v) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id, w, h"),
+    "multimodal_audio_decode" ->
+      ("WITH d AS (SELECT doc_id, CAST(200 + (doc_id % 23) * 8 AS INT) AS ns FROM documents), " +
+        "sm AS (SELECT d.doc_id, d.ns, ((d.doc_id * 31 + g.i * 7) % 65536) - 32768 AS v " +
+        "FROM d, generate_series(0, 383) g(i) WHERE g.i < d.ns) " +
+        "SELECT doc_id AS asset_id, CAST(ns AS BIGINT) AS n_samples, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, CAST(sum(v) AS BIGINT) AS sample_sum " +
+        "FROM sm GROUP BY doc_id, ns")
   )
 }

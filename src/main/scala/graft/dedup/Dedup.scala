@@ -127,20 +127,29 @@ object Dedup {
     * ONLY shared shingles are ultra-common may fall below threshold — the
     * usual df-cut trade, mirrored exactly by the driver oracle. 0 = exact
     * (no cut). */
+  /** (id, nsh, s) inverted index of distinct n-shingles — the shared input
+    * of both exact-Jaccard algorithms and the shape measurement. */
+  private def invIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+      .select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleFreq: Long = 0L): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")).cast("long"))
+                   maxShingleFreq: Long = 0L): DataFrame =
     // materialized once (localCheckpoint — not persist, see minhashPairs):
     // the inverted index feeds both join sides
-    val invAll = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
-      .localCheckpoint()
+    jaccardPairsOnInv(invIndex(docs, idCol, textCol, n).localCheckpoint(),
+      None, threshold, maxShingleFreq)
+
+  private def jaccardPairsOnInv(invAll: DataFrame, dfcAll: Option[DataFrame],
+                                threshold: Double, maxShingleFreq: Long): DataFrame = {
     val inv =
       if (maxShingleFreq <= 0L) invAll
       else invAll.join(
         // shingles are distinct per doc, so count(*) per shingle = doc freq
-        invAll.groupBy("s").agg(count(lit(1)).as("_df"))
+        dfcAll.getOrElse(invAll.groupBy("s").agg(count(lit(1)).as("_df")))
           .where(col("_df") <= maxShingleFreq).select("s"),
         "s")
     val a = inv.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
@@ -183,11 +192,15 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5,
                          maxShingleFreq: Long = 0L): DataFrame = {
+    val inv = invIndex(docs, idCol, textCol, n)
+    jaccardPairsPrefixOnInv(inv, inv.groupBy("s").agg(count(lit(1)).as("_df")),
+      threshold, maxShingleFreq)
+  }
+
+  private def jaccardPairsPrefixOnInv(inv: DataFrame, dfc: DataFrame,
+                                      threshold: Double,
+                                      maxShingleFreq: Long): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")).cast("long"))
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
-    val dfc = inv.groupBy("s").agg(count(lit(1)).as("_df"))
     val kept =
       if (maxShingleFreq <= 0L) inv.join(dfc, "s")
       else inv.join(dfc.where(col("_df") <= maxShingleFreq), "s")
@@ -247,25 +260,30 @@ object Dedup {
   def jaccardStats(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, heavyDf: Long = 16L,
                    maxShingleFreq: Long = 0L): JaccardStats = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")).cast("long"))
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
-      .localCheckpoint() // feeds the df agg AND the heavy-fraction join
-    val dfcAll = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val dfc = (if (maxShingleFreq > 0L) dfcAll.where(col("df") <= maxShingleFreq)
-               else dfcAll).localCheckpoint()
+    val inv = invIndex(docs, idCol, textCol, n).localCheckpoint()
+    jaccardStatsOnInv(inv,
+      inv.groupBy("s").agg(count(lit(1)).as("_df")).localCheckpoint(),
+      heavyDf, maxShingleFreq)
+  }
+
+  private def jaccardStatsOnInv(inv: DataFrame, dfcAll: DataFrame,
+                                heavyDf: Long, maxShingleFreq: Long): JaccardStats = {
+    val dfc = if (maxShingleFreq > 0L) dfcAll.where(col("_df") <= maxShingleFreq)
+              else dfcAll
     val g = dfc.agg(
-      coalesce(sum(col("df")), lit(0L)).as("postings"),
-      coalesce(sum(col("df") * col("df")), lit(0L)).as("work"),
+      coalesce(sum(col("_df")), lit(0L)).as("postings"),
+      coalesce(sum(col("_df") * col("_df")), lit(0L)).as("work"),
       count(lit(1)).as("distinct"),
-      coalesce(sum(when(col("df") > heavyDf, 1L).otherwise(0L)), lit(0L)).as("heavy"))
+      coalesce(sum(when(col("_df") > heavyDf, 1L).otherwise(0L)), lit(0L)).as("heavy"))
       .collect()(0)
-    val nDocs = docs.select(col(idCol)).count()
+    // docs with an empty shingle set aren't in the index; they can't pair,
+    // so excluding them from the heavy-fraction denominator is correct
+    val nDocs = inv.agg(count_distinct(col("id"))).collect()(0).getLong(0)
     // per-doc heavy fraction; docs with no heavy shingles contribute 0 by
     // summing matched fractions over ALL docs (no left join needed). The
     // heavy set is small by construction in the regime where this branch
     // matters; Catalyst broadcasts it when under the threshold.
-    val heavy = dfc.where(col("df") > heavyDf).select("s")
+    val heavy = dfc.where(col("_df") > heavyDf).select("s")
     val fracSum = inv.join(heavy, Seq("s"))
       .where(col("nsh") > 0L)
       .groupBy("id").agg((count(lit(1)).cast("double") / first(col("nsh"))).as("hf"))
@@ -300,15 +318,21 @@ object Dedup {
   def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxShingleFreq: Long = 0L): DataFrame = {
-    val stats = jaccardStats(docs, idCol, textCol, n, maxShingleFreq = maxShingleFreq)
+    // ONE materialized inverted index + df table serve the measurement AND
+    // the chosen algorithm — the pick costs two tiny aggregations plus one
+    // heavy-set pass, not a rebuild of the index (measured: the rebuild
+    // form added ~60% to ngram_jaccard_pairs at sf0.1)
+    val inv = invIndex(docs, idCol, textCol, n).localCheckpoint()
+    val dfcAll = inv.groupBy("s").agg(count(lit(1)).as("_df")).localCheckpoint()
+    val stats = jaccardStatsOnInv(inv, dfcAll, heavyDf = 16L, maxShingleFreq)
     val pick = chooseJaccardStrategy(stats, threshold)
     System.err.println(s"[dedup] jaccard strategy=$pick " +
       s"(docs=${stats.nDocs} postings=${stats.postings} work=${stats.work} " +
       f"heavy=${stats.heavyShingles} heavyFrac=${stats.heavyFrac}%.3f " +
       f"estTemplateJ=${stats.estTemplateJaccard}%.3f threshold=$threshold)")
     if (pick == "prefix")
-      jaccardPairsPrefix(docs, idCol, textCol, n, threshold, maxShingleFreq)
-    else jaccardPairs(docs, idCol, textCol, n, threshold, maxShingleFreq)
+      jaccardPairsPrefixOnInv(inv, dfcAll, threshold, maxShingleFreq)
+    else jaccardPairsOnInv(inv, Some(dfcAll), threshold, maxShingleFreq)
   }
 
   /** 64-bit SimHash over tokens, materialized as 4×16-bit band values

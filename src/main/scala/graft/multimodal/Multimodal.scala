@@ -190,6 +190,69 @@ object Multimodal {
     }
   }
 
+  /** ======== REAL audio decode (javax.sound.sampled, JDK-native) ========
+    * Same discipline as [[ImageCodec]]: deterministic 16-bit mono PCM WAVs
+    * (sample(i) = ((id·31+i·7) mod 65536) − 32768) are encoded AND decoded
+    * by the actual JDK codec; PCM WAV is lossless, so decoded frame count /
+    * sample rate / sample checksum are DuckDB-closed-form exact. */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (((id * 31 + i * 7) % 65536) - 32768).toInt
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class DecodedAudio(nSamples: Long, sampleRate: Int, sampleSum: Long)
+
+    /** Real decode: None for undecodable payloads. Assumes 16-bit mono PCM
+      * little-endian content (what [[syntheticWav]] and standard speech
+      * corpora carry); sampleSum is the exact signed sum over all frames. */
+    def decode(bytes: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val buf = ais.readAllBytes()
+        val n = buf.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          sum += ((buf(2 * i + 1).toInt << 8) | (buf(2 * i) & 0xff)).toShort.toLong
+          i += 1
+        }
+        Some(DecodedAudio(n.toLong, fmt.getSampleRate.toInt, sum))
+      } catch { case _: Exception => None }
+  }
+
+  final case class AudioAsset(asset_id: Long, content: Array[Byte])
+  final case class AudioDecoded(
+      asset_id: Long, n_samples: Long, sample_rate: Long, sample_sum: Long)
+
+  /** Distributed REAL audio decode — same shape as [[decodeImages]]. */
+  def decodeAudio(assets: Dataset[AudioAsset], partitions: Int): Dataset[AudioDecoded] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.repartition(partitions, col("asset_id"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          AudioCodec.decode(a.content).map(d =>
+            AudioDecoded(a.asset_id, d.nSamples, d.sampleRate.toLong, d.sampleSum))
+        }
+      }
+  }
+
   final case class ImageAsset(asset_id: Long, content: Array[Byte])
   final case class ImageDecoded(
       asset_id: Long, width: Long, height: Long,

@@ -23,6 +23,16 @@ object QueryProbe {
       val t0 = System.nanoTime()
       val cnt =
         if (n == "--entry") graft.SparkEntry.entry(spark).count()
+        // K=2000 5-clique feasibility probe (the K5=900 graph is 52% dense
+        // at sf0.1 — no engine can enumerate it; the K graph at 14% can)
+        else if (n == "clique5_dense") graft.fast.FastBatch.enumerate(
+          graft.SparkEntry.edges(spark, sfDir), graft.plan.Planner.clique5).count()
+        else if (n == "clique5_dense_count") {
+          val r = graft.fast.FastBatch.enumerateAgg(
+            graft.SparkEntry.edges(spark, sfDir), graft.plan.Planner.clique5).collect()(0)
+          println(s"[probe] clique5_dense_count total=${r.getLong(0)}")
+          1L
+        }
         else graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[probe] $n rep$r: ${(System.nanoTime() - t0) / 1e9}%.1fs ($cnt rows)")
     }

@@ -82,6 +82,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)
   }
 
+  test("AudioCodec: real WAV encode→decode round-trip is sample-exact") {
+    for (id <- Seq(0L, 9L, 250L, 499L)) {
+      val ns = (200 + (id % 23) * 8).toInt
+      val wav = Multimodal.AudioCodec.syntheticWav(id, ns)
+      // a real RIFF/WAVE payload
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val d = Multimodal.AudioCodec.decode(wav).get
+      assert(d.nSamples == ns && d.sampleRate == 8000)
+      val expect = (0 until ns).map(i => ((id * 31 + i * 7) % 65536) - 32768).sum
+      assert(d.sampleSum == expect)
+    }
+    assert(Multimodal.AudioCodec.decode("not audio".getBytes).isEmpty)
+  }
+
   test("decodeImages: distributed decode drops undecodable assets") {
     import spark.implicits._
     val assets = spark.createDataset((0L until 20L).map { id =>
