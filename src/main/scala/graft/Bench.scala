@@ -712,7 +712,17 @@ object Bench {
         s""""enumerate_scaling_efficiency":${f"$enumEff%.3f"},"detail_file":"$outPath"}""")
   }
 
-  /** Minimal JSON string escaping for error/spec fields. */
+  /** JSON string escaping for error/spec fields — ALL control chars too: a
+    * tab inside an exception message must not make the "always parseable"
+    * artifact unparseable (same discipline as Verify's escaper). */
   private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

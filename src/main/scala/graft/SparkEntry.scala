@@ -99,6 +99,15 @@ object SparkEntry {
     import graft.streaming.Patterns
     val evs = cepEventsMs(s, dir).as[Patterns.Ev].collect()
       .sortBy(e => (e.ts.getTime, e.evId))
+    if (evs.isEmpty) { // an empty events table yields the oracle's empty set
+      val base = s.emptyDataset[Patterns.Ev].toDF()
+      return if (absence)
+        base.select(col("key"), col("ts").cast("timestamp_ntz").as("start_ts"),
+          col("evId").as("start_id"))
+      else
+        base.select(col("key"), col("ts").cast("timestamp_ntz").as("start_ts"),
+          col("ts").cast("timestamp_ntz").as("end_ts"), col("evId").as("start_id"))
+    }
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
     val in = src.toDS().withWatermark("ts", "0 milliseconds")

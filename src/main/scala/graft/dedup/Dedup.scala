@@ -251,7 +251,7 @@ object Dedup {
     * shingles (the df-cut removes the heavy buckets from both algorithms,
     * so cut shingles must not count toward work). */
   final case class JaccardStats(
-      nDocs: Long, postings: Long, work: Long, distinctShingles: Long,
+      nDocs: Long, postings: Long, work: Double, distinctShingles: Long,
       heavyShingles: Long, heavyFrac: Double) {
     def estTemplateJaccard: Double =
       if (heavyFrac <= 0.0) 0.0 else heavyFrac / (2.0 - heavyFrac)
@@ -270,9 +270,12 @@ object Dedup {
                                 heavyDf: Long, maxShingleFreq: Long): JaccardStats = {
     val dfc = if (maxShingleFreq > 0L) dfcAll.where(col("_df") <= maxShingleFreq)
               else dfcAll
+    // work in DOUBLE space: a handful of df≈10^9 template shingles would
+    // wrap a Long Σdf² negative and silently flip the strategy pick; the
+    // heuristic needs magnitude, not exactness
     val g = dfc.agg(
       coalesce(sum(col("_df")), lit(0L)).as("postings"),
-      coalesce(sum(col("_df") * col("_df")), lit(0L)).as("work"),
+      coalesce(sum(col("_df").cast("double") * col("_df")), lit(0.0)).as("work"),
       count(lit(1)).as("distinct"),
       coalesce(sum(when(col("_df") > heavyDf, 1L).otherwise(0L)), lit(0L)).as("heavy"))
       .collect()(0)
@@ -288,7 +291,7 @@ object Dedup {
       .where(col("nsh") > 0L)
       .groupBy("id").agg((count(lit(1)).cast("double") / first(col("nsh"))).as("hf"))
       .agg(coalesce(sum("hf"), lit(0.0))).collect()(0).getDouble(0)
-    JaccardStats(nDocs, g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+    JaccardStats(nDocs, g.getLong(0), g.getDouble(1), g.getLong(2), g.getLong(3),
       if (nDocs == 0) 0.0 else fracSum / nDocs)
   }
 

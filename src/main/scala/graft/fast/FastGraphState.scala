@@ -102,6 +102,11 @@ final class FastGraphState(
   private def foldDegMirror(dp: DeltaPack): Unit = if (driverDegreesActive) {
     dp.fwd.foreach { case (k, r) => foldDeg(degF, k, r.degSum) }
     dp.rev.foreach { case (k, r) => foldDeg(degR, k, r.degSum) }
+    // the budget must bind on the HOT path too: a stream of small batches
+    // that keeps minting new keys grows the mirror without ever passing
+    // through a rebuild — check after every fold (HashMap.size is O(1))
+    val sz = math.max(degF.size.toLong, degR.size.toLong)
+    if (sz > degMirrorMaxKeys) disableDriverDegrees(sz)
   }
   /** Incremental mirror fold for the bulk path: per-touched-key degree
     * deltas (degree = Σw, [[DeltaPack.Run]].degSum semantics) aggregated

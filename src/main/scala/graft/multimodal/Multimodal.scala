@@ -163,9 +163,12 @@ object Multimodal {
       * a skipped row, never a task failure, at pipeline scale). Features =
       * 16-bin luminance histogram over band 0, L1-normalized. */
     def decode(bytes: Array[Byte]): Option[Decoded] = {
+      // Exception, not just IOException: the JDK readers throw
+      // RuntimeExceptions (AIOOBE, NegativeArraySize, IllegalArgument) on
+      // payloads whose magic bytes pass but whose internals are corrupt
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case _: Exception => null }
       if (img == null) None
       else {
         val w = img.getWidth

@@ -17,12 +17,12 @@ class HotCacheSpec extends AnyFunSuite with SparkTestBase {
 
   test("idle TTL evicts a dead state's entries on another state's resolve") {
     val prev = sys.props.get("spark.graft.hotcache.ttlMs")
-    sys.props("spark.graft.hotcache.ttlMs") = "50"
+    sys.props("spark.graft.hotcache.ttlMs") = "200"
     try {
       val dead = ref("ttl-dead-state")
       DeltaEngine.HotCache.resolve(dead)
       assert(DeltaEngine.HotCache.entryCount("ttl-dead-state") == 1)
-      Thread.sleep(120) // let the dead state's entry age past the TTL
+      Thread.sleep(500) // let the dead state's entry age well past the TTL
       // an UNRELATED state's resolve sweeps it — no generation bump, no
       // invalidate() call, no cache-cap pressure
       DeltaEngine.HotCache.resolve(ref("ttl-live-state"))
@@ -40,12 +40,16 @@ class HotCacheSpec extends AnyFunSuite with SparkTestBase {
 
   test("a hot entry's TTL is refreshed by access") {
     val prev = sys.props.get("spark.graft.hotcache.ttlMs")
-    sys.props("spark.graft.hotcache.ttlMs") = "150"
+    // generous TTL-to-gap ratio (800 vs 250 ms) so a GC/scheduler stall on
+    // a loaded box cannot age a touched entry past the TTL between touches;
+    // total elapsed (1250 ms) still exceeds the TTL, which is what proves
+    // access refreshes it
+    sys.props("spark.graft.hotcache.ttlMs") = "800"
     try {
       val live = ref("ttl-refresh-state")
       DeltaEngine.HotCache.resolve(live)
-      for (_ <- 0 until 4) {
-        Thread.sleep(60) // under TTL between touches, over TTL in total
+      for (_ <- 0 until 5) {
+        Thread.sleep(250)
         DeltaEngine.HotCache.resolve(live)
       }
       // trigger a sweep from another state: the touched entry survives

@@ -51,4 +51,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // two HashAggregate nodes (partial + final) around one shuffle
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(400))
   }
+
+  test("IVF plans have no unpartitioned Window (centroid init is a top-K)") {
+    assume(available)
+    // the round-4 form funneled the ENTIRE corpus through one task's
+    // row_number window to pick nCells centroids; the fixed form must plan
+    // as TakeOrderedAndProject, and every remaining Window (the per-query
+    // rank windows) must be PARTITIONED — an empty partitionSpec means a
+    // single-task global sort hiding in the plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("ann_ivf_topk", "ann_ivf_kmeans_topk")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val unpartitioned = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name: ${unpartitioned.size} unpartitioned Window node(s)")
+      // the untrained variant's centroid top-K is visible in the final
+      // plan; the trained variant materializes it behind a localCheckpoint
+      // (iteration-flattening), so only the Window audit applies there
+      if (name == "ann_ivf_topk")
+        assert(plan.toString.contains("TakeOrderedAndProject"),
+          s"$name: centroid init did not plan as a distributed top-K")
+    }
+  }
 }
