@@ -110,7 +110,13 @@ object SparkEntry {
     }
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
-    val in = src.toDS().withWatermark("ts", "0 milliseconds")
+    // delay ≥ 1 ms, NEVER 0: with EventTimeTimeout Spark itself filters
+    // rows at-or-before the watermark BEFORE the kernel runs, so a 0-delay
+    // watermark silently drops an in-order event whose ms timestamp TIES
+    // the previous batch's max at a micro-batch boundary (measured: the
+    // boundary a→b→c match lost its middle event). 1 ms of delay keeps
+    // every in-order row while changing no emitted result.
+    val in = src.toDS().withWatermark("ts", "1 millisecond")
     val out =
       if (absence) Patterns.detectAbsenceStream(in, "signup", "purchase", cepDayMs).toDF()
       else Patterns.detectStream(in, Seq("view", "click", "purchase"), cepDayMs).toDF()

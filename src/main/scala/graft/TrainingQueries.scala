@@ -14,6 +14,8 @@ import graft.text.TextOps
   * planted near-duplicate pairs — both engines build the same corpus. */
 object TrainingQueries {
 
+  private val streamQueryCounter = new java.util.concurrent.atomic.AtomicInteger()
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -57,6 +59,18 @@ object TrainingQueries {
     s"hs AS (SELECT doc_id, list_transform(sh, s -> $phLambda) AS hs FROM sh)"
   private val thCte =
     s"th AS (SELECT doc_id, list_transform(t, s -> $phLambda) AS th FROM tok)"
+  /** docs2 → minhash signatures → LSH bands → shared-band pair candidates
+    * with full-signature estimated jaccard (the CTE chain shared by the
+    * pair query and the streaming-dedup keeper oracle). */
+  private val minhashPairsCtes =
+    docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " + hsCte + ", " +
+      "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i -> coalesce(" +
+      "list_min(list_transform(hs, h -> (h * (2*i + 1) + (17*i + 3)) % 1000003)), 1000003)) AS sig FROM hs), " +
+      "bands AS (SELECT doc_id, sig, j AS bidx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "sig[j*4+1:j*4+4]), (a, b) -> (a * 131 + b) % 1000003) AS bkey FROM sig, generate_series(0, 3) g(j)), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard " +
+      "FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"
   // sequential-fold double dot product of embedding slices a/b (1-indexed)
   private def dotSql(a: String, b: String, dim: Int) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), " +
@@ -159,6 +173,30 @@ object TrainingQueries {
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs2(s, dir), "doc_id", "text",
         n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)),
+    // STREAMING historical dedup [north: streaming × pipeline crossover]:
+    // documents arrive as a stream (memory source, doc-id-ordered chunks →
+    // multiple micro-batches) and dedup against ALL previously-ingested
+    // docs via per-band bucket signatures in flatMapGroupsWithState; the
+    // keeper is the stateless min over per-bucket candidates. Oracle = the
+    // minhash pair set aggregated by min(id_a) per id_b.
+    "dedup_stream_minhash" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs2(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val out = graft.streaming.DedupStream.dedupStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)
+      val name = s"graft_dedup_stream_${streamQueryCounter.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
+          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(name).groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+    }),
     "simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhashBands(col("text")).as("sh"))
         .select(col("doc_id"), element_at(col("sh"), 1).as("b0"),
@@ -282,16 +320,17 @@ object TrainingQueries {
         "(CASE WHEN chars > 0 THEN 1.0 - punct / chars ELSE 0.0 END) * 0.3 + " +
         "(CASE WHEN ntok > 0 THEN least(stop * 4.0 / ntok, 1.0) ELSE 0.0 END) * 0.2, 6) AS score FROM m"),
     "minhash_lsh_pairs" ->
-      (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " + hsCte + ", " +
-        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i -> coalesce(" +
-        "list_min(list_transform(hs, h -> (h * (2*i + 1) + (17*i + 3)) % 1000003)), 1000003)) AS sig FROM hs), " +
-        "bands AS (SELECT doc_id, sig, j AS bidx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "sig[j*4+1:j*4+4]), (a, b) -> (a * 131 + b) % 1000003) AS bkey FROM sig, generate_series(0, 3) g(j)), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard " +
-        "FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM pairs GROUP BY id_a, id_b " +
+      (minhashPairsCtes +
+        " SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM pairs GROUP BY id_a, id_b " +
         "HAVING max(est_jaccard) >= 0.5"),
+    // streaming historical dedup: the SAME qualifying pair set, keeper =
+    // min qualifying predecessor (arrival order == doc-id order in the
+    // driver feed)
+    "dedup_stream_minhash" ->
+      (minhashPairsCtes +
+        ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
+        "HAVING max(est_jaccard) >= 0.5) " +
+        "SELECT id_b AS doc_id, min(id_a) AS dup_of FROM q GROUP BY id_b"),
     "simhash" ->
       ("WITH " + tokCte("documents") + ", " + thCte + ", " + s4Cte + " " +
         "SELECT doc_id, sh[1] AS b0, sh[2] AS b1, sh[3] AS b2, sh[4] AS b3 FROM s4"),

@@ -37,10 +37,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * checkpointed query to change timeout mode, so these operators cannot
   * resume a checkpoint written by a different-timeout build (they shipped
   * with EventTimeTimeout from their first release).
+  *
+  * WATERMARK DELAY MUST BE ≥ 1 ms. With EventTimeTimeout Spark applies its
+  * own late-row filter to the operator INPUT (rows at-or-before the
+  * current watermark are removed before the kernel runs). Under a 0-delay
+  * watermark, an in-order event whose ms timestamp equals the previous
+  * micro-batch's maximum is therefore dropped by Spark at the batch
+  * boundary — the kernel never sees it and a match spanning the boundary
+  * silently loses its middle event (found by CheckpointRestartSpec's
+  * boundary fixture). Any delay ≥ 1 ms keeps every in-order row and
+  * changes no emitted result; genuinely late data follows the documented
+  * drop rule either way.
   */
 object Patterns {
 
   final case class Ev(key: Long, ts: Timestamp, evId: Long, tag: String)
+
+  /** Rejects a 0-delay watermark up front (see the class doc: Spark's own
+    * late filter would drop boundary-tying rows before the kernel). */
+  private[streaming] def requireNonZeroWatermarkDelay(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        val d = w.delay
+        require(d.months != 0 || d.days != 0 || d.microseconds > 0,
+          "watermark delay must be >= 1 millisecond: with EventTimeTimeout " +
+            "Spark drops input rows at-or-before the watermark before the " +
+            "kernel runs, so a 0-delay watermark silently loses in-order " +
+            "events that tie the previous batch's max timestamp")
+      case _ =>
+    }
   final case class PatMatch(key: Long, startTs: Timestamp, endTs: Timestamp, startId: Long)
   /** Buffered per-key events + the watermark up to which results have
     * already been emitted (exactly-once under watermark advancement).
@@ -170,6 +195,7 @@ object Patterns {
     * advance the watermark. */
   def detectStream(events: Dataset[Ev], steps: Seq[String],
                    maxSpanMs: Long): Dataset[PatMatch] = {
+    requireNonZeroWatermarkDelay(events)
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.key)
@@ -237,6 +263,7 @@ object Patterns {
 
   def detectAbsenceStream(events: Dataset[Ev], a: String, b: String,
                           withinMs: Long): Dataset[Absence] = {
+    requireNonZeroWatermarkDelay(events)
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.key)

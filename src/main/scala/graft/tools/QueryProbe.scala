@@ -27,6 +27,40 @@ object QueryProbe {
         // at sf0.1 — no engine can enumerate it; the K graph at 14% can)
         else if (n == "clique5_dense") graft.fast.FastBatch.enumerate(
           graft.SparkEntry.edges(spark, sfDir), graft.plan.Planner.clique5).count()
+        else if (n == "jaccard_prof") {
+          // phase timing of the ngram_jaccard_pairs entry's parts
+          import org.apache.spark.sql.functions._
+          val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+          val docs2 = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+          def t[T](label: String)(f: => T): T = {
+            val t0 = System.nanoTime(); val r = f
+            println(f"[probe]   $label: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+          }
+          val sh = docs2.select(col("doc_id").as("id"),
+              graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
+            .withColumn("nsh", size(col("sh")).cast("long"))
+          val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+            .localCheckpoint()
+          t("inv build+checkpoint")(inv.count())
+          val dfc = inv.groupBy("s").agg(count(lit(1)).as("_df")).localCheckpoint()
+          t("dfc agg+checkpoint")(dfc.count())
+          t("stats aggs") {
+            dfc.agg(sum("_df"), sum(col("_df").cast("double") * col("_df")),
+              count(lit(1))).collect()
+            inv.join(dfc.where(col("_df") > 16).select("s"), Seq("s"))
+              .groupBy("id").agg(count(lit(1))).agg(count(lit(1))).collect()
+          }
+          t("candidate join+agg") {
+            val a = inv.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
+            val b = inv.select(col("id").as("id_b"), col("nsh").as("nb"), col("s"))
+            a.join(b, "s").where(col("id_a") < col("id_b"))
+              .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
+              .withColumn("jaccard",
+                col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+              .where(col("jaccard") >= 0.5).count()
+          }
+        }
         else if (n == "clique5_dense_count") {
           val r = graft.fast.FastBatch.enumerateAgg(
             graft.SparkEntry.edges(spark, sfDir), graft.plan.Planner.clique5).collect()(0)

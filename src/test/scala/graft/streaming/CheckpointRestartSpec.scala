@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** North-rule resumability applied to the round-5 streaming kernels: the
+  * CEP sequence detector and the historical-dedup operator must resume
+  * from a checkpoint — a NEW query over the same source + checkpoint dir
+  * reconstructs the flatMapGroupsWithState state store, continues from the
+  * committed offset, emits no duplicates, and the union of pre- and
+  * post-restart output equals the batch form over the final data. */
+class CheckpointRestartSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-restart-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("CEP detectStream resumes from checkpoint without duplicates") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 3 keys × repeating a→b→c runs at 1s spacing (ms-resolution ts)
+    val evs = (for {
+      key <- 0L until 3L
+      i <- 0 until 30
+    } yield Patterns.Ev(key, new Timestamp(1700000000000L + i * 1000L),
+      key * 1000 + i, Seq("a", "b", "c")(i % 3))).sortBy(e => (e.ts.getTime, e.evId))
+    val steps = Seq("a", "b", "c")
+    val span = 10000L
+
+    val src = MemoryStream[Patterns.Ev]
+    val cp = tmpDir("cep")
+    val outDir = tmpDir("cep-out")
+    // parquet file sink: fault-tolerant (memory sink refuses checkpoint
+    // recovery), with its own commit log — reading the dir back yields
+    // exactly the committed rows across both query incarnations
+    def start() =
+      // 1 ms delay, not 0: Spark's pre-operator late filter drops rows
+      // tying the watermark at a batch boundary (see Patterns scaladoc)
+      Patterns.detectStream(src.toDS().withWatermark("ts", "1 millisecond"), steps, span)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+    val q1 = start()
+    src.addData(evs.take(40))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).count() > 0, "pre-restart output expected")
+
+    val q2 = start()
+    src.addData(evs.drop(40))
+    // sentinel closes every real window under the watermark
+    src.addData(Patterns.Ev(-1L, new Timestamp(1700000000000L + 1000000L), -1L, "z"))
+    q2.processAllAvailable()
+    src.addData(Patterns.Ev(-1L, new Timestamp(1700000000000L + 2000000L), -2L, "z"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .where(col("key") =!= -1L)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.distinct.size == streamed.size, "restart must not duplicate matches")
+    val rows = evs.map(e => (e.key, e.ts, e.evId, e.tag))
+      .toDF("key", "ts", "ev_id", "tag")
+    val batch = Patterns.detectBatch(rows, steps, span)
+      .select(col("key"), col("start_ts").as("startTs"), col("end_ts").as("endTs"),
+        col("start_id").as("startId"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.toSet == batch.toSet)
+    assert(batch.nonEmpty)
+  }
+
+  test("dedupStream resumes from checkpoint without duplicates") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(29L)
+    def words(k: Int, tag: String) =
+      (0 until k).map(_ => s"$tag${rnd.nextInt(100000)}").mkString(" ")
+    val bases = (0 until 10).map(i => (i.toLong, words(25, s"b$i")))
+    // mutants arrive AFTER the restart so their keepers come from state
+    // rebuilt out of the checkpoint, not from the same micro-batch
+    val mutants = bases.map { case (id, t) => (100L + id, t + " zz") }
+
+    val src = MemoryStream[(Long, String)]
+    val cp = tmpDir("dedup")
+    val outDir = tmpDir("dedup-out")
+    def start() =
+      DedupStream.dedupStream(src.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+    val q1 = start()
+    src.addData(bases)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    src.addData(mutants)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every mutant must resolve to its base — provable only if the bucket
+    // state (the bases' signatures) survived the restart
+    val expectedKeepers = mutants.map { case (id, _) => id -> (id - 100L) }.toMap
+    assert(streamed.view.filterKeys(_ >= 100L).toMap == expectedKeepers)
+  }
+}
