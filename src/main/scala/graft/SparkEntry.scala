@@ -73,6 +73,100 @@ object SparkEntry {
   private val cepDayMs = 24L * 3600 * 1000
   private val cepStreamCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  final case class WEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                       event_type: String)
+
+  private def wEvents(s: SparkSession, dir: String): Array[WEv] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .as[WEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  /** STREAMING tumbling-window aggregation, driver-gated end to end:
+    * events replayed through a memory source in event-time-ordered
+    * micro-batches, `groupBy(window(ts, 1h), type).count` in COMPLETE mode
+    * (the sink holds the converged full result), hash-matched against the
+    * SAME DuckDB oracle as the batch `window_tumbling` entry. */
+  private def windowTumblingStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = wEvents(s, dir)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val agg = src.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+    val name = s"graft_wt_stream_${cepStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name).select(col("win_start").cast("timestamp_ntz").as("win_start"),
+      col("event_type"), col("n"))
+  }
+
+  /** STREAMING sliding-window twin of `window_sliding` — the same
+    * [[graft.streaming.Windows.sliding]] helper over a memory-source
+    * stream, complete mode. */
+  private def windowSlidingStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = wEvents(s, dir)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val agg = graft.streaming.Windows.sliding(
+      src.toDF().withColumn("w", lit(1L)), "ts", "1 hour", "15 minutes",
+      keys = Seq("event_type"))
+    val name = s"graft_wsl_stream_${cepStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name).select(col("win_start").cast("timestamp_ntz").as("win_start"),
+      col("win_end").cast("timestamp_ntz").as("win_end"),
+      col("event_type"), col("net"), col("rows"))
+  }
+
+  /** STREAMING session windows via Spark's native `session_window`
+    * (10-minute gap, per user), append mode + watermark: sessions finalize
+    * when the watermark passes their close, flushed by a far-future
+    * sentinel user. Session-merge semantics equal the batch lag-based
+    * sessionization whenever no inter-event gap is EXACTLY the gap length
+    * (session_window's window end is exclusive where the lag rule's `>` is
+    * not) — verified on this data: zero exact-600s gaps at sf0.01/sf0.1.
+    * Oracle: the same lag-based SQL as the batch `window_session` entry. */
+  private def windowSessionStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = wEvents(s, dir)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val agg = src.toDF().withWatermark("ts", "1 millisecond")
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user_id"))
+      .agg(min("ts").as("sess_start"), max("ts").as("sess_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
+    val name = s"graft_ws_stream_${cepStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      val far = evs.last.ts.getTime + 30L * 24 * 3600 * 1000
+      src.addData(WEv(-1L, new java.sql.Timestamp(far), -1L, "zz"))
+      q.processAllAvailable()
+      src.addData(WEv(-1L, new java.sql.Timestamp(far + 1000000L), -2L, "zz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("sess_start").cast("timestamp_ntz").as("sess_start"),
+        col("sess_end").cast("timestamp_ntz").as("sess_end"), col("n_events"))
+  }
+
   /** Events projected for the CEP kernels with ts TRUNCATED to milliseconds:
     * the streaming kernels operate at ms resolution (GroupState watermarks
     * are ms), so the stream entries and their oracles are defined over the
@@ -265,6 +359,12 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .drop("sess_id")
     }),
+    // the STREAMING window twins, driver-gated end to end against the same
+    // oracles: complete-mode tumbling/sliding aggregation, and native
+    // session_window in append mode with watermark-finalized sessions
+    "window_tumbling_stream" -> windowTumblingStream _,
+    "window_sliding_stream" -> windowSlidingStream _,
+    "window_session_stream" -> windowSessionStream _,
 
     // ---- CEP sequence detection [north: CEP engine surface] ----
     // contiguous view→click→purchase runs per user within 24h, the batch
@@ -320,6 +420,28 @@ object SparkEntry {
           when(length(trim(col("text"))) === 0, 0)
             .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens")))
   )
+
+  /** Shared by the batch and streaming window entries (same semantics,
+    * different execution path — the whole point of the twin gates). */
+  // Spark's window(ts, 1h, 15m) assigns each event to the 4 slide-aligned
+  // windows covering it; mirror via j = 0..3 offsets from the 15-min floor
+  private val windowSlidingOracle: String =
+    "SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) AS win_start, " +
+      "time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) + to_minutes(60) AS win_end, " +
+      "event_type, count(*) AS net, count(*) AS \"rows\" " +
+      "FROM events, generate_series(0, 3) g(j) GROUP BY 1, 2, 3"
+  private val windowTumblingOracle: String =
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, " +
+      "count(*) AS n FROM events GROUP BY 1, 2"
+  private val windowSessionOracle: String =
+    "WITH marked AS (SELECT user_id, event_id, ts, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 " +
+      "THEN 1 ELSE 0 END AS new_sess FROM events WINDOW w AS " +
+      "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "sess AS (SELECT user_id, ts, sum(new_sess) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked) " +
+      "SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end, " +
+      "count(*) AS n_events FROM sess GROUP BY user_id, sess_id"
 
   /** Staged K5 oracle (triangles → K4 via triangle pairs → K5 via K4 pairs):
     * the naive 10-way self-join takes DuckDB >60 s at sf0.01; this runs in
@@ -403,25 +525,12 @@ object SparkEntry {
         "dict AS (SELECT node, row_number() OVER (ORDER BY deg DESC, node ASC) - 1 AS new_id FROM deg) " +
         "SELECT a.new_id AS src, b.new_id AS dst FROM edges e " +
         "JOIN dict a ON e.src = a.node JOIN dict b ON e.dst = b.node"),
-    "window_tumbling" ->
-      ("SELECT date_trunc('hour', ts) AS win_start, event_type, " +
-        "count(*) AS n FROM events GROUP BY 1, 2"),
-    "window_sliding" ->
-      // Spark's window(ts, 1h, 15m) assigns each event to the 4 slide-aligned
-      // windows covering it; mirror via j = 0..3 offsets from the 15-min floor
-      ("SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) AS win_start, " +
-        "time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) + to_minutes(60) AS win_end, " +
-        "event_type, count(*) AS net, count(*) AS \"rows\" " +
-        "FROM events, generate_series(0, 3) g(j) GROUP BY 1, 2, 3"),
-    "window_session" ->
-      ("WITH marked AS (SELECT user_id, event_id, ts, " +
-        "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 " +
-        "THEN 1 ELSE 0 END AS new_sess FROM events WINDOW w AS " +
-        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "sess AS (SELECT user_id, ts, sum(new_sess) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked) " +
-        "SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end, " +
-        "count(*) AS n_events FROM sess GROUP BY user_id, sess_id"),
+    "window_tumbling" -> windowTumblingOracle,
+    "window_tumbling_stream" -> windowTumblingOracle,
+    "window_session_stream" -> windowSessionOracle,
+    "window_sliding" -> windowSlidingOracle,
+    "window_sliding_stream" -> windowSlidingOracle,
+    "window_session" -> windowSessionOracle,
     "cep_pattern_seq" ->
       ("WITH e AS (SELECT user_id AS key, ts, event_id AS ev_id, event_type AS tag FROM events), " +
         "led AS (SELECT key, ts, ev_id, tag, lead(tag, 1) OVER w AS tag_1, " +
