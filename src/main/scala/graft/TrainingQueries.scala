@@ -59,6 +59,22 @@ object TrainingQueries {
     s"hs AS (SELECT doc_id, list_transform(sh, s -> $phLambda) AS hs FROM sh)"
   private val thCte =
     s"th AS (SELECT doc_id, list_transform(t, s -> $phLambda) AS th FROM tok)"
+  /** Count-Min replay: bucket counts per (row, bucket) from every token
+    * occurrence, estimate = min over the key's d buckets — the identical
+    * hash family and arithmetic as graft.sketch.CountMin (d=4, w=1024).
+    * Shared by the batch and streaming sketch entries. */
+  private val countMinOracle: String =
+    "WITH " + tokCte("documents") + ", " +
+      "occ AS (SELECT unnest(t) AS s FROM tok), " +
+      s"hh AS (SELECT s, $phLambda AS h FROM occ), " +
+      "bt AS (SELECT g.r, ((h * (2*g.r + 1) + (17*g.r + 3)) % 1000003) % 16 AS b, " +
+      "count(*) AS cnt FROM hh, generate_series(0, 3) g(r) GROUP BY 1, 2), " +
+      "keys AS (SELECT DISTINCT s, h FROM hh), " +
+      "kb AS (SELECT s, g.r, ((h * (2*g.r + 1) + (17*g.r + 3)) % 1000003) % 16 AS b " +
+      "FROM keys, generate_series(0, 3) g(r)) " +
+      "SELECT kb.s AS token, min(bt.cnt) AS est FROM kb " +
+      "JOIN bt ON bt.r = kb.r AND bt.b = kb.b GROUP BY kb.s"
+
   /** docs2 → minhash signatures → LSH bands → shared-band pair candidates
     * with full-signature estimated jaccard (the CTE chain shared by the
     * pair query and the streaming-dedup keeper oracle). */
@@ -278,6 +294,45 @@ object TrainingQueries {
         .select(col("asset_id"), col("width"), col("height"),
           col("n_pixels"), col("pix_sum"))
     }),
+    // ---- sketches ----
+    // Count-Min as a Spark aggregation: the d×w table is a groupBy over
+    // (row, bucket) — partial aggregation builds per-partition sketches
+    // and the shuffle merges them. Portable hash family → DuckDB replays
+    // the sketch bit-exactly (estimate = min over the key's d buckets).
+    // width 16 vs the corpus's ~31 distinct tokens: collisions are
+    // GUARANTEED, so the gate verifies genuine sketch behavior
+    // (overestimates included), not a collision-free identity
+    "sketch_countmin_tokens" -> ((s, dir) =>
+      graft.sketch.CountMin.tokenHeavyHitters(docs(s, dir), "text",
+        depth = 4, width = 16)),
+    // the STREAMING sketch is the SAME aggregation under writeStream
+    // (complete mode — the sink table IS the sketch); estimates computed
+    // from the converged sink must equal the batch entry exactly
+    "sketch_countmin_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val occ = src.toDF().toDF("doc_id", "text")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("w", lit(1L))
+      val table = graft.sketch.CountMin.sketchTable(occ, "tok", "w",
+        depth = 4, width = 16)
+      val name = s"graft_cm_stream_${streamQueryCounter.incrementAndGet()}"
+      val q = table.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
+          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      val keys = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+      graft.sketch.CountMin.estimates(s.table(name), keys, "tok",
+          depth = 4, width = 16)
+        .select(col("k").as("token"), col("est"))
+    }),
+
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit mono
     // PCM WAVs round-trip through the actual JDK codec; decoded frame
     // count / sample rate / signed sample checksum replayed in DuckDB
@@ -421,6 +476,8 @@ object TrainingQueries {
         "SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width, " +
         "CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels, " +
         "CAST(sum(v) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id, w, h"),
+    "sketch_countmin_tokens" -> countMinOracle,
+    "sketch_countmin_stream" -> countMinOracle,
     "multimodal_audio_decode" ->
       ("WITH d AS (SELECT doc_id, CAST(200 + (doc_id % 23) * 8 AS INT) AS ns FROM documents), " +
         "sm AS (SELECT d.doc_id, d.ns, ((d.doc_id * 31 + g.i * 7) % 65536) - 32768 AS v " +
