@@ -106,13 +106,9 @@ object Bench {
     // production-hash (xxhash64) variant of the oracle-gated portable query;
     // measured here so the portable-vs-fast cost is visible side by side
     val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
-      "minhash_lsh_pairs_fast" -> ((s, dir) => {
-        val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-        val d2 = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" xyzzy")).as("text")))
-        graft.dedup.Dedup.minhashPairs(d2, "doc_id", "text",
-          n = 3, k = 16, bands = 4, threshold = 0.5, hash = graft.dedup.Dedup.FastHash)
-      }))
+      "minhash_lsh_pairs_fast" -> ((s, dir) =>
+        graft.dedup.Dedup.minhashPairs(TrainingQueries.docs2(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5, hash = graft.dedup.Dedup.FastHash)))
     // Unrecorded warmup: JIT-compile the fast-engine and shuffle paths on a
     // tiny in-memory graph so the first recorded query doesn't carry the
     // JVM's compilation debt (BENCH_r5_full1: wco_triangle rep1 = 37.3 s vs

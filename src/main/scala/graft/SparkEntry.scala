@@ -76,12 +76,39 @@ object SparkEntry {
   final case class WEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                        event_type: String)
 
-  private def wEvents(s: SparkSession, dir: String): Array[WEv] = {
-    import s.implicits._
-    s.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-        col("event_id"), col("event_type"))
-      .as[WEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+  /** Memoized per dir: three window-stream entries share one collect+sort
+    * instead of re-scanning events.parquet each. */
+  private val wEventsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[WEv]]
+  private def wEvents(s: SparkSession, dir: String): Array[WEv] =
+    wEventsCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .as[WEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    })
+
+  /** THE memory-source replay protocol, shared by every streaming driver
+    * gate (CEP, dedup, windows, sketch): feed `rows` in ~4 ordered
+    * micro-batches, then each sentinel as its own batch (watermark
+    * advancement + the extra batch that runs timed-out keys), stop, and
+    * hand back the sink table. Callers build the source + query and guard
+    * empty inputs (an empty feed leaves a schema-correct empty table). */
+  private[graft] def streamReplay[T](
+      s: SparkSession,
+      src: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
+      out: DataFrame, rows: Seq[T], sentinels: Seq[T],
+      outputMode: String, prefix: String): DataFrame = {
+    val name = s"${prefix}_${cepStreamCounter.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try {
+      for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      for (sv <- sentinels) { src.addData(sv); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
   }
 
   /** STREAMING tumbling-window aggregation, driver-gated end to end:
@@ -98,15 +125,9 @@ object SparkEntry {
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"))
-    val name = s"graft_wt_stream_${cepStreamCounter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try {
-      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
-        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-    } finally q.stop()
-    s.table(name).select(col("win_start").cast("timestamp_ntz").as("win_start"),
-      col("event_type"), col("n"))
+    streamReplay(s, src, agg, evs.toIndexedSeq, Nil, "complete", "graft_wt_stream")
+      .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"))
   }
 
   /** STREAMING sliding-window twin of `window_sliding` — the same
@@ -120,16 +141,10 @@ object SparkEntry {
     val agg = graft.streaming.Windows.sliding(
       src.toDF().withColumn("w", lit(1L)), "ts", "1 hour", "15 minutes",
       keys = Seq("event_type"))
-    val name = s"graft_wsl_stream_${cepStreamCounter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try {
-      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
-        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-    } finally q.stop()
-    s.table(name).select(col("win_start").cast("timestamp_ntz").as("win_start"),
-      col("win_end").cast("timestamp_ntz").as("win_end"),
-      col("event_type"), col("net"), col("rows"))
+    streamReplay(s, src, agg, evs.toIndexedSeq, Nil, "complete", "graft_wsl_stream")
+      .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+        col("win_end").cast("timestamp_ntz").as("win_end"),
+        col("event_type"), col("net"), col("rows"))
   }
 
   /** STREAMING session windows via Spark's native `session_window`
@@ -150,19 +165,19 @@ object SparkEntry {
       .agg(min("ts").as("sess_start"), max("ts").as("sess_end"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
-    val name = s"graft_ws_stream_${cepStreamCounter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
-        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-      val far = evs.last.ts.getTime + 30L * 24 * 3600 * 1000
-      src.addData(WEv(-1L, new java.sql.Timestamp(far), -1L, "zz"))
-      q.processAllAvailable()
-      src.addData(WEv(-1L, new java.sql.Timestamp(far + 1000000L), -2L, "zz"))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name).where(col("user_id") =!= -1L)
+    val out =
+      if (evs.isEmpty) // empty events table → the oracle's empty set
+        s.emptyDataset[WEv].toDF()
+          .select(col("user_id"), col("ts").as("sess_start"),
+            col("ts").as("sess_end"), col("event_id").as("n_events"))
+      else {
+        val far = evs.last.ts.getTime + 30L * 24 * 3600 * 1000
+        streamReplay(s, src, agg, evs.toIndexedSeq,
+          Seq(WEv(-1L, new java.sql.Timestamp(far), -1L, "zz"),
+            WEv(-1L, new java.sql.Timestamp(far + 1000000L), -2L, "zz")),
+          "append", "graft_ws_stream")
+      }
+    out.where(col("user_id") =!= -1L)
       .select(col("user_id"), col("sess_start").cast("timestamp_ntz").as("sess_start"),
         col("sess_end").cast("timestamp_ntz").as("sess_end"), col("n_events"))
   }
@@ -214,21 +229,15 @@ object SparkEntry {
     val out =
       if (absence) Patterns.detectAbsenceStream(in, "signup", "purchase", cepDayMs).toDF()
       else Patterns.detectStream(in, Seq("view", "click", "purchase"), cepDayMs).toDF()
-    val name = s"graft_cep_stream_${cepStreamCounter.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
-        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-      // two sentinels: the first advances the watermark beyond every real
-      // deadline, the second forces one more micro-batch so EventTimeTimeout
-      // invocations run under that watermark
-      val far = evs.last.ts.getTime + 3L * cepDayMs
-      src.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"))
-      q.processAllAvailable()
-      src.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel"))
-      q.processAllAvailable()
-    } finally q.stop()
-    val t = s.table(name).where(col("key") =!= -1L)
+    // two sentinels: the first advances the watermark beyond every real
+    // deadline, the second forces one more micro-batch so EventTimeTimeout
+    // invocations run under that watermark
+    val far = evs.last.ts.getTime + 3L * cepDayMs
+    val t = streamReplay(s, src, out, evs.toIndexedSeq,
+        Seq(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"),
+          Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel")),
+        "append", "graft_cep_stream")
+      .where(col("key") =!= -1L)
     if (absence)
       t.select(col("key"), col("startTs").cast("timestamp_ntz").as("start_ts"),
         col("startId").as("start_id"))

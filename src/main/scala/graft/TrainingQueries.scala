@@ -22,8 +22,9 @@ object TrainingQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** corpus ∪ planted near-duplicates. */
-  private def docs2(s: SparkSession, dir: String): DataFrame = {
+  /** corpus ∪ planted near-duplicates (shared with Bench/QueryProbe so
+    * every consumer profiles the same augmented corpus). */
+  private[graft] def docs2(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
       concat(col("text"), lit(" xyzzy")).as("text")))
@@ -59,19 +60,23 @@ object TrainingQueries {
     s"hs AS (SELECT doc_id, list_transform(sh, s -> $phLambda) AS hs FROM sh)"
   private val thCte =
     s"th AS (SELECT doc_id, list_transform(t, s -> $phLambda) AS th FROM tok)"
+  /** Count-Min sketch shape shared by BOTH entries AND the oracle (one
+    * constant, no way to drift): width 16 vs the corpus's ~31 distinct
+    * tokens guarantees collisions, so the gate checks sketch behavior. */
+  private val cmDepth = 4
+  private val cmWidth = 16
   /** Count-Min replay: bucket counts per (row, bucket) from every token
     * occurrence, estimate = min over the key's d buckets — the identical
-    * hash family and arithmetic as graft.sketch.CountMin (d=4, w=1024).
-    * Shared by the batch and streaming sketch entries. */
+    * hash family and arithmetic as graft.sketch.CountMin. */
   private val countMinOracle: String =
     "WITH " + tokCte("documents") + ", " +
       "occ AS (SELECT unnest(t) AS s FROM tok), " +
       s"hh AS (SELECT s, $phLambda AS h FROM occ), " +
-      "bt AS (SELECT g.r, ((h * (2*g.r + 1) + (17*g.r + 3)) % 1000003) % 16 AS b, " +
-      "count(*) AS cnt FROM hh, generate_series(0, 3) g(r) GROUP BY 1, 2), " +
+      s"bt AS (SELECT g.r, ((h * (2*g.r + 1) + (17*g.r + 3)) % 1000003) % $cmWidth AS b, " +
+      s"count(*) AS cnt FROM hh, generate_series(0, ${cmDepth - 1}) g(r) GROUP BY 1, 2), " +
       "keys AS (SELECT DISTINCT s, h FROM hh), " +
-      "kb AS (SELECT s, g.r, ((h * (2*g.r + 1) + (17*g.r + 3)) % 1000003) % 16 AS b " +
-      "FROM keys, generate_series(0, 3) g(r)) " +
+      s"kb AS (SELECT s, g.r, ((h * (2*g.r + 1) + (17*g.r + 3)) % 1000003) % $cmWidth AS b " +
+      s"FROM keys, generate_series(0, ${cmDepth - 1}) g(r)) " +
       "SELECT kb.s AS token, min(bt.cnt) AS est FROM kb " +
       "JOIN bt ON bt.r = kb.r AND bt.b = kb.b GROUP BY kb.s"
 
@@ -204,14 +209,9 @@ object TrainingQueries {
       val out = graft.streaming.DedupStream.dedupStream(
         src.toDF().toDF("doc_id", "text"), "doc_id", "text",
         n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)
-      val name = s"graft_dedup_stream_${streamQueryCounter.incrementAndGet()}"
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
-          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-      } finally q.stop()
-      s.table(name).groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      SparkEntry.streamReplay(s, src, out.toDF(), rows.toIndexedSeq, Nil,
+          "append", "graft_dedup_stream")
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
     }),
     "simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhashBands(col("text")).as("sh"))
@@ -304,7 +304,7 @@ object TrainingQueries {
     // (overestimates included), not a collision-free identity
     "sketch_countmin_tokens" -> ((s, dir) =>
       graft.sketch.CountMin.tokenHeavyHitters(docs(s, dir), "text",
-        depth = 4, width = 16)),
+        cmDepth, cmWidth)),
     // the STREAMING sketch is the SAME aggregation under writeStream
     // (complete mode — the sink table IS the sketch); estimates computed
     // from the converged sink must equal the batch entry exactly
@@ -318,18 +318,12 @@ object TrainingQueries {
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .withColumn("w", lit(1L))
       val table = graft.sketch.CountMin.sketchTable(occ, "tok", "w",
-        depth = 4, width = 16)
-      val name = s"graft_cm_stream_${streamQueryCounter.incrementAndGet()}"
-      val q = table.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try {
-        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
-          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-      } finally q.stop()
+        cmDepth, cmWidth)
+      val sink = SparkEntry.streamReplay(s, src, table, rows.toIndexedSeq, Nil,
+        "complete", "graft_cm_stream")
       val keys = docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
-      graft.sketch.CountMin.estimates(s.table(name), keys, "tok",
-          depth = 4, width = 16)
+      graft.sketch.CountMin.estimates(sink, keys, "tok", cmDepth, cmWidth)
         .select(col("k").as("token"), col("est"))
     }),
 

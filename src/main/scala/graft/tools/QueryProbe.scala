@@ -30,9 +30,7 @@ object QueryProbe {
         else if (n == "jaccard_prof") {
           // phase timing of the ngram_jaccard_pairs entry's parts
           import org.apache.spark.sql.functions._
-          val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-          val docs2 = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
-            concat(col("text"), lit(" xyzzy")).as("text")))
+          val docs2 = graft.TrainingQueries.docs2(spark, sfDir)
           def t[T](label: String)(f: => T): T = {
             val t0 = System.nanoTime(); val r = f
             println(f"[probe]   $label: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r

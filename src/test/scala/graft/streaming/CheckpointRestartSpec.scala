@@ -13,12 +13,24 @@ import graft.SparkTestBase
   * reconstructs the flatMapGroupsWithState state store, continues from the
   * committed offset, emits no duplicates, and the union of pre- and
   * post-restart output equals the batch form over the final data. */
-class CheckpointRestartSpec extends AnyFunSuite with SparkTestBase {
+class CheckpointRestartSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll with SparkTestBase {
 
+  // deleteOnExit cannot remove non-empty directories, so the dirs are
+  // tracked and recursively deleted when the suite finishes
+  private val dirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
   private def tmpDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-restart-$tag").toFile
-    d.deleteOnExit()
+    dirs += d
     d.getAbsolutePath
+  }
+  override def afterAll(): Unit = {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      f.delete(); ()
+    }
+    dirs.foreach(rmrf)
+    super.afterAll()
   }
 
   test("CEP detectStream resumes from checkpoint without duplicates") {
