@@ -327,6 +327,30 @@ object TrainingQueries {
         .select(col("k").as("token"), col("est"))
     }),
 
+    // Bloom-filter semi-join (the 100TB prune pattern): membership is a
+    // codegen'd expression over an array<boolean> literal evaluated in the
+    // fact scan; m=2048/k=3 over 657 qualifying keys gives a deterministic
+    // ~24% FP rate, so bloom_membership pins REAL false positives
+    // (replayed bit-exactly in DuckDB) while bloom_semijoin proves the
+    // prune+verify pipeline is exactly the plain semi-join.
+    "bloom_membership" -> ((s, dir) => {
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_acctbal") > 5000).select("c_custkey")
+      val bits = graft.sketch.Bloom.bitsLit(
+        graft.sketch.Bloom.buildPositions(dim, "c_custkey", mBits = 2048, k = 3), 2048)
+      s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").as("key"))
+        .select(col("key"),
+          when(graft.sketch.Bloom.mightContain(bits, col("key"), 2048, 3), 1L)
+            .otherwise(0L).as("might_contain"))
+    }),
+    "bloom_semijoin" -> ((s, dir) => {
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_acctbal") > 5000).select("c_custkey")
+      graft.sketch.Bloom.semiJoin(
+        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey"),
+        "o_custkey", dim, "c_custkey", mBits = 2048, k = 3)
+    }),
+
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit mono
     // PCM WAVs round-trip through the actual JDK codec; decoded frame
     // count / sample rate / signed sample checksum replayed in DuckDB
@@ -472,6 +496,18 @@ object TrainingQueries {
         "CAST(sum(v) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id, w, h"),
     "sketch_countmin_tokens" -> countMinOracle,
     "sketch_countmin_stream" -> countMinOracle,
+    // bloom bit-pattern replay: positions from the qualifying keys, then
+    // forall-probes-set membership per queried key — including the FPs
+    "bloom_membership" ->
+      ("WITH pos AS (SELECT DISTINCT ((c_custkey % 1000003) * (2*i.i + 1) + (17*i.i + 3)) " +
+        "% 1000003 % 2048 AS p FROM customer, generate_series(0, 2) i(i) WHERE c_acctbal > 5000), " +
+        "chk AS (SELECT c_custkey AS key, ((c_custkey % 1000003) * (2*i.i + 1) + (17*i.i + 3)) " +
+        "% 1000003 % 2048 AS p FROM customer, generate_series(0, 2) i(i)) " +
+        "SELECT key, CAST(CASE WHEN bool_and(p IN (SELECT p FROM pos)) THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS might_contain FROM chk GROUP BY key"),
+    "bloom_semijoin" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"),
     "multimodal_audio_decode" ->
       ("WITH d AS (SELECT doc_id, CAST(200 + (doc_id % 23) * 8 AS INT) AS ns FROM documents), " +
         "sm AS (SELECT d.doc_id, d.ns, ((d.doc_id * 31 + g.i * 7) % 65536) - 32768 AS v " +
