@@ -427,7 +427,21 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           when(length(trim(col("text"))) === 0, 0)
-            .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens")))
+            .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"))),
+    // BPE-ish token count: GPT-2-flavored pre-tokenizer regex (contraction
+    // suffixes / letter runs / digit runs / punctuation runs), the subword
+    // complement of the whitespace count; Java regex and DuckDB's RE2
+    // agree because the pattern is lookahead-free. The synthetic corpus is
+    // pure letter-words (BPE == whitespace on it — a vacuous gate), so a
+    // deterministic suffix plants a contraction, a digit run and
+    // punctuation per doc: every alternation branch fires and the counts
+    // provably diverge from the whitespace entry's.
+    "token_count_bpe" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.text.TextOps.tokenCountBpe(
+            concat(col("text"), lit(" it's 2026, v"),
+              col("doc_id").cast("string"), lit("!"))).as("n_tokens")))
   )
 
   /** Shared by the batch and streaming window entries (same semantics,
@@ -586,6 +600,11 @@ object SparkEntry {
     "token_count" ->
       ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens " +
-        "FROM documents")
+        "FROM documents"),
+    "token_count_bpe" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(" +
+        "text || ' it''s 2026, v' || CAST(doc_id AS VARCHAR) || '!', " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) " +
+        "AS BIGINT) AS n_tokens FROM documents")
   )
 }

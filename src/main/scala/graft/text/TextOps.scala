@@ -28,6 +28,20 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-flavored BPE pre-tokenizer pattern: contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. Deliberately
+    * lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree match for
+    * match — the whitespace-tail lookahead of the original GPT-2 pattern
+    * is RE2-unsupported and only affects trailing-space tokens, which a
+    * COUNT does not need. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count (the subword-tokenizer-shaped complement of the
+    * whitespace [[tokenCount]]): number of pre-tokenizer matches. */
+  def tokenCountBpe(text: Column): Column =
+    coalesce(regexp_count(text, lit(bpePattern)), lit(0)).cast("long")
+
   /** Portable polynomial string hash: fold codepoints with
     * acc = (acc*131 + code) mod P. Works on lambda variables (usable
     * inside nested higher-order functions).
