@@ -440,7 +440,10 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           graft.text.TextOps.tokenCountBpe(
-            concat(col("text"), lit(" it's 2026, v"),
+            // coalesce BEFORE concat on BOTH engines: a NULL text would
+            // otherwise nullify the whole concat here while the oracle
+            // propagates NULL — same input must give the same count
+            concat(coalesce(col("text"), lit("")), lit(" it's 2026, v"),
               col("doc_id").cast("string"), lit("!"))).as("n_tokens")))
   )
 
@@ -603,8 +606,8 @@ object SparkEntry {
         "FROM documents"),
     "token_count_bpe" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(" +
-        "text || ' it''s 2026, v' || CAST(doc_id AS VARCHAR) || '!', " +
-        "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) " +
+        "coalesce(text, '') || ' it''s 2026, v' || CAST(doc_id AS VARCHAR) || '!', " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')) " +
         "AS BIGINT) AS n_tokens FROM documents")
   )
 }

@@ -329,18 +329,20 @@ object TrainingQueries {
 
     // Bloom-filter semi-join (the 100TB prune pattern): membership is a
     // codegen'd expression over an array<boolean> literal evaluated in the
-    // fact scan; m=2048/k=3 over 657 qualifying keys gives a deterministic
-    // ~24% FP rate, so bloom_membership pins REAL false positives
-    // (replayed bit-exactly in DuckDB) while bloom_semijoin proves the
-    // prune+verify pipeline is exactly the plain semi-join.
+    // fact scan. m scales with the DATA (Bloom.sizeFor = 8 bits/key →
+    // ~3% FP at every SF; a fixed m saturated at sf0.1 and made the gate
+    // vacuous), so bloom_membership pins REAL false positives (replayed
+    // bit-exactly in DuckDB — the oracle computes the same m from the same
+    // count) while bloom_semijoin proves prune+verify == plain semi-join.
     "bloom_membership" -> ((s, dir) => {
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .where(col("c_acctbal") > 5000).select("c_custkey")
+      val m = graft.sketch.Bloom.sizeFor(dim.count())
       val bits = graft.sketch.Bloom.bitsLit(
-        graft.sketch.Bloom.buildPositions(dim, "c_custkey", mBits = 2048, k = 3), 2048)
+        graft.sketch.Bloom.buildPositions(dim, "c_custkey", m, k = 3), m)
       s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").as("key"))
         .select(col("key"),
-          when(graft.sketch.Bloom.mightContain(bits, col("key"), 2048, 3), 1L)
+          when(graft.sketch.Bloom.mightContain(bits, col("key"), m, 3), 1L)
             .otherwise(0L).as("might_contain"))
     }),
     "bloom_semijoin" -> ((s, dir) => {
@@ -348,7 +350,8 @@ object TrainingQueries {
         .where(col("c_acctbal") > 5000).select("c_custkey")
       graft.sketch.Bloom.semiJoin(
         s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey"),
-        "o_custkey", dim, "c_custkey", mBits = 2048, k = 3)
+        "o_custkey", dim, "c_custkey",
+        mBits = graft.sketch.Bloom.sizeFor(dim.count()), k = 3)
     }),
 
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit mono
@@ -499,10 +502,11 @@ object TrainingQueries {
     // bloom bit-pattern replay: positions from the qualifying keys, then
     // forall-probes-set membership per queried key — including the FPs
     "bloom_membership" ->
-      ("WITH pos AS (SELECT DISTINCT ((c_custkey % 1000003) * (2*i.i + 1) + (17*i.i + 3)) " +
-        "% 1000003 % 2048 AS p FROM customer, generate_series(0, 2) i(i) WHERE c_acctbal > 5000), " +
+      ("WITH mb AS (SELECT GREATEST(64, 8 * count(*)) AS m FROM customer WHERE c_acctbal > 5000), " +
+        "pos AS (SELECT DISTINCT ((c_custkey % 1000003) * (2*i.i + 1) + (17*i.i + 3)) " +
+        "% 1000003 % mb.m AS p FROM customer, generate_series(0, 2) i(i), mb WHERE c_acctbal > 5000), " +
         "chk AS (SELECT c_custkey AS key, ((c_custkey % 1000003) * (2*i.i + 1) + (17*i.i + 3)) " +
-        "% 1000003 % 2048 AS p FROM customer, generate_series(0, 2) i(i)) " +
+        "% 1000003 % mb.m AS p FROM customer, generate_series(0, 2) i(i), mb) " +
         "SELECT key, CAST(CASE WHEN bool_and(p IN (SELECT p FROM pos)) THEN 1 ELSE 0 END AS BIGINT) " +
         "AS might_contain FROM chk GROUP BY key"),
     "bloom_semijoin" ->

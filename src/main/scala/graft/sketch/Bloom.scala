@@ -27,13 +27,18 @@ object Bloom {
 
   import TextOps.P
 
+  /** Same affine family as [[CountMin.bucket]] (one definition, mirrored
+    * by the oracle SQL), over the key reduced mod P. */
   def probe(key: Column, i: Int, mBits: Int): Column =
-    (pmod(key.cast("long"), lit(P)) * (2 * i + 1) + (17 * i + 3)) % P % mBits
+    CountMin.bucket(pmod(key.cast("long"), lit(P)), lit(i), mBits)
 
   /** Distinct set-bit positions of the filter over `keys` — the collected
-    * result is bounded by mBits, not by the key count. */
+    * result is bounded by mBits, not by the key count. NULL keys are
+    * skipped (semi-join semantics: NULL never matches, so it must not set
+    * bits — and must not NPE the build). */
   def buildPositions(keys: DataFrame, keyCol: String, mBits: Int, k: Int): Array[Int] =
-    keys.select(explode(array(
+    keys.where(col(keyCol).isNotNull)
+      .select(explode(array(
         (0 until k).map(i => probe(col(keyCol), i, mBits)): _*)).as("p"))
       .distinct().collect().map(_.getLong(0).toInt).sorted
 
@@ -59,9 +64,20 @@ object Bloom {
                dimKeys: DataFrame, dimKeyCol: String,
                mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
     val bits = bitsLit(buildPositions(dimKeys, dimKeyCol, mBits, k), mBits)
+    // a NULL fact key probes to NULL → filter drops it, matching the
+    // semi-join's NULL-never-matches rule
     val pruned = fact.where(mightContain(bits, col(factKeyCol), mBits, k))
-    pruned.join(
-      broadcast(dimKeys.select(col(dimKeyCol).as("_bloom_dim_key")).distinct()),
-      col(factKeyCol) === col("_bloom_dim_key"), "leftsemi")
+    // dataframe-qualified join refs: no rename, so a fact column that
+    // happens to share any name cannot become an ambiguous reference
+    val dimDistinct = dimKeys.select(col(dimKeyCol)).distinct()
+    pruned.join(broadcast(dimDistinct),
+      pruned(factKeyCol) === dimDistinct(dimKeyCol), "leftsemi")
   }
+
+  /** Filter size that keeps the false-positive rate ~3% at ANY corpus
+    * scale: m = 8·n bits for n inserted keys (k=3: (1−e^(−3/8))³ ≈ 0.03).
+    * A FIXED m silently saturates once n grows past it — measured: 2048
+    * bits over sf0.1's 6945 qualifying keys set every bit, making
+    * membership vacuously true and the prune a no-op. */
+  def sizeFor(nKeys: Long): Int = math.max(64L, 8L * nKeys).toInt
 }

@@ -33,9 +33,11 @@ object TextOps {
     * lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree match for
     * match — the whitespace-tail lookahead of the original GPT-2 pattern
     * is RE2-unsupported and only affects trailing-space tokens, which a
-    * COUNT does not need. */
+    * COUNT does not need. Whitespace is an EXPLICIT class, not `\s`:
+    * Java's `\s` includes vertical tab (U+000B) while RE2's does not, so
+    * `\s` would silently diverge the two engines on that one character. */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
   /** BPE-ish token count (the subword-tokenizer-shaped complement of the
     * whitespace [[tokenCount]]): number of pre-tokenizer matches. */

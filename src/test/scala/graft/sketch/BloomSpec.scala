@@ -44,6 +44,23 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
       "fixture should produce false positives")
   }
 
+  test("NULL keys: skipped at build (no NPE), never match at probe") {
+    import scala.jdk.CollectionConverters._
+    val dimWithNull = spark.createDataFrame(
+      (Seq[java.lang.Long](1L, 2L, null).map(Row(_))).asJava,
+      StructType(Seq(StructField("dk", LongType, nullable = true))))
+    val positions = Bloom.buildPositions(dimWithNull, "dk", m, k)
+    assert(positions.toSeq == Seq(1L, 2L).flatMap(kk =>
+      (0 until k).map(probeScala(kk, _))).distinct.sorted)
+    val factWithNull = spark.createDataFrame(
+      Seq((1L, java.lang.Long.valueOf(1L)), (2L, null.asInstanceOf[java.lang.Long]),
+        (3L, java.lang.Long.valueOf(2L))).map { case (a, b) => Row(a, b) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("fk", LongType, nullable = true))))
+    val got = Bloom.semiJoin(factWithNull, "fk", dimWithNull, "dk", m, k)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L)) // the NULL-fk row never matches
+  }
+
   test("bloom-pruned semi-join == plain semi-join") {
     val rnd = new scala.util.Random(47L)
     val dim = (0 until 80).map(_ => rnd.nextLong().abs % 5000L).distinct

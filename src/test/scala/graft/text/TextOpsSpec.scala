@@ -20,7 +20,9 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     "42 4,200 3.14159",        // digit runs split by punctuation
     "!!!???...",               // pure punctuation run
     "snake_case camelCase kebab-case",
-    "it's it's it's")
+    "it's it's it's",
+    "ab! c") // vertical tab: Java \s and RE2 \s disagree on it —
+                   // the explicit whitespace class must treat it as a gap
 
   private def mirror(s: String): Long = {
     val m = java.util.regex.Pattern.compile(TextOps.bpePattern).matcher(s)
@@ -41,5 +43,6 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("don't stop me now") == 5)
     assert(got("a1b2 c-d_e") == 9)
     assert(got("") == 0 && got("   ") == 0)
+    assert(got("ab! c") == 4) // a, b, !, ' c' — U+000B is a gap
   }
 }
