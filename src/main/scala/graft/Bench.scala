@@ -49,6 +49,42 @@ object Bench {
       System.err.println(s"[bench] ignoring teardown failure: ${e.toString.linesIterator.next().take(200)}")
     }
 
+  /** A failed phase — the local-cluster app dying because its executors
+    * cannot launch is the observed case — stops its SparkContext on an
+    * ASYNC scheduler thread; a safeStop from the catch block returns while
+    * that shutdown is still deregistering, so the next phase's getOrCreate
+    * grabs the still-registered stopped context and dies with "Cannot call
+    * methods on a stopped SparkContext" (BENCH_full: bulk/stress/enumerate
+    * all poisoned by one failed cluster phase). Stop + clear both session
+    * handles, then WAIT for the context to actually deregister. */
+  private def resetSessions(): Unit = {
+    SparkSession.getActiveSession.foreach(safeStop)
+    SparkSession.getDefaultSession.foreach(safeStop)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // SparkContext's registry is not public API, so probe it: getOrCreate
+    // returns the registered context if one exists. A stopped probe means
+    // the async shutdown hasn't deregistered yet — wait and retry until a
+    // LIVE context comes back (then drop the throwaway) or the deadline
+    // passes (the warning makes a still-wedged registry visible in stderr).
+    val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+    var clean = false
+    while (!clean && System.nanoTime() < deadline) {
+      val probe =
+        try Some(SparkSession.builder().master("local[1]")
+          .appName("graft-bench-reset-probe")
+          .config("spark.ui.enabled", "false").getOrCreate())
+        catch { case _: Throwable => None }
+      clean = probe.exists(s => !s.sparkContext.isStopped)
+      probe.foreach(safeStop)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      if (!clean) Thread.sleep(200)
+    }
+    if (!clean)
+      System.err.println("[bench] WARNING: a stopped SparkContext is still registered after reset")
+  }
+
   /** Phase guard: a failed phase must surface as a recorded error in the
     * artifact, never as a dead JVM with no JSON line. */
   private val phaseErrors = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -58,9 +94,9 @@ object Bench {
       val msg = e.toString.linesIterator.next().take(300)
       System.err.println(s"[bench] phase $name FAILED: $msg")
       phaseErrors += ((name, msg))
-      // a dead phase may leave its session active; the next phase's
-      // getOrCreate would silently reuse it with the wrong master
-      SparkSession.getDefaultSession.foreach(safeStop)
+      // a dead phase may leave its session active (or mid-async-stop); the
+      // next phase's getOrCreate would silently reuse it
+      resetSessions()
       fallback
     }
 
@@ -538,10 +574,11 @@ object Bench {
         Right(Seq(runs((runs.size - 1) / 2))) // conservative lower median
       } catch { case e: Throwable =>
         // BENCH_r5_full1: a failed local-cluster app left its STOPPED
-        // session as the default, and every later phase's getOrCreate
+        // session registered, and every later phase's getOrCreate
         // returned it ("Cannot call methods on a stopped SparkContext")
-        // — drop it so subsequent phases build a fresh local session
-        SparkSession.getDefaultSession.foreach(safeStop)
+        // — reset AND wait out the async scheduler-thread shutdown so
+        // subsequent phases build a fresh local session
+        resetSessions()
         Left(e.toString.linesIterator.next().take(300))
       }
 
@@ -552,8 +589,10 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val bulkResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_BULK", "1") == "1")
-        phase("bulk", Seq.empty[(Int, (Double, Long, Long, Long))])(
-          bulkLevels.map(c => c -> bulkBench(c, sConvs, turns, nTools)))
+        phase("bulk", Seq.empty[(Int, (Double, Long, Long, Long))]) {
+          resetSessions()
+          bulkLevels.map(c => c -> bulkBench(c, sConvs, turns, nTools))
+        }
       else Nil
 
     // Phase C — effort-bounded emission stress: FULL enumeration (every
@@ -561,10 +600,10 @@ object Bench {
     // fixture's ~2×10^8 triangles, counted without retention.
     val stress =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STRESS", "1") == "1")
-        phase("stress", Option.empty[(Double, Long)])(Some(emissionStress(cpus.toInt,
+        phase("stress", Option.empty[(Double, Long)])({ resetSessions(); Some(emissionStress(cpus.toInt,
           sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_CONVS", (nConvs * 8).toString).toInt,
           turns,
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt)))
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM_TOOLS", (nTools * 2).toString).toInt)) })
       else None
 
     // enumerate scaling probe may use a LARGER fixture than the stream so
@@ -579,6 +618,7 @@ object Bench {
     val enumResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ENUM", "1") == "1")
         phase("enumerate", Seq.empty[(Int, (Double, Long))]) {
+          resetSessions()
           val runs = for (r <- 1 to enumReps; c <- eLevels)
             yield c -> enumerateBench(c, eConvs, turns, eTools)
           eLevels.map { c =>
