@@ -411,6 +411,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- as-of join (temporal): for every click, the latest view at or
+    // before it per user — ONE keyed sort + running last(ignoreNulls), no
+    // join node, no per-key cross product (graft.ops.AsofJoin)
+    "asof_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      graft.ops.AsofJoin.backward(clicks, views, key = "user_id", ts = "ts",
+          tieBreak = "event_id", payload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("asof_event_id").as("view_id"), col("asof_value").as("view_value"))
+    }),
+
+    // ---- range (interval-containment) join with NO equi-key: clicks ×
+    // 10-minute incident windows opened by every error event. Spark's own
+    // plan for the inequality join is a nested loop; the binned form
+    // shuffles on the time bin and meets every pair exactly once
+    // (graft.ops.RangeJoin)
+    "range_join_bins" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val points = e.where(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("pt_us"))
+      val intervals = e.where(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts").cast("timestamp")).as("start_us"),
+          (unix_micros(col("ts").cast("timestamp")) + 600000000L).as("end_us"))
+      graft.ops.RangeJoin.pointInInterval(points, "pt_us",
+          intervals, "start_us", "end_us", binWidth = 600000000L)
+        .select("event_id", "interval_id", "pt_us", "start_us")
+    }),
+
+    // ---- iterative graph analytics on the same derived graph the motif
+    // queries run on: fixed-point integer PageRank (d = 17/20, per-edge
+    // floor at the source, damped floor at the sink — exact and
+    // order-independent, so the oracle replays every division) and bounded
+    // multi-source BFS (hop distances from the n % 97 == 0 seed set)
+    "graph_pagerank" -> ((s, dir) =>
+      graft.ops.PageRank.run(edges(s, dir), "src", "dst", iters = 5)),
+    "graph_bfs" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val seeds = e.select(col("src").as("n"))
+        .unionByName(e.select(col("dst").as("n")))
+        .distinct().where(col("n") % 97 === 0)
+      graft.ops.Bfs.distances(e, "src", "dst", seeds, maxHops = 4)
+    }),
+
     // ---- classic aggregation (sanity + partial-agg coverage) ----
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -505,6 +554,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
+    "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
+    "graph_bfs" ->
+      ("WITH RECURSIVE " + edgesCte.stripPrefix("WITH ") +
+        ", nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges)" +
+        ", seeds AS (SELECT n AS s FROM nodes WHERE n % 97 = 0)" +
+        graft.ops.Bfs.oracleCtes(maxHops = 4)),
     "wco_cycle3" -> motifOracle(Planner.cycle3),
     "wco_clique4" -> motifOracle(Planner.clique4),
     "wco_triangle_count" ->
@@ -557,6 +612,28 @@ object SparkEntry {
     "window_sliding" -> windowSlidingOracle,
     "window_sliding_stream" -> windowSlidingOracle,
     "window_session" -> windowSessionOracle,
+    // as-of replay: union both sides, right-before-left at equal ts,
+    // largest-event_id right row wins a (key, ts) tie — the same total
+    // order the Spark window uses; payloads carried as one struct so both
+    // output columns come from the same view row
+    "asof_join" ->
+      ("WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'), " +
+        "u AS (SELECT user_id, ts, 1 AS side, event_id AS tie, event_id, " +
+        "CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_val FROM l " +
+        "UNION ALL SELECT user_id, ts, 0, event_id, NULL, event_id, value FROM r), " +
+        "w AS (SELECT *, last_value(p_id IGNORE NULLS) OVER win AS a_id, " +
+        "last_value(p_val IGNORE NULLS) OVER win AS a_val FROM u WINDOW win AS " +
+        "(PARTITION BY user_id ORDER BY ts, side, tie " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, a_id AS view_id, " +
+        "a_val AS view_value FROM w WHERE side = 1"),
+    "range_join_bins" ->
+      ("WITH p AS (SELECT event_id, epoch_us(ts) AS pt_us FROM events WHERE event_type = 'click'), " +
+        "i AS (SELECT event_id AS interval_id, epoch_us(ts) AS start_us, " +
+        "epoch_us(ts) + 600000000 AS end_us FROM events WHERE event_type = 'error') " +
+        "SELECT p.event_id, i.interval_id, p.pt_us, i.start_us FROM p " +
+        "JOIN i ON p.pt_us >= i.start_us AND p.pt_us < i.end_us"),
     "cep_pattern_seq" ->
       ("WITH e AS (SELECT user_id AS key, ts, event_id AS ev_id, event_type AS tag FROM events), " +
         "led AS (SELECT key, ts, ev_id, tag, lead(tag, 1) OVER w AS tag_1, " +

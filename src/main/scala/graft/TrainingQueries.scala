@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.ops.{ConnectedComponents, Sampling}
 import graft.sim.Embeddings
 import graft.text.TextOps
 
@@ -354,6 +355,96 @@ object TrainingQueries {
         mBits = graft.sketch.Bloom.sizeFor(dim.count()), k = 3)
     }),
 
+    // ---- near-dup CLUSTERING (the step after pair generation): MinHash
+    // pairs → distributed connected components (alternating large-star /
+    // small-star, O(log² n) keyed-shuffle rounds, no driver state) → every
+    // doc labeled with its cluster keeper (= min doc id of its component;
+    // singletons keep themselves). Oracle replays the label propagation
+    // with a recursive CTE over the identical pair set.
+    "dedup_cluster_keep" -> ((s, dir) => {
+      val corpus = docs2(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)
+      ConnectedComponents.run(pairs, "id_a", "id_b",
+          vertices = Some(corpus.select("doc_id")))
+        .select(col("node").as("doc_id"), col("component").as("keep_id"))
+    }),
+
+    // ---- Gopher-style repetition metrics (token-level; the deterministic
+    // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
+    // n-gram column is provably non-vacuous on this synthetic corpus)
+    "repetition_stats" -> ((s, dir) => {
+      val t = concat(coalesce(col("text"), lit("")), lit(" r1 r2 r3 r1 r2 r3"))
+      docs(s, dir).select(col("doc_id"),
+        round(TextOps.dupTokenFrac(t), 6).as("dup_tok_frac"),
+        round(TextOps.topTokenFrac(t), 6).as("top_tok_frac"),
+        round(TextOps.dupNgramFrac(t, 3), 6).as("dup_3gram_frac"))
+    }),
+
+    // ---- deterministic stratified sampling: hash-gate membership (pure
+    // function of doc_id — rerun/partitioning/scale invariant, unlike
+    // df.sample's per-partition RNG); per-language rates ride a broadcast
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(
+        docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+        rates = Map("en" -> 0.25), defaultRate = 0.75)),
+
+    // ---- global top-k tokens: high-cardinality aggregation + orderBy/limit
+    // = TakeOrderedAndProject (parallel per-partition top-k, never a global
+    // sort); the corpus-vocabulary probe a pipeline runs before tokenizer
+    // work. Tie-break by token so the k boundary is deterministic.
+    "token_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(25)),
+
+    // ---- per-group top-k (top-3 docs per language by token count): the
+    // ranking window is PARTITIONED by lang — each group ranks inside its
+    // own task, nothing funnels through one partition (contrast with the
+    // round-4 IVF centroid-init bug this engine had to kill)
+    "topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_tok").desc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("lang", "rk", "doc_id", "n_tok")
+    }),
+
+    // ---- BM25 lexical retrieval (integer-rational form — see text.Bm25):
+    // the lexical-search companion to the ANN entries; top-20 with a
+    // doc_id tie-break at the k boundary in both engines
+    "bm25_topk" -> ((s, dir) =>
+      graft.text.Bm25.topK(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("spark", "hash", "join"), k = 20)),
+
+    // ---- HyperLogLog distinct-count sketch (cardinality companion to
+    // Count-Min): registers ARE a groupBy(bucket).max(rho) — map-side
+    // partials are per-partition sketches, the shuffle is the HLL merge.
+    // m=32 vs 500 distinct texts → every register is contended, so the
+    // gate exercises real max-merges, not a one-key-per-bucket identity
+    "sketch_hll_registers" -> ((s, dir) =>
+      graft.sketch.HyperLogLog.registers(docs(s, dir), "text", m = 32)),
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.sketch.HyperLogLog.distinctEstimate(docs(s, dir), "text", m = 32)),
+
+    // ---- REAL image resize: JDK decode + explicit nearest-neighbor
+    // kernel (implementation-defined AWT scaling would not be replayable);
+    // resized checksum is closed-form exact in the oracle
+    "multimodal_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.map(id => Multimodal.ImageAsset(id,
+        Multimodal.ImageCodec.syntheticPng(id, (8 + id % 9).toInt, (8 + id % 7).toInt)))
+      Multimodal.resizeImages(assets, outW = 6, outH = 5, partitions = 8).toDF()
+        .select(col("asset_id"), col("src_w"), col("src_h"),
+          col("out_w"), col("out_h"), col("pix_sum"))
+    }),
+
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit mono
     // PCM WAVs round-trip through the actual JDK codec; decoded frame
     // count / sample rate / signed sample checksum replayed in DuckDB
@@ -367,7 +458,85 @@ object TrainingQueries {
     })
   )
 
+  /** The sampling entry's per-stratum integer thresholds — ONE scala
+    * expression feeds both engines so they cannot drift. */
+  private val sampleThreshEn = math.floor(0.25 * TextOps.P).toLong
+  private val sampleThreshDefault = math.floor(0.75 * TextOps.P).toLong
+
+  /** Shared HLL CTE chain (register replay over documents.text):
+    * large-multiplier affine maps (range-of-g0 buckets, g1 trailing-zero
+    * rho — see [[graft.sketch.HyperLogLog]] for why the bucket must come
+    * from g0's range, not its low bits), pure integer arithmetic on both
+    * engines. */
+  private val hllRegCtes: String =
+    "WITH hsrc AS (SELECT text AS s FROM documents), " +
+      s"h AS (SELECT $phLambda AS h FROM hsrc), " +
+      "g AS (SELECT (h * 48271 + 3) % 1000003 AS g0, (h * 16807 + 17) % 1000003 AS g1 FROM h), " +
+      "reg AS (SELECT CAST((g0 * 32) // 1000003 AS BIGINT) AS bucket, " +
+      "CAST(max(len(list_filter(generate_series(1, 20), k -> g1 % (1 << k) = 0)) + 1) AS BIGINT) AS rho " +
+      "FROM g GROUP BY 1)"
+
+  /** Exact 2^-rho lookup literal shared with [[graft.sketch.HyperLogLog]]
+    * (scala doubles stringified — exact binary fractions round-trip). */
+  private val hllInvList: String =
+    graft.sketch.HyperLogLog.invPow2().map(_.toString).mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_cluster_keep" ->
+      ("WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
+        ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
+        "HAVING max(est_jaccard) >= 0.5), " +
+        "e2 AS (SELECT id_a AS u, id_b AS v FROM q UNION SELECT id_b, id_a FROM q), " +
+        "lab(n, l) AS (SELECT doc_id, doc_id FROM docs2 " +
+        "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
+        "SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n"),
+    "repetition_stats" ->
+      ("WITH d2 AS (SELECT doc_id, coalesce(text, '') || ' r1 r2 r3 r1 r2 r3' AS text FROM documents), " +
+        tokCte("d2") + ", " +
+        "g AS (SELECT doc_id, t, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) END AS g3 FROM tok) " +
+        "SELECT doc_id, " +
+        "round(CASE WHEN len(t) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END, 6) AS dup_tok_frac, " +
+        "round(CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(t), " +
+        "x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t) END, 6) AS top_tok_frac, " +
+        "round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6) AS dup_3gram_frac " +
+        "FROM g"),
+    "sample_stratified" ->
+      (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
+        s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),
+    "token_topk" ->
+      ("WITH " + tokCte("documents") +
+        ", occ AS (SELECT unnest(t) AS token FROM tok) " +
+        "SELECT token, count(*) AS cnt FROM occ GROUP BY token " +
+        "ORDER BY cnt DESC, token LIMIT 25"),
+    "topk_per_group" ->
+      ("WITH " + tokCte("documents") +
+        ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok), " +
+        "r AS (SELECT documents.lang, d.doc_id, d.n_tok, " +
+        "row_number() OVER (PARTITION BY documents.lang " +
+        "ORDER BY d.n_tok DESC, d.doc_id) AS rk " +
+        "FROM d JOIN documents USING (doc_id)) " +
+        "SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_tok FROM r WHERE rk <= 3"),
+    "bm25_topk" ->
+      ("WITH " + tokCte("documents") +
+        graft.text.Bm25.oracleCtes("['spark', 'hash', 'join']", k = 20)),
+    "sketch_hll_registers" ->
+      (hllRegCtes + " SELECT bucket, rho FROM reg"),
+    "sketch_hll_distinct" ->
+      (hllRegCtes + ", agg AS (SELECT sum((CAST(" + hllInvList + " AS DOUBLE[]))[rho]) AS s, " +
+        "count(*) AS filled FROM reg), " +
+        "e0 AS (SELECT 0.697 * 32 * 32 / (s + (32 - filled)) AS raw, " +
+        "CAST(32 - filled AS DOUBLE) AS zeros FROM agg) " +
+        "SELECT round(CASE WHEN raw <= 80.0 AND zeros > 0 THEN 32.0 * ln(32.0 / zeros) ELSE raw END, 6) AS est FROM e0"),
+    "multimodal_image_resize" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w, " +
+        "CAST(8 + doc_id % 7 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, " +
+        "(doc_id * 31 + ((gx.x * w) // 6) * 7 + ((gy.y * h) // 5) * 13) % 256 AS v " +
+        "FROM d, generate_series(0, 5) gx(x), generate_series(0, 4) gy(y)) " +
+        "SELECT doc_id AS asset_id, w AS src_w, h AS src_h, " +
+        "CAST(6 AS BIGINT) AS out_w, CAST(5 AS BIGINT) AS out_h, " +
+        "CAST(sum(v) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id, w, h"),
     "doc_fingerprint" ->
       ("WITH norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s " +
         "FROM documents) SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -279,6 +279,51 @@ object Multimodal {
       }
   }
 
+  final case class ImageResized(
+      asset_id: Long, src_w: Long, src_h: Long,
+      out_w: Long, out_h: Long, pix_sum: Long)
+
+  /** Distributed image RESIZE: real JDK decode, then a deterministic
+    * nearest-neighbor downsample — src pixel (⌊x·w/outW⌋, ⌊y·h/outH⌋) for
+    * each output (x, y). The kernel is explicit integer arithmetic (NOT
+    * `Image.getScaledInstance`, whose interpolation is implementation-
+    * defined), so the resized checksum is closed-form replayable by the
+    * oracle. Same scale shape as [[decodeImages]]: repartitioned by asset,
+    * executor-local CPU, nothing driver-resident. */
+  def resizeImages(assets: Dataset[ImageAsset], outW: Int, outH: Int,
+                   partitions: Int): Dataset[ImageResized] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    assets.repartition(partitions, col("asset_id"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                sum += raster.getSample(x * w / outW, sy, 0)
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageResized(a.asset_id, w.toLong, h.toLong,
+              outW.toLong, outH.toLong, sum))
+          }
+        }
+      }
+  }
+
   /** Builds a deterministic asset table from any text table (payload =
     * UTF-8 bytes) — the sandbox stand-in for reading real media files. */
   def assetsFromText(docs: DataFrame, idCol: String, textCol: String): Dataset[Asset] = {

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps.P
+
+/** Deterministic sampling for training-data pipelines. `df.sample()` draws
+  * from a per-partition RNG — re-running the job, changing the partition
+  * count, or recovering a lost partition yields a DIFFERENT sample, which
+  * breaks train/eval splits and any reproducibility audit. The pipeline
+  * form is a hash gate: a row is kept iff hash(stable key) falls under the
+  * rate threshold — membership is a pure function of the key, identical
+  * across reruns, engines, partitionings and scales (the same reason the
+  * engine keys all streaming state by value, never by arrival:
+  * /root/reference/src/index.rs keys its index purely by node id).
+  */
+object Sampling {
+
+  /** Portable integer hash of a long key into [0, P): MINSTD-style affine
+    * map mod the polyHash prime — replayable in one line of SQL. The
+    * multiplier must be large relative to P (a small one maps small dense
+    * id ranges onto a small prefix of [0, P) and every row lands under any
+    * non-tiny rate threshold — a vacuous sample). 48271·(P−1) < 2^46, so
+    * ANSI-safe. */
+  def keyHash(key: Column): Column = (pmod(key.cast("long"), lit(P)) * 48271 + 7) % P
+
+  /** Keep rows whose key hashes under `rate` (0..1): hash < floor(rate·P).
+    * The same key is kept at rate r1 whenever it is kept at any r2 < r1 —
+    * nested samples come free (eval ⊂ train holdouts). */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    df.where(keyHash(col(keyCol)) < math.floor(rate * P).toLong)
+  }
+
+  /** Stratified hash sample: per-stratum rates (e.g. downsample the head
+    * language, keep the tail), default rate for unlisted strata. Rates ride
+    * a broadcast join — at 100 TB the fact side streams through one
+    * codegen'd filter stage, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq
+      .map { case (s, r) => (s, math.floor(r * P).toLong) }
+      .toDF(strataCol, "_thresh")
+    df.join(broadcast(rateDf), Seq(strataCol), "left")
+      .withColumn("_thresh",
+        coalesce(col("_thresh"), lit(math.floor(defaultRate * P).toLong)))
+      .where(keyHash(col(keyCol)) < col("_thresh"))
+      .drop("_thresh")
+  }
+}

@@ -124,4 +124,41 @@ object TextOps {
     val stopScore = when(nTok > 0, least(stop * lit(4.0) / nTok, lit(1.0))).otherwise(lit(0.0))
     lenScore * 0.3 + wordScore * 0.2 + punctScore * 0.3 + stopScore * 0.2
   }
+
+  /** All n-token windows of a token array, WITHOUT de-duplication (the
+    * repetition metrics need multiplicity; [[graft.dedup.Dedup.shingles]]
+    * deliberately distincts). */
+  def ngramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, token-level —
+    * the fixtures are single-line so the line-level variants are vacuous
+    * here): fraction of token occurrences that are repeats of an earlier
+    * token. 0 for empty docs. */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+  }
+
+  /** Fraction of the token stream taken by the single most frequent token
+    * (ties irrelevant — only the max count matters). Per-doc O(n·distinct),
+    * bounded by document length — never a cross-document shuffle. */
+  def topTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    val counts = transform(array_distinct(t),
+      x => size(filter(t, y => y === x)).cast("long"))
+    when(size(t) === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(t).cast("double"))
+  }
+
+  /** Fraction of n-gram occurrences that are repeats (the duplicate-n-gram
+    * character-fraction proxy at token granularity). */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = ngramsAll(tokens(text), n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** As-of join, binned range join, deterministic sampling: each against a
+  * brute-force reference on adversarial fixtures (ties, boundaries, hot
+  * intervals, partitioning changes). */
+class AsofRangeSamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  // ---------------- as-of ----------------
+
+  private def asofRef(left: Seq[(Long, Long, Long)],
+                      right: Seq[(Long, Long, Long, Double)]) =
+    // left (id, key, ts); right (id, key, ts, v): latest right with
+    // ts_r <= ts_l, largest id on ties
+    left.map { case (id, k, t) =>
+      val cand = right.filter(r => r._2 == k && r._3 <= t)
+      val best =
+        if (cand.isEmpty) None
+        else Some(cand.maxBy(r => (r._3, r._1)))
+      (id, best.map(_._1), best.map(_._4))
+    }.toSet
+
+  test("asof backward == brute force, incl. equal-ts ties and no-predecessor") {
+    import spark.implicits._
+    val leftRows = Seq(
+      (100L, 1L, 50L), (101L, 1L, 10L), (102L, 1L, 5L),
+      (103L, 2L, 50L), (104L, 3L, 7L))
+    val rightRows = Seq(
+      (1L, 1L, 10L, 1.0),  // ties a left row's ts exactly → visible to it
+      (2L, 1L, 10L, 2.0),  // same (key, ts): larger id wins
+      (3L, 1L, 40L, 3.0),
+      (4L, 2L, 60L, 4.0))  // after the only key-2 left row → unused
+    val l = leftRows.toDF("event_id", "k", "ts")
+    val r = rightRows.toDF("event_id", "k", "ts", "v")
+    val got = AsofJoin.backward(l, r, key = "k", ts = "ts",
+        tieBreak = "event_id", payload = Seq("event_id", "v"))
+      .collect().map(x => (x.getLong(0),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == asofRef(leftRows, rightRows))
+  }
+
+  test("asof payload struct keeps columns row-consistent under null payload values") {
+    import spark.implicits._
+    val l = Seq((10L, 1L, 100L)).toDF("event_id", "k", "ts")
+    // newest right row carries a NULL v — the output must pair that row's
+    // id with ITS null, not reach back to the older row's non-null v
+    val r = Seq((1L, 1L, 10L, Some(5.0)), (2L, 1L, 20L, None))
+      .toDF("event_id", "k", "ts", "v")
+    val row = AsofJoin.backward(l, r, "k", "ts", "event_id", Seq("event_id", "v")).head()
+    assert(row.getLong(3) == 2L && row.isNullAt(4))
+  }
+
+  // ---------------- range join ----------------
+
+  test("binned range join == inequality join, incl. hot intervals and boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val points = (0 until 400).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(9500).toLong
+      (1000L + i, s, s + 1 + rnd.nextInt(300))
+    } ++ Seq(
+      (2000L, 0L, 10000L),   // corpus-spanning: forces the broadcast hot path
+      (2001L, 500L, 500L),   // empty interval → matches nothing
+      (2002L, 100L, 101L))   // width 1: only pt == 100
+    val p = points.toDF("pid", "pt")
+    val iv = ivs.toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(p, "pt", iv, "s", "e",
+        binWidth = 128L, hotSpanBins = 8L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, pt) <- points; (iid, s, e) <- ivs if pt >= s && pt < e
+    } yield (pid, iid)).toSet
+    assert(got == want)
+    // the spanning interval must have matched every point (proves the hot
+    // path actually contributes rows)
+    assert(got.count(_._2 == 2000L) == points.size)
+  }
+
+  // ---------------- sampling ----------------
+
+  test("hash sample: deterministic, partition-invariant, nested by rate") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    def ids(rate: Double, parts: Int) =
+      Sampling.hashSample(df.repartition(parts), "id", rate)
+        .collect().map(_.getLong(0)).toSet
+    val s10 = ids(0.1, 4)
+    assert(s10 == ids(0.1, 13))          // partitioning never changes membership
+    assert(s10.subsetOf(ids(0.3, 4)))    // nested samples
+    assert(math.abs(s10.size - 200) < 60) // rate is honored (loose bound)
+    assert(ids(0.0, 4).isEmpty && ids(1.0, 4).size == 2000)
+  }
+
+  test("stratified sample applies per-stratum and default rates") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val got = Sampling.stratifiedHashSample(df, "id", "lang",
+      rates = Map("en" -> 0.1), defaultRate = 0.9)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 100) < 40)
+    assert(math.abs(byLang("de") - 1800) < 120)
+    // per-row membership equals the scalar rule
+    val keep = got.select("id").collect().map(_.getLong(0)).toSet
+    val p = graft.text.TextOps.P
+    (0L until 3000L).foreach { i =>
+      val thresh = if (i % 3 == 0) math.floor(0.1 * p) else math.floor(0.9 * p)
+      assert(keep.contains(i) == ((i % p * 48271 + 7) % p < thresh))
+    }
+  }
+}
