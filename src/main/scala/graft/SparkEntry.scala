@@ -427,6 +427,39 @@ object SparkEntry {
           col("asof_event_id").as("view_id"), col("asof_value").as("view_value"))
     }),
 
+    // ---- streaming as-of twin: the same enrichment through
+    // flatMapGroupsWithState (O(1) latest-right summary per key, lefts
+    // emitted as the watermark finalizes them), ms-floored like the other
+    // stream twins, gated against the ms-floored replay of the SAME oracle
+    "asof_join_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.AsofStream
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("key"),
+          timestamp_micros(us - pmod(us, lit(1000L))).as("ts"),
+          when(col("event_type") === "click", 1).otherwise(0).as("side"),
+          col("event_id").as("tie"),
+          coalesce(when(col("event_type") === "view", col("event_id")), lit(0L)).as("pId"),
+          coalesce(when(col("event_type") === "view", col("value")), lit(0.0)).as("pVal"))
+        .as[AsofStream.AsofEv].collect()
+        .sortBy(ev => (ev.ts.getTime, ev.side, ev.tie))
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsofStream.AsofEv]
+      val in = src.toDS().withWatermark("ts", "1 millisecond")
+      val out = AsofStream.asofStream(in).toDF()
+      val far = if (evs.isEmpty) 3600000L else evs.last.ts.getTime + 3600000L
+      val t = streamReplay(s, src, out, evs.toIndexedSeq,
+          Seq(AsofStream.AsofEv(-1L, new java.sql.Timestamp(far), 1, -1L, 0L, 0.0),
+            AsofStream.AsofEv(-1L, new java.sql.Timestamp(far + 1000L), 1, -2L, 0L, 0.0)),
+          "append", "graft_asof_stream")
+        .where(col("key") =!= -1L)
+      t.select(col("leftId").as("event_id"), col("key").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("viewId").as("view_id"), col("viewValue").as("view_value"))
+    }),
+
     // ---- range (interval-containment) join with NO equi-key: clicks ×
     // 10-minute incident windows opened by every error event. Spark's own
     // plan for the inequality join is a nested loop; the binned form
@@ -619,6 +652,22 @@ object SparkEntry {
     "asof_join" ->
       ("WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
         "r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'), " +
+        "u AS (SELECT user_id, ts, 1 AS side, event_id AS tie, event_id, " +
+        "CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_val FROM l " +
+        "UNION ALL SELECT user_id, ts, 0, event_id, NULL, event_id, value FROM r), " +
+        "w AS (SELECT *, last_value(p_id IGNORE NULLS) OVER win AS a_id, " +
+        "last_value(p_val IGNORE NULLS) OVER win AS a_val FROM u WINDOW win AS " +
+        "(PARTITION BY user_id ORDER BY ts, side, tie " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, a_id AS view_id, " +
+        "a_val AS view_value FROM w WHERE side = 1"),
+    // streaming twin: identical as-of logic over ms-FLOORED event times
+    // (the streaming kernel's resolution), same (ts, side, tie) tie order
+    "asof_join_stream" ->
+      ("WITH ev AS (SELECT user_id, make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1000)) AS ts, " +
+        "event_id, event_type, value FROM events), " +
+        "l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'), " +
+        "r AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'view'), " +
         "u AS (SELECT user_id, ts, 1 AS side, event_id AS tie, event_id, " +
         "CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_val FROM l " +
         "UNION ALL SELECT user_id, ts, 0, event_id, NULL, event_id, value FROM r), " +

@@ -19,6 +19,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The physical tree with AQE unwrapped: AdaptiveSparkPlanExec holds its
+    * inner plan as a FIELD, not a child, so a plain `collect` over the
+    * executedPlan silently sees zero nodes — any "no bad operator exists"
+    * assertion passes vacuously. Unwrap before collecting. */
+  private def unwrapped(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+  }
+
   test("token_count scan reads only doc_id and text (column pruning)") {
     assume(available)
     val plan = physicalPlan("token_count")
@@ -61,8 +74,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // single-task global sort hiding in the plan
     import org.apache.spark.sql.execution.window.WindowExec
     for (name <- Seq("ann_ivf_topk", "ann_ivf_kmeans_topk")) {
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan
+      val plan = unwrapped(name)
       val unpartitioned = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
@@ -75,5 +87,52 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         assert(plan.toString.contains("TakeOrderedAndProject"),
           s"$name: centroid init did not plan as a distributed top-K")
     }
+  }
+
+  test("asof_join plans ONE keyed window, no join node, no cross product") {
+    assume(available)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = unwrapped("asof_join")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected one partitioned window, got ${windows.size}")
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin") &&
+      !s.contains("NestedLoop") && !s.contains("Cartesian"),
+      "asof must be a union + window, not a join")
+  }
+
+  test("range_join_bins: cold path is an equi-join on the bin, hot path the only BNLJ") {
+    assume(available)
+    val plan = physicalPlan("range_join_bins")
+    // the cold (exploded) side must meet points on a hash-partitioned
+    // equi-join; the inequality-only join is allowed ONLY for the
+    // broadcast hot side (capped interval count)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      plan.take(600))
+    assert(!plan.contains("CartesianProduct"), "cartesian in range join")
+  }
+
+  test("bm25_topk and token_topk plan their top-k as TakeOrderedAndProject") {
+    assume(available)
+    for (name <- Seq("bm25_topk", "token_topk"))
+      assert(physicalPlan(name).contains("TakeOrderedAndProject"),
+        s"$name: limit after sort did not plan as a distributed top-K")
+  }
+
+  test("topk_per_group's ranking window is partitioned") {
+    assume(available)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = unwrapped("topk_per_group").collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected a ranking window in the plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "per-group top-k must not funnel one task")
+  }
+
+  test("bm25_topk prunes the documents scan to doc_id and text") {
+    assume(available)
+    val read = "ReadSchema:.*".r.findFirstIn(physicalPlan("bm25_topk")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"), read)
   }
 }
