@@ -492,6 +492,11 @@ object SparkEntry {
         .distinct().where(col("n") % 97 === 0)
       graft.ops.Bfs.distances(e, "src", "dst", seeds, maxHops = 4)
     }),
+    // fixed-round k-core peel (k=46 drives a 7-round cascade to a
+    // non-empty, non-total core at sf0.01 — both engines run exactly 8
+    // rounds, so the gate holds whether or not the peel has converged)
+    "graph_kcore" -> ((s, dir) =>
+      graft.ops.KCore.run(edges(s, dir), "src", "dst", k = 46, rounds = 8)),
 
     // ---- classic aggregation (sanity + partial-agg coverage) ----
     "q1_agg" -> ((s, dir) =>
@@ -588,6 +593,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
+    "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
     "graph_bfs" ->
       ("WITH RECURSIVE " + edgesCte.stripPrefix("WITH ") +
         ", nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges)" +

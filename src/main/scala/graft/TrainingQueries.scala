@@ -46,6 +46,33 @@ object TrainingQueries {
   private val docs3Cte = docs2Cte +
     ", docs3 AS (SELECT doc_id, text || ' zq0 zq1 zq2 zq3' AS text FROM docs2)"
 
+  /** The TF-IDF pair corpus: the synthetic vocabulary is ~32 terms with
+    * document frequency ~776/1000 — EVERY term is a stop word, so a df-cut
+    * TF-IDF gate over the raw corpus would be vacuous (nothing survives the
+    * cut). Append two deterministic RARE tokens per doc (residue classes of
+    * doc_id — df ≈ 10–20, no two base docs share both) BEFORE the mutant
+    * union, so each planted pair (d, d+100000) shares its rare tokens
+    * exactly and the inverted index is genuinely selective. doc_id % 3 == 0
+    * docs repeat their t-token so tf > 1 is exercised, not just presence. */
+  private def tdocs(s: SparkSession, dir: String): DataFrame = {
+    val a = pmod(col("doc_id"), lit(97L)).cast("string")
+    val b = pmod(col("doc_id") * 31L, lit(89L)).cast("string")
+    val base = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" t"), a, lit(" u"), b,
+        when(pmod(col("doc_id"), lit(3L)) === 0, concat(lit(" t"), a))
+          .otherwise(lit(""))).as("text"))
+    base.unionByName(base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" xyzzy")).as("text")))
+  }
+
+  private val tdocsCte =
+    "WITH base AS (SELECT doc_id, text || ' t' || CAST(doc_id % 97 AS VARCHAR) " +
+      "|| ' u' || CAST((doc_id * 31) % 89 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' t' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END AS text " +
+      "FROM documents), " +
+      "tdocs AS (SELECT doc_id, text FROM base " +
+      "UNION ALL SELECT doc_id + 100000, text || ' xyzzy' FROM base)"
+
   // shared DuckDB fragments mirroring TextOps/Dedup arithmetic exactly
   private val phLambda = // portable polynomial string hash as a DuckDB lambda body on `s`
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(s, ''), " +
@@ -114,8 +141,8 @@ object TrainingQueries {
     * as exact round-trip double literals (VALUES rows, string-cast to
     * DOUBLE[] so no element is mis-typed DECIMAL) — so DuckDB reproduces
     * bucket ids and cosines bit-for-bit. */
-  private def lshOracle(threshold: Double, nPlanes: Int, tables: Int,
-                        seed: Long, dim: Int): String = {
+  private def lshPairCtes(nPlanes: Int, tables: Int,
+                          seed: Long, dim: Int): String = {
     val rows = for (t <- 0 until tables; p <- 0 until nPlanes) yield {
       val plane = Embeddings.hyperplanes(nPlanes, dim, seed + t * 7919L)(p)
       val lst = plane.map(d => d.toString).mkString("['", "','", "']")
@@ -132,9 +159,13 @@ object TrainingQueries {
       "scored AS (SELECT id_a, id_b, round(" + dotSql("va", "vb", dim) +
       " / (sqrt(" + dotSql("va", "va", dim) + ") * sqrt(" + dotSql("vb", "vb", dim) + ")), 9) AS cos " +
       "FROM (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb FROM cand " +
-      "JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)) " +
-      s"SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold"
+      "JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b))"
   }
+
+  private def lshOracle(threshold: Double, nPlanes: Int, tables: Int,
+                        seed: Long, dim: Int): String =
+    lshPairCtes(nPlanes, tables, seed, dim) +
+      s" SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold"
 
   /** DuckDB replay of [[Embeddings.ivfTopKKMeans]]: the same fixed-iteration
     * integer-arithmetic Lloyd's loop, unrolled — every value is a 64-bit
@@ -370,6 +401,36 @@ object TrainingQueries {
         .select(col("node").as("doc_id"), col("component").as("keep_id"))
     }),
 
+    // ---- SEMANTIC near-dup clustering: the embedding-space twin of
+    // dedup_cluster_keep — hyperplane-LSH cosine pairs (bucket equi-joins,
+    // never all-pairs) → the same large-star/small-star components → every
+    // vector labeled with its cluster keeper. The oracle replays the
+    // bit-exact plane buckets, then the label propagation recursively.
+    "semantic_dedup_keep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pairs = Embeddings.lshCosinePairs(e, threshold = 0.3)
+      ConnectedComponents.run(pairs, "id_a", "id_b",
+          vertices = Some(e.select("vec_id")))
+        .select(col("node").as("vec_id"), col("component").as("keep_id"))
+    }),
+
+    // ---- TF-IDF document-pair cosine over an inverted index (integer
+    // weights, df-cut hot-term defense — see text.TfIdf and the tdocs
+    // corpus note above): the embedding-free boilerplate/mirror detector
+    "tfidf_doc_pairs" -> ((s, dir) =>
+      graft.text.TfIdf.cosinePairs(tdocs(s, dir), "doc_id", "text",
+        maxDf = 100L, threshold = 0.8)),
+
+    // ---- deterministic WEIGHTED sampling: inclusion probability
+    // proportional to token count (capped at 1 — the cap binds for
+    // n_tok ≥ 84, so both regimes are exercised); same hash-gate
+    // invariances as sample_stratified
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedHashSample(
+        docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", perUnit = 12000L)),
+
     // ---- Gopher-style repetition metrics (token-level; the deterministic
     // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
     // n-gram column is provably non-vacuous on this synthetic corpus)
@@ -591,6 +652,23 @@ object TrainingQueries {
         "HAVING min(hamming) <= 6"),
     "lsh_cosine_pairs" -> lshOracle(threshold = 0.3, nPlanes = 12, tables = 4,
       seed = 42L, dim = 64),
+    "semantic_dedup_keep" ->
+      ("WITH RECURSIVE " +
+        lshPairCtes(nPlanes = 12, tables = 4, seed = 42L, dim = 64)
+          .stripPrefix("WITH ") +
+        ", q AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.3)" +
+        ", e2 AS (SELECT id_a AS u, id_b AS v FROM q UNION SELECT id_b, id_a FROM q)" +
+        ", lab(n, l) AS (SELECT vec_id, vec_id FROM embeddings " +
+        "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
+        "SELECT n AS vec_id, min(l) AS keep_id FROM lab GROUP BY n"),
+    "tfidf_doc_pairs" ->
+      (tdocsCte + ", " + tokCte("tdocs") +
+        graft.text.TfIdf.oracleCtes(maxDf = 100L, threshold = 0.8)),
+    "sample_weighted" ->
+      ("WITH " + tokCte("documents") +
+        ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok) " +
+        "SELECT doc_id, n_tok FROM d WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
+        "LEAST(1000003, n_tok * 12000)"),
     "ann_ivf_topk" ->
       ("WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
         "ac AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell, " +

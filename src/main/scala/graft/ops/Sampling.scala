@@ -32,6 +32,20 @@ object Sampling {
     df.where(keyHash(col(keyCol)) < math.floor(rate * P).toLong)
   }
 
+  /** Weighted hash sample: per-row inclusion probability proportional to
+    * an INTEGER weight column (e.g. a token count or quality score), capped
+    * at 1 — keep iff hash(key) < min(P, weight·perUnit). Everything stays
+    * in exact integer arithmetic, so membership is a pure function of
+    * (key, weight) — replayable in one line of SQL, invariant under rerun /
+    * repartition / scale, and still nested (a row kept at perUnit p1 is
+    * kept at every p2 > p1). One codegen'd filter stage, no shuffle. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+                         perUnit: Long): DataFrame = {
+    require(perUnit >= 0, "perUnit must be non-negative")
+    df.where(keyHash(col(keyCol)) <
+      least(lit(P), col(weightCol).cast("long") * perUnit))
+  }
+
   /** Stratified hash sample: per-stratum rates (e.g. downsample the head
     * language, keep the tail), default rate for unlisted strata. Rates ride
     * a broadcast join — at 100 TB the fact side streams through one

@@ -96,6 +96,26 @@ class AsofRangeSamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(0.0, 4).isEmpty && ids(1.0, 4).size == 2000)
   }
 
+  test("weighted sample: membership == scalar rule, monotone in weight and perUnit") {
+    import spark.implicits._
+    val p = graft.text.TextOps.P
+    // weights 0..120 so the min(P, w·perUnit) cap binds for w ≥ 101
+    val df = (0L until 2000L).map(i => (i, i % 121)).toDF("id", "w")
+    def ids(perUnit: Long, parts: Int) =
+      Sampling.weightedHashSample(df.repartition(parts), "id", "w", perUnit)
+        .collect().map(_.getLong(0)).toSet
+    val s = ids(10000L, 4)
+    assert(s == ids(10000L, 13)) // partition-invariant
+    assert(s.subsetOf(ids(20000L, 4))) // nested in the higher rate
+    // per-row membership equals the scalar rule, cap included
+    (0L until 2000L).foreach { i =>
+      val thresh = math.min(p, (i % 121) * 10000L)
+      assert(s.contains(i) == ((i % p * 48271 + 7) % p < thresh), s"id=$i")
+    }
+    // weight 0 is never kept; a capped weight keeps everything its hash allows
+    assert(!s.exists(_ % 121 == 0))
+  }
+
   test("stratified sample applies per-stratum and default rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))

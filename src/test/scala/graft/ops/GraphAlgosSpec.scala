@@ -79,4 +79,49 @@ class GraphAlgosSpec extends AnyFunSuite with SparkTestBase {
     assert(got == mirrorBfs(Set(4L, 3L), 2))
     assert(got(1L) == 1L) // via seed 3, not 4→1's longer path tie
   }
+
+  // ---------------- k-core ----------------
+
+  // K4 on {1,2,3,4} plus a tail 4-5-6: at k=2 the tail peels over two
+  // cascading rounds (6 falls first, exposing 5)
+  private val kcEdges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L))
+
+  private def mirrorKCore(k: Int, rounds: Int): Map[Long, Long] = {
+    val und = kcEdges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      .filter(p => p._1 != p._2).distinct
+    var alive = und.map(_._1).toSet
+    for (_ <- 1 to rounds) {
+      val deg = und.filter(p => alive(p._1) && alive(p._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      alive = deg.filter(_._2 >= k).keySet
+    }
+    und.filter(p => alive(p._1) && alive(p._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kcore == peel mirror at every round count, and the cascade converges") {
+    import spark.implicits._
+    val df = kcEdges.toDF("src", "dst")
+    for (r <- 1 to 4) {
+      val got = KCore.run(df, "src", "dst", k = 2, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == mirrorKCore(2, r), s"rounds=$r")
+    }
+    // converged by round 2: node 6 peels in round 1, node 5 in round 2
+    assert(mirrorKCore(2, 1).contains(5L) && !mirrorKCore(2, 2).contains(5L))
+    assert(mirrorKCore(2, 2) == mirrorKCore(2, 3))
+    assert(mirrorKCore(2, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore at k=3 keeps only the K4; k=4 empties; reversed dups harmless") {
+    import spark.implicits._
+    // duplicate + reversed edges must not inflate degrees (distinct view)
+    val df = (kcEdges ++ kcEdges.map(e => (e._2, e._1))).toDF("src", "dst")
+    val k3 = KCore.run(df, "src", "dst", k = 3, rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(k3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(KCore.run(df, "src", "dst", k = 4, rounds = 4).isEmpty)
+  }
 }
