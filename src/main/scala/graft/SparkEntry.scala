@@ -111,6 +111,31 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Two-source replay twin of [[streamReplay]]: interleaves quarter-chunks
+    * of both sides (each pre-sorted by event time, so the two watermarks
+    * advance roughly in lockstep), one `processAllAvailable` barrier per
+    * round. Inner stream-stream joins emit on arrival, so no sentinels are
+    * needed — watermarks only bound state here. */
+  private[graft] def streamReplay2[A, B](
+      s: SparkSession,
+      srcA: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      srcB: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B],
+      out: DataFrame, rowsA: Seq[A], rowsB: Seq[B], prefix: String): DataFrame = {
+    val name = s"${prefix}_${cepStreamCounter.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val chunksA = rowsA.grouped(math.max(1, rowsA.length / 4 + 1)).toIndexedSeq
+      val chunksB = rowsB.grouped(math.max(1, rowsB.length / 4 + 1)).toIndexedSeq
+      for (i <- 0 until math.max(chunksA.size, chunksB.size)) {
+        if (i < chunksA.size) srcA.addData(chunksA(i))
+        if (i < chunksB.size) srcB.addData(chunksB(i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** STREAMING tumbling-window aggregation, driver-gated end to end:
     * events replayed through a memory source in event-time-ordered
     * micro-batches, `groupBy(window(ts, 1h), type).count` in COMPLETE mode
@@ -400,6 +425,37 @@ object SparkEntry {
     "cep_pattern_seq_stream" -> ((s, dir) => cepStream(s, dir, absence = false)),
     "cep_absence_stream" -> ((s, dir) => cepStream(s, dir, absence = true)),
 
+    // ---- NATIVE Structured Streaming stream-stream interval join: every
+    // click joined to the same user's error events in the preceding 24 h —
+    // two watermarked memory sources through Spark's own streaming join
+    // operator (state retention derived from the time-range condition), in
+    // append mode, against a plain inequality-join oracle. The 25 h
+    // watermark delay keeps boundary-tied state alive across the chunked
+    // replay without changing any emitted row (inner joins emit on
+    // arrival; the watermark only bounds state cleanup).
+    "stream_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val all = wEvents(s, dir)
+      val clicks = all.filter(_.event_type == "click").toIndexedSeq
+      val errs = all.filter(_.event_type == "error").toIndexedSeq
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val srcC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+      val srcE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+      val c = srcC.toDS().withWatermark("ts", "25 hours")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val e = srcE.toDS().withWatermark("ts", "25 hours")
+        .select(col("user_id").as("e_uid"), col("ts").as("e_ts"),
+          col("event_id").as("err_id"))
+      val joined = c.join(e, col("c_uid") === col("e_uid") &&
+        col("e_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS") &&
+        col("e_ts") <= col("c_ts"))
+      streamReplay2(s, srcC, srcE, joined, clicks, errs, "graft_ssj")
+        .select(col("click_id"), col("err_id"), col("c_uid").as("user_id"),
+          unix_micros(col("c_ts")).as("click_ts_us"),
+          unix_micros(col("e_ts")).as("err_ts_us"))
+    }),
+
     // ---- turn-ordering adjacency derivation (SURVEY.md §1.4) ----
     "adjacency_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -683,6 +739,14 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT event_id, user_id, epoch_us(ts) AS ts_us, a_id AS view_id, " +
         "a_val AS view_value FROM w WHERE side = 1"),
+    // same inequality join the streaming operator computes incrementally
+    "stream_stream_join" ->
+      ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "e AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') " +
+        "SELECT c.event_id AS click_id, e.event_id AS err_id, c.user_id, " +
+        "epoch_us(c.ts) AS click_ts_us, epoch_us(e.ts) AS err_ts_us " +
+        "FROM c JOIN e ON c.user_id = e.user_id " +
+        "AND e.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts"),
     "range_join_bins" ->
       ("WITH p AS (SELECT event_id, epoch_us(ts) AS pt_us FROM events WHERE event_type = 'click'), " +
         "i AS (SELECT event_id AS interval_id, epoch_us(ts) AS start_us, " +

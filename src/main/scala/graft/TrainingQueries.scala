@@ -431,6 +431,50 @@ object TrainingQueries {
           TextOps.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", perUnit = 12000L)),
 
+    // ---- PMI-style token association: within-doc co-occurrence counts
+    // and the integer lift odds N·c(ab)/(c(a)·c(b)) — the exact rational
+    // PMI takes ln() of (ln is monotone, so ranking is preserved; same
+    // move as Bm25's idf odds). Candidates come from a doc_id-keyed
+    // self-join of the per-doc DISTINCT token sets — quadratic only in
+    // per-doc vocabulary, never in the corpus; at 100 TB the per-doc
+    // vocab is bounded by a df-cut/top-T truncation, not corpus size.
+    // Overflow envelope: SCALE·N·c_ab < 2^63 through N·c_ab ~ 10^12.
+    "pmi_cooccur" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("t"))
+      val occ = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      val ca = occ.groupBy("tok").agg(count(lit(1)).as("c"))
+      val stats = toks.agg(count(lit(1)).cast("long").as("n"))
+      occ.select(col("doc_id"), col("tok").as("tok_a"))
+        .join(occ.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+        .where(col("tok_a") < col("tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 5)
+        .join(broadcast(ca.select(col("tok").as("tok_a"), col("c").as("c_a"))), "tok_a")
+        .join(broadcast(ca.select(col("tok").as("tok_b"), col("c").as("c_b"))), "tok_b")
+        .crossJoin(broadcast(stats))
+        .select(col("tok_a"), col("tok_b"), col("c_ab"),
+          expr("(1000000 * n * c_ab) div (c_a * c_b)").as("lift_scaled"))
+    }),
+
+    // ---- time-decayed engagement counts: per-user click mass with an
+    // exponential half-life of one day, entirely in integer arithmetic —
+    // weight = 2^30 >> age_days (exact, order-independent), so the decayed
+    // sum is a plain keyed aggregation both engines replay bit-for-bit.
+    // The batch form of the decayed counters a streaming feature store
+    // maintains incrementally.
+    "decayed_counts" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .select(col("user_id"),
+          expr("(unix_micros(TIMESTAMP'2024-02-01 00:00:00') - " +
+            "unix_micros(CAST(ts AS TIMESTAMP))) div 86400000000").as("age"))
+        // cap the shift at 63: a JVM long shift wraps mod 64, so an
+        // unguarded 64-day age would silently decay to FULL weight
+        .select(col("user_id"),
+          expr("shiftright(1073741824L, CAST(least(age, 63L) AS INT))").as("w"))
+        .groupBy("user_id").agg(sum("w").as("decayed"))),
+
     // ---- Gopher-style repetition metrics (token-level; the deterministic
     // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
     // n-gram column is provably non-vacuous on this synthetic corpus)
@@ -669,6 +713,22 @@ object TrainingQueries {
         ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok) " +
         "SELECT doc_id, n_tok FROM d WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         "LEAST(1000003, n_tok * 12000)"),
+    "pmi_cooccur" ->
+      ("WITH " + tokCte("documents") +
+        ", td AS (SELECT doc_id, list_distinct(t) AS t FROM tok)" +
+        ", occ AS (SELECT doc_id, unnest(t) AS tok FROM td)" +
+        ", ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1)" +
+        ", st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM td)" +
+        ", p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab " +
+        "FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND a.tok < b.tok " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT tok_a, tok_b, c_ab, (1000000 * n * c_ab) // (x.c * y.c) AS lift_scaled " +
+        "FROM p JOIN ca x ON x.tok = tok_a JOIN ca y ON y.tok = tok_b CROSS JOIN st"),
+    "decayed_counts" ->
+      ("WITH a AS (SELECT user_id, (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts)) " +
+        "// 86400000000 AS age FROM events WHERE event_type = 'click') " +
+        "SELECT user_id, CAST(sum(1073741824 >> LEAST(age, 63)) AS BIGINT) AS decayed " +
+        "FROM a GROUP BY user_id"),
     "ann_ivf_topk" ->
       ("WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
         "ac AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, c.cell, " +
