@@ -554,6 +554,19 @@ object SparkEntry {
     "graph_kcore" -> ((s, dir) =>
       graft.ops.KCore.run(edges(s, dir), "src", "dst", k = 46, rounds = 8)),
 
+    // ---- anti-join coverage (the "never did X" cohort query): clickers
+    // with no high-value purchase — Spark's left_anti operator vs a
+    // NOT EXISTS oracle; at scale this is one keyed shuffle (or a
+    // broadcast anti when the excluded side is small)
+    "anti_join_users" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val clickers = e.where(col("event_type") === "click")
+        .select("user_id").distinct()
+      val bigSpenders = e.where(col("event_type") === "purchase" &&
+        col("value") > 150.0).select("user_id")
+      clickers.join(bigSpenders, Seq("user_id"), "left_anti")
+    }),
+
     // ---- classic aggregation (sanity + partial-agg coverage) ----
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -739,6 +752,10 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT event_id, user_id, epoch_us(ts) AS ts_us, a_id AS view_id, " +
         "a_val AS view_value FROM w WHERE side = 1"),
+    "anti_join_users" ->
+      ("SELECT DISTINCT user_id FROM events e WHERE event_type = 'click' " +
+        "AND NOT EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase' " +
+        "AND p.value > 150.0 AND p.user_id = e.user_id)"),
     // same inequality join the streaming operator computes incrementally
     "stream_stream_join" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +

@@ -475,6 +475,40 @@ object TrainingQueries {
           expr("shiftright(1073741824L, CAST(least(age, 63L) AS INT))").as("w"))
         .groupBy("user_id").agg(sum("w").as("decayed"))),
 
+    // ---- grouped DISCRETE quantiles (per-language p50/p90 of doc token
+    // counts): rank selection at ceil(p·n) over a PARTITIONED window —
+    // pure integer arithmetic end to end, where interpolated
+    // percentile()/quantile_cont() would hinge on both engines computing
+    // p·(n−1) to the same ulp. The corpus-profiling step before length
+    // filtering; each language ranks inside its own task.
+    "quantile_doc_len" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_tok").asc, col("doc_id").asc)
+      val cw = Window.partitionBy("lang")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), TextOps.tokenCount(col("text")).as("n_tok"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("lang").agg(
+          max(when(col("rk") === expr("(n + 1) div 2"), col("n_tok"))).as("p50"),
+          max(when(col("rk") === expr("(n * 9 + 9) div 10"), col("n_tok"))).as("p90"),
+          max("n_tok").as("p100"))
+    }),
+
+    // ---- multi-level ROLLUP aggregation (lang × doc_id%7 slice counts
+    // with subtotals and a grand total): Spark's rollup == SQL GROUP BY
+    // ROLLUP; rolled-up keys are coalesced to a sentinel on BOTH engines
+    // so no null-ordering semantics leak into the comparison
+    "rollup_agg" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), pmod(col("doc_id"), lit(7L)).cast("string").as("slice"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+        .rollup("lang", "slice")
+        .agg(count(lit(1)).as("n"), sum("n_tok").as("tok_sum"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("slice"), lit("(all)")).as("slice"),
+          col("n"), col("tok_sum"))),
+
     // ---- Gopher-style repetition metrics (token-level; the deterministic
     // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
     // n-gram column is provably non-vacuous on this synthetic corpus)
@@ -713,6 +747,22 @@ object TrainingQueries {
         ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok) " +
         "SELECT doc_id, n_tok FROM d WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         "LEAST(1000003, n_tok * 12000)"),
+    "quantile_doc_len" ->
+      ("WITH " + tokCte("documents") +
+        ", d AS (SELECT tok.doc_id, documents.lang, CAST(len(t) AS BIGINT) AS n_tok " +
+        "FROM tok JOIN documents USING (doc_id))" +
+        ", r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rk, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM d) " +
+        "SELECT lang, max(CASE WHEN rk = (n + 1) // 2 THEN n_tok END) AS p50, " +
+        "max(CASE WHEN rk = (n * 9 + 9) // 10 THEN n_tok END) AS p90, " +
+        "max(n_tok) AS p100 FROM r GROUP BY lang"),
+    "rollup_agg" ->
+      ("WITH " + tokCte("documents") +
+        ", d AS (SELECT documents.lang, CAST(tok.doc_id % 7 AS VARCHAR) AS slice, " +
+        "CAST(len(t) AS BIGINT) AS n_tok FROM tok JOIN documents USING (doc_id)) " +
+        "SELECT coalesce(lang, '(all)') AS lang, coalesce(slice, '(all)') AS slice, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(n_tok) AS BIGINT) AS tok_sum " +
+        "FROM d GROUP BY ROLLUP (lang, slice)"),
     "pmi_cooccur" ->
       ("WITH " + tokCte("documents") +
         ", td AS (SELECT doc_id, list_distinct(t) AS t FROM tok)" +
