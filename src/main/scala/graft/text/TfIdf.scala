@@ -43,10 +43,16 @@ object TfIdf {
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val stats = toks.agg(count(lit(1)).cast("long").as("n"))
+    // materialize the weight table ONCE: it feeds the norm aggregation and
+    // BOTH sides of the candidate self-join — without this the whole
+    // tokenize→tf→df pipeline (two shuffles) is recomputed four times in
+    // the plan (a real pipeline at scale persists or writes out exactly
+    // this posting list)
     val w = tf.join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         (col("tf") * expr(s"(n * $Scale) div df")).as("w"))
+      .localCheckpoint()
     val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val dots = w.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa"))
       .join(w.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb")), "term")

@@ -135,4 +135,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("lang"), read)
   }
+
+  test("tfidf and pmi candidate joins are equi-joins, never cartesian") {
+    assume(available)
+    for (name <- Seq("tfidf_doc_pairs", "pmi_cooccur")) {
+      val plan = physicalPlan(name)
+      // the 1-row stats crossJoin legitimately plans as a broadcast
+      // nested loop (like bm25's); the CANDIDATE join must be keyed
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: candidate generation fell back to an all-pairs cartesian")
+      assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+        .findFirstIn(plan).isDefined, s"$name: no keyed candidate join")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 1, s"$name: $bnlj nested-loop joins (only the 1-row " +
+        "stats broadcast is allowed)")
+    }
+  }
+
+  test("graph_kcore peel rounds are keyed joins, never cartesian") {
+    assume(available)
+    val plan = physicalPlan("graph_kcore")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(600))
+  }
+
+  test("quantile_doc_len ranking windows are partitioned by lang") {
+    assume(available)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = unwrapped("quantile_doc_len").collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected ranking windows in the plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "quantile rank selection must not funnel one task")
+  }
+
+  test("decayed_counts is one aggregation pipeline: no joins, no windows") {
+    assume(available)
+    val plan = physicalPlan("decayed_counts")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(600))
+    assert(plan.contains("HashAggregate"), "expected a hash aggregation")
+  }
+
+  test("anti_join_users plans a real anti join") {
+    assume(available)
+    val plan = physicalPlan("anti_join_users")
+    assert(plan.contains("LeftAnti"), plan.take(600))
+  }
 }
