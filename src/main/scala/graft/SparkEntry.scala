@@ -553,6 +553,21 @@ object SparkEntry {
     // rounds, so the gate holds whether or not the peel has converged)
     "graph_kcore" -> ((s, dir) =>
       graft.ops.KCore.run(edges(s, dir), "src", "dst", k = 46, rounds = 8)),
+    // personalized PageRank: teleport mass restricted to the n%97==0 seed
+    // set (same seeds as graph_bfs) — relevance-to-a-query-set ranking
+    "graph_ppr" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val seeds = e.select(col("src").as("n"))
+        .unionByName(e.select(col("dst").as("n")))
+        .distinct().where(col("n") % 97 === 0)
+      graft.ops.PageRank.personalized(e, "src", "dst", seeds, iters = 5)
+    }),
+    // z-order (Morton) layout key: ONE expression string evaluated by both
+    // engines; sorting a 100 TB table by this key gives parquet min/max
+    // pruning in BOTH src and dst ranges (graft.sources.Layout.zOrderSql)
+    "layout_zorder" -> ((s, dir) =>
+      edges(s, dir).select(col("src"), col("dst"),
+        expr(graft.sources.Layout.zOrderSql("src", "dst", bits = 11)).as("zkey"))),
 
     // ---- anti-join coverage (the "never did X" cohort query): clickers
     // with no high-value purchase — Spark's left_anti operator vs a
@@ -663,6 +678,14 @@ object SparkEntry {
     "wco_triangle" -> motifOracle(Planner.triangle),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
+    "graph_ppr" ->
+      (edgesCte + ", seeds AS (SELECT n AS s FROM " +
+        "(SELECT src AS n FROM edges UNION SELECT dst FROM edges) WHERE n % 97 = 0)" +
+        graft.ops.PageRank.personalizedOracleCtes(iters = 5)),
+    "layout_zorder" ->
+      (edgesCte + " SELECT src, dst, CAST(" +
+        graft.sources.Layout.zOrderSql("src", "dst", bits = 11) +
+        " AS BIGINT) AS zkey FROM edges"),
     "graph_bfs" ->
       ("WITH RECURSIVE " + edgesCte.stripPrefix("WITH ") +
         ", nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges)" +

@@ -69,6 +69,63 @@ object PageRank {
     r.select(col("n").as("node"), col("r").as("rank_scaled"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass flows only to `seeds` (the
+    * relevance-to-a-query-set ranking recommendation pipelines use),
+    * same exact integer recurrence as [[run]] with the teleport term
+    * gated per node:
+    *
+    *   r_0(v) = isSeed(v)·SCALE
+    *   r_{i+1}(v) = isSeed(v)·(3·SCALE)/20 + (17 · Σ inflow) div 20
+    *
+    * Identical scale shape (one keyed shuffle pair per iteration, seeds
+    * ride the checkpointed node table); [[run]] is the special case
+    * "every node is a seed". */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct()
+    val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("n"))
+      .distinct().withColumn("s1", lit(1L))
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+      .join(seedSet, Seq("n"), "left")
+      .select(col("n"), coalesce(col("s1"), lit(0L)).as("isSeed"))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val eo = e.join(outdeg, "src").repartition(col("src")).persist()
+
+    var r = nodes.select(col("n"), (col("isSeed") * Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = eo.join(r.withColumnRenamed("n", "src"), "src")
+        .select(col("dst").as("n"), expr("r div d").as("c"))
+        .groupBy("n").agg(sum("c").as("s"))
+      r = nodes.join(inflow, Seq("n"), "left")
+        .select(col("n"), (col("isSeed") * lit(3L * Scale / 20) +
+          expr(s"17 * coalesce(s, 0L) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    eo.unpersist()
+    r.select(col("n").as("node"), col("r").as("rank_scaled"))
+  }
+
+  /** Personalized replay as unrolled CTEs, appended after existing `edges`
+    * AND `seeds(s)` CTEs. */
+  def personalizedOracleCtes(iters: Int = 5): String = {
+    val head =
+      ", nodes AS (SELECT n, CASE WHEN n IN (SELECT s FROM seeds) THEN 1 ELSE 0 END AS is_seed " +
+        "FROM (SELECT src AS n FROM edges UNION SELECT dst FROM edges))" +
+        ", outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)" +
+        s", r0 AS (SELECT n, CAST(is_seed * $Scale AS BIGINT) AS r FROM nodes)"
+    val steps = (1 to iters).map { i =>
+      s", r$i AS (SELECT nodes.n, nodes.is_seed * ${3L * Scale / 20} + (17 * COALESCE(s.c, 0)) // 20 AS r " +
+        s"FROM nodes LEFT JOIN (SELECT e.dst AS n, SUM(r.r // o.d) AS c " +
+        s"FROM edges e JOIN r${i - 1} r ON r.n = e.src " +
+        "JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s ON s.n = nodes.n)"
+    }.mkString
+    head + steps + s" SELECT n AS node, CAST(r AS BIGINT) AS rank_scaled FROM r$iters"
+  }
+
   /** The same computation as `iters` unrolled DuckDB CTE stages, appended
     * after an existing `edges` CTE — the oracle replays every floor
     * division bit-for-bit. */

@@ -61,6 +61,22 @@ object Layout {
       base = 0L, windowMaxRows = windowMaxRows)
   }
 
+  /** Z-order (Morton) interleave of two non-negative integer columns as
+    * one SQL expression string — valid in BOTH Spark SQL and DuckDB, so
+    * the oracle replays it verbatim. Writing a table sorted by this key
+    * clusters rows that are close in (a, b) space into the same files:
+    * parquet min/max stats then prune 2-D range predicates (src-range ×
+    * dst-range, lat × lon, ts × user bucket) where a single-column sort
+    * prunes only one dimension. The layout-ETL companion to [[relabel]];
+    * bit-disjoint terms, so `+` is exact and overflow-free for
+    * bits ≤ 31. */
+  def zOrderSql(a: String, b: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+  }
+
   /** Edge list rewritten to degree-ordered dense ids (keeps any extra
     * columns, e.g. w / ts). */
   def relabel(edges: DataFrame,

@@ -80,6 +80,39 @@ class GraphAlgosSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == 1L) // via seed 3, not 4→1's longer path tie
   }
 
+  private def mirrorPpr(seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(n => n -> (if (seeds(n)) PageRank.Scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / out(e._1)).sum).toMap
+      r = nodes.map(n => n -> ((if (seeds(n)) 3L * PageRank.Scale / 20 else 0L) +
+        17L * inflow.getOrElse(n, 0L) / 20)).toMap
+    }
+    r
+  }
+
+  test("personalized pagerank == mirror; all-seeds case degenerates to run()") {
+    import spark.implicits._
+    for (iters <- 0 to 3) {
+      val got = PageRank.personalized(edgeDf, "src", "dst",
+          Seq(4L, 5L).toDF("n"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == mirrorPpr(Set(4L, 5L), iters), s"iters=$iters")
+    }
+    // the un-seeded 1-2-3 cycle drains to zero mass (no teleport there)
+    val m = mirrorPpr(Set(5L, 6L), 4)
+    assert(m(5L) > 0 && m(1L) < PageRank.Scale / 10)
+    // every node a seed == plain PageRank
+    val all = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val ppr = PageRank.personalized(edgeDf, "src", "dst", all.toDF("n"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = PageRank.run(edgeDf, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
   // ---------------- k-core ----------------
 
   // K4 on {1,2,3,4} plus a tail 4-5-6: at k=2 the tail peels over two

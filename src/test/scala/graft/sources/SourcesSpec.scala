@@ -88,4 +88,22 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     val dLarge = graft.transcripts.TranscriptEdges.denseDict(t, "tool", 1000L, windowMaxRows = 0L)
     assert(rows(dLarge) == rows(dSmall))
   }
+
+  test("z-order key == bit-interleave mirror, bijective on the grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mirror(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = for (a <- 0L until 40L; b <- 0L until 40L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        expr(Layout.zOrderSql("a", "b", bits = 6)).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == mirror(a, b, 6), s"($a,$b)")
+    }
+    // interleaving is injective: 1600 distinct keys for 1600 grid points
+    assert(got.values.toSet.size == pairs.size)
+  }
 }
