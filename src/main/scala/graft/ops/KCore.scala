@@ -51,11 +51,14 @@ object KCore {
         .select(col("u").as("n"))
         .localCheckpoint()
     }
+    // materialize (localCheckpoint is eager) BEFORE unpersisting the edge
+    // set — a lazy result would recompute `und` from source on evaluation
     val core = und
       .join(alive.withColumnRenamed("n", "u"), "u")
       .join(alive.withColumnRenamed("n", "v"), "v")
       .groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
+      .localCheckpoint()
     und.unpersist()
     core
   }
