@@ -742,11 +742,13 @@ object TrainingQueries {
     "tfidf_doc_pairs" ->
       (tdocsCte + ", " + tokCte("tdocs") +
         graft.text.TfIdf.oracleCtes(maxDf = 100L, threshold = 0.8)),
+    // cap test first, product only below the cap — the same overflow-safe
+    // predicate shape as Sampling.weightedHashSample (capW = ceil(P/12000))
     "sample_weighted" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok) " +
-        "SELECT doc_id, n_tok FROM d WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
-        "LEAST(1000003, n_tok * 12000)"),
+        "SELECT doc_id, n_tok FROM d WHERE n_tok >= 84 OR " +
+        "(n_tok > 0 AND (doc_id % 1000003 * 48271 + 7) % 1000003 < n_tok * 12000)"),
     "quantile_doc_len" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT tok.doc_id, documents.lang, CAST(len(t) AS BIGINT) AS n_tok " +

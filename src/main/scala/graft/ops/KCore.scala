@@ -42,15 +42,8 @@ object KCore {
       .where(col("u") =!= col("v")).distinct()
       .repartition(col("u")).persist()
     var alive = und.select(col("u").as("n")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
-      alive = und
-        .join(alive.withColumnRenamed("n", "u"), "u")
-        .join(alive.withColumnRenamed("n", "v"), "v")
-        .groupBy("u").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k)
-        .select(col("u").as("n"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to rounds)
+      alive = peelRound(und, alive, k).localCheckpoint()
     // materialize (localCheckpoint is eager) BEFORE unpersisting the edge
     // set — a lazy result would recompute `und` from source on evaluation
     val core = und
@@ -63,12 +56,25 @@ object KCore {
     core
   }
 
+  /** One peel round: survivors of `alive` whose degree in the induced
+    * subgraph is ≥ k (exposed for the plan audit — the round's joins must
+    * stay keyed; the driver entry's returned plan is checkpoint-truncated
+    * and would audit vacuously). */
+  private[graft] def peelRound(und: DataFrame, alive: DataFrame,
+                               k: Int): DataFrame =
+    und
+      .join(alive.withColumnRenamed("n", "u"), "u")
+      .join(alive.withColumnRenamed("n", "v"), "v")
+      .groupBy("u").agg(count(lit(1)).as("d"))
+      .where(col("d") >= k)
+      .select(col("u").as("n"))
+
   /** The same peel as `rounds` unrolled DuckDB CTE stages, appended after
     * an existing `edges(src, dst)` CTE. */
   def oracleCtes(k: Int, rounds: Int): String = {
     val head =
-      ", und AS (SELECT src AS u, dst AS v FROM edges " +
-        "UNION SELECT dst, src FROM edges)" +
+      ", und AS (SELECT src AS u, dst AS v FROM edges WHERE src <> dst " +
+        "UNION SELECT dst, src FROM edges WHERE src <> dst)" +
         ", a0 AS (SELECT DISTINCT u AS n FROM und)"
     val steps = (1 to rounds).map { i =>
       s", a$i AS (SELECT u AS n FROM und " +

@@ -39,34 +39,16 @@ object PageRank {
   val Scale = 1000000L
 
   /** (node, rank) after `iters` iterations over the directed edge set.
-    * Ranks are scaled longs (initial mass SCALE per node). */
+    * Ranks are scaled longs (initial mass SCALE per node). Implemented as
+    * the all-seeds case of [[personalized]] — ONE copy of the recurrence
+    * (GraphAlgosSpec pins the equivalence independently). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int = 5): DataFrame = {
-    require(iters >= 0, "iters must be non-negative")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("n"))
+      col(dstCol).cast("long").as("dst"))
+    val all = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct()
-      .localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    // static per-iteration join side: edge with its source's out-degree,
-    // partitioned by src once so each iteration shuffles only the ranks
-    val eo = e.join(outdeg, "src").repartition(col("src")).persist()
-
-    var r = nodes.withColumn("r", lit(Scale))
-    for (_ <- 1 to iters) {
-      val inflow = eo.join(r.withColumnRenamed("n", "src"), "src")
-        .select(col("dst").as("n"), expr("r div d").as("c"))
-        .groupBy("n").agg(sum("c").as("s"))
-      r = nodes.join(inflow, Seq("n"), "left")
-        .select(col("n"), (lit(3L * Scale / 20) +
-          expr(s"17 * coalesce(s, 0L) div 20")).as("r"))
-        .localCheckpoint()
-    }
-    eo.unpersist()
-    // "rank_scaled" (not "rank") — RANK is a window-function keyword in the
-    // oracle's SQL dialect
-    r.select(col("n").as("node"), col("r").as("rank_scaled"))
+    personalized(edges, srcCol, dstCol, seeds = all, iters = iters)
   }
 
   /** PERSONALIZED PageRank: teleport mass flows only to `seeds` (the
@@ -109,14 +91,12 @@ object PageRank {
     r.select(col("n").as("node"), col("r").as("rank_scaled"))
   }
 
-  /** Personalized replay as unrolled CTEs, appended after existing `edges`
-    * AND `seeds(s)` CTEs. */
-  def personalizedOracleCtes(iters: Int = 5): String = {
-    val head =
-      ", nodes AS (SELECT n, CASE WHEN n IN (SELECT s FROM seeds) THEN 1 ELSE 0 END AS is_seed " +
-        "FROM (SELECT src AS n FROM edges UNION SELECT dst FROM edges))" +
-        ", outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)" +
-        s", r0 AS (SELECT n, CAST(is_seed * $Scale AS BIGINT) AS r FROM nodes)"
+  /** ONE unroll template for both oracle forms — only the `nodes` CTE's
+    * is_seed definition differs, so the two gated entries cannot drift. */
+  private def oracleUnroll(iters: Int, nodesCte: String): String = {
+    val head = nodesCte +
+      ", outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)" +
+      s", r0 AS (SELECT n, CAST(is_seed * $Scale AS BIGINT) AS r FROM nodes)"
     val steps = (1 to iters).map { i =>
       s", r$i AS (SELECT nodes.n, nodes.is_seed * ${3L * Scale / 20} + (17 * COALESCE(s.c, 0)) // 20 AS r " +
         s"FROM nodes LEFT JOIN (SELECT e.dst AS n, SUM(r.r // o.d) AS c " +
@@ -126,20 +106,18 @@ object PageRank {
     head + steps + s" SELECT n AS node, CAST(r AS BIGINT) AS rank_scaled FROM r$iters"
   }
 
+  /** Personalized replay as unrolled CTEs, appended after existing `edges`
+    * AND `seeds(s)` CTEs. */
+  def personalizedOracleCtes(iters: Int = 5): String =
+    oracleUnroll(iters,
+      ", nodes AS (SELECT n, CASE WHEN n IN (SELECT s FROM seeds) THEN 1 ELSE 0 END AS is_seed " +
+        "FROM (SELECT src AS n FROM edges UNION SELECT dst FROM edges))")
+
   /** The same computation as `iters` unrolled DuckDB CTE stages, appended
     * after an existing `edges` CTE — the oracle replays every floor
-    * division bit-for-bit. */
-  def oracleCtes(iters: Int = 5): String = {
-    val head =
-      ", nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges)" +
-        ", outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)" +
-        s", r0 AS (SELECT n, CAST($Scale AS BIGINT) AS r FROM nodes)"
-    val steps = (1 to iters).map { i =>
-      s", r$i AS (SELECT nodes.n, ${3L * Scale / 20} + (17 * COALESCE(s.c, 0)) // 20 AS r " +
-        s"FROM nodes LEFT JOIN (SELECT e.dst AS n, SUM(r.r // o.d) AS c " +
-        s"FROM edges e JOIN r${i - 1} r ON r.n = e.src " +
-        "JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s ON s.n = nodes.n)"
-    }.mkString
-    head + steps + s" SELECT n AS node, CAST(r AS BIGINT) AS rank_scaled FROM r$iters"
-  }
+    * division bit-for-bit (the all-seeds instantiation of the template). */
+  def oracleCtes(iters: Int = 5): String =
+    oracleUnroll(iters,
+      ", nodes AS (SELECT n, 1 AS is_seed " +
+        "FROM (SELECT src AS n FROM edges UNION SELECT dst FROM edges))")
 }

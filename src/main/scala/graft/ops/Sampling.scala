@@ -42,8 +42,18 @@ object Sampling {
   def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
                          perUnit: Long): DataFrame = {
     require(perUnit >= 0, "perUnit must be non-negative")
-    df.where(keyHash(col(keyCol)) <
-      least(lit(P), col(weightCol).cast("long") * perUnit))
+    if (perUnit == 0) return df.where(lit(false))
+    // never form weight·perUnit for weights at/above the cap: the product
+    // can wrap a long (dropping rows the cap says to KEEP, while the SQL
+    // oracle would raise instead — divergence either way). weight ≥
+    // ceil(P/perUnit) ⟺ weight·perUnit ≥ P ⟺ keep-all; below the cap the
+    // product is < P + perUnit and exact.
+    val capW = (P + perUnit - 1) / perUnit
+    val w = col(weightCol).cast("long")
+    // the product branch only ever sees 0 < w < capW, where w·perUnit is
+    // < P + perUnit — exact; negative weights (which could also wrap the
+    // product) drop outright, matching inclusion probability 0
+    df.where(w >= capW || (w > 0 && keyHash(col(keyCol)) < w * perUnit))
   }
 
   /** Stratified hash sample: per-stratum rates (e.g. downsample the head

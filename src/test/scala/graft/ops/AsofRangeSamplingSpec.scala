@@ -114,6 +114,14 @@ class AsofRangeSamplingSpec extends AnyFunSuite with SparkTestBase {
     }
     // weight 0 is never kept; a capped weight keeps everything its hash allows
     assert(!s.exists(_ % 121 == 0))
+    // overflow regression: a weight whose product with perUnit would wrap a
+    // long must land in the keep-all cap branch, never the product; negative
+    // weights drop (inclusion probability 0 — and their product could also
+    // wrap positive)
+    val extremes = Seq((1L, Long.MaxValue / 2), (2L, 0L), (3L, Long.MinValue))
+      .toDF("id", "w")
+    assert(Sampling.weightedHashSample(extremes, "id", "w", 10000L)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("stratified sample applies per-stratum and default rates") {

@@ -152,11 +152,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("graph_kcore peel rounds are keyed joins, never cartesian") {
+  test("graph_kcore peel round plans keyed joins, never cartesian") {
     assume(available)
-    val plan = physicalPlan("graph_kcore")
+    // the driver entry's RETURNED plan is checkpoint-truncated (a bare RDD
+    // scan — auditing it would be vacuous); audit the per-round dataflow
+    // the loop actually executes
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val alive = Seq(1L, 2L, 3L).toDF("n")
+    val plan = graft.ops.KCore.peelRound(und, alive, 2)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan.take(600))
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(plan).isDefined, "expected keyed joins in the peel round")
   }
 
   test("quantile_doc_len ranking windows are partitioned by lang") {

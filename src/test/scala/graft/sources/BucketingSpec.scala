@@ -79,7 +79,10 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
       }
-      rm(new java.io.File("spark-warehouse"))
+      // delete ONLY this test's table dirs — wiping the whole shared
+      // warehouse would race any other suite's managed tables
+      for (t <- Seq("b_edges", "b_dim"))
+        rm(new java.io.File(s"spark-warehouse/$t"))
     }
   }
 }
