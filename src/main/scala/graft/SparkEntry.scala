@@ -172,6 +172,49 @@ object SparkEntry {
         col("event_type"), col("net"), col("rows"))
   }
 
+  /** Watermark LATE-DATA DROP gate, end to end: the other half of the
+    * north rule's late-data semantics (AdjacencyDeltas gates retraction of
+    * rows INSIDE the lateness budget; this gates the deterministic DROP of
+    * rows beyond it). On-time rows stream in event-time order; a far-future
+    * sentinel expires every window and advances the watermark; the held-back
+    * late cohort (event_id % 37 == 0) then arrives 30 days behind the
+    * watermark and every row of it must be excluded from the append-mode
+    * window counts. Oracle: the tumbling-count SQL with the late cohort
+    * filtered out — if Spark dropped more or fewer rows than the watermark
+    * contract promises, the hash breaks. */
+  private def windowLateDropStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = wEvents(s, dir)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val agg = src.toDF().withWatermark("ts", "1 millisecond")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+    if (evs.isEmpty)
+      return s.emptyDataset[WEv].toDF()
+        .select(col("ts").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("event_id").as("n"))
+    val (late, onTime) = evs.partition(_.event_id % 37 == 0)
+    val far = evs.last.ts.getTime + 30L * 24 * 3600 * 1000
+    val name = s"graft_wlate_${cepStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (chunk <- onTime.grouped(math.max(1, onTime.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      src.addData(WEv(-1L, new java.sql.Timestamp(far), -1L, "zz"))
+      q.processAllAvailable() // watermark passes every real window's end
+      src.addData(late.toIndexedSeq) // 30 days late: dropped, all of it
+      q.processAllAvailable()
+      src.addData(WEv(-1L, new java.sql.Timestamp(far + 1000000L), -2L, "zz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).where(col("event_type") =!= "zz")
+      .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"))
+  }
+
   /** STREAMING session windows via Spark's native `session_window`
     * (10-minute gap, per user), append mode + watermark: sessions finalize
     * when the watermark passes their close, flushed by a far-future
@@ -397,6 +440,7 @@ object SparkEntry {
     // oracles: complete-mode tumbling/sliding aggregation, and native
     // session_window in append mode with watermark-finalized sessions
     "window_tumbling_stream" -> windowTumblingStream _,
+    "window_late_drop_stream" -> windowLateDropStream _,
     "window_sliding_stream" -> windowSlidingStream _,
     "window_session_stream" -> windowSessionStream _,
 
@@ -739,6 +783,11 @@ object SparkEntry {
         "JOIN dict a ON e.src = a.node JOIN dict b ON e.dst = b.node"),
     "window_tumbling" -> windowTumblingOracle,
     "window_tumbling_stream" -> windowTumblingOracle,
+    // the on-time subset only: rows held back beyond the watermark must be
+    // dropped by the streaming aggregation, exactly and deterministically
+    "window_late_drop_stream" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, " +
+        "count(*) AS n FROM events WHERE event_id % 37 <> 0 GROUP BY 1, 2"),
     "window_session_stream" -> windowSessionOracle,
     "window_sliding" -> windowSlidingOracle,
     "window_sliding_stream" -> windowSlidingOracle,

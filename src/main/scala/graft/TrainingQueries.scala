@@ -538,6 +538,24 @@ object TrainingQueries {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token").asc).limit(25)),
 
+    // ---- STREAMING twin of token_topk: the same high-cardinality token
+    // aggregation as a complete-mode streaming aggregation over a
+    // memory-source document stream (state = the running vocabulary
+    // counts), top-25 taken from the converged sink table; same oracle
+    "token_topk_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val agg = src.toDF().toDF("doc_id", "text")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      graft.SparkEntry.streamReplay(s, src, agg, rows.toIndexedSeq, Nil,
+          "complete", "graft_tk_stream")
+        .orderBy(col("cnt").desc, col("token").asc).limit(25)
+    }),
+
     // ---- per-group top-k (top-3 docs per language by token count): the
     // ranking window is PARTITIONED by lang — each group ranks inside its
     // own task, nothing funnels through one partition (contrast with the
@@ -644,6 +662,11 @@ object TrainingQueries {
       (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),
     "token_topk" ->
+      ("WITH " + tokCte("documents") +
+        ", occ AS (SELECT unnest(t) AS token FROM tok) " +
+        "SELECT token, count(*) AS cnt FROM occ GROUP BY token " +
+        "ORDER BY cnt DESC, token LIMIT 25"),
+    "token_topk_stream" ->
       ("WITH " + tokCte("documents") +
         ", occ AS (SELECT unnest(t) AS token FROM tok) " +
         "SELECT token, count(*) AS cnt FROM occ GROUP BY token " +
