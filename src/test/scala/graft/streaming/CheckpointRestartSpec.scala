@@ -124,4 +124,71 @@ class CheckpointRestartSpec extends AnyFunSuite
     val expectedKeepers = mutants.map { case (id, _) => id -> (id - 100L) }.toMap
     assert(streamed.view.filterKeys(_ >= 100L).toMap == expectedKeepers)
   }
+
+  test("native stream-stream interval join resumes from checkpoint") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    // 3 keys; lefts every 2s, rights every 3s — rights match lefts up to 5s
+    // ahead of them, with plenty of cross-restart pairs (a right buffered
+    // pre-restart joining a left that only arrives post-restart, and vice
+    // versa — provable only if BOTH sides' join state survived)
+    val lefts = for (k <- 0L until 3L; i <- 0 until 20)
+      yield (k, new Timestamp(base + i * 2000L), k * 1000 + i)
+    val rights = for (k <- 0L until 3L; i <- 0 until 14)
+      yield (k, new Timestamp(base + i * 3000L), 10000 + k * 1000 + i)
+    val lSorted = lefts.sortBy(_._2.getTime)
+    val rSorted = rights.sortBy(_._2.getTime)
+
+    val srcL = MemoryStream[(Long, Timestamp, Long)]
+    val srcR = MemoryStream[(Long, Timestamp, Long)]
+    val cp = tmpDir("ssj")
+    val outDir = tmpDir("ssj-out")
+    def start() = {
+      val l = srcL.toDF().toDF("k", "lts", "lid").withWatermark("lts", "1 minute")
+      val r = srcR.toDF().toDF("k2", "rts", "rid").withWatermark("rts", "1 minute")
+      l.join(r, col("k") === col("k2") &&
+          col("rts") >= col("lts") - expr("INTERVAL 5 SECONDS") &&
+          col("rts") <= col("lts"))
+        .select("lid", "rid")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+    }
+
+    // hold back each key's i==2 right until after the restart: it arrives
+    // ~10-30 s late (inside the 1-minute watermark delay) and must still
+    // join PRE-restart lefts — the reverse straddle direction, impossible
+    // with purely time-sorted feeds since the condition needs rt <= lt
+    val held = rSorted.filter(_._3 % 1000 == 2) // i == 2 for every key
+    val heldIds = held.map(_._3).toSet
+    val q1 = start()
+    srcL.addData(lSorted.take(25))
+    srcR.addData(rSorted.take(18).filterNot(r => heldIds(r._3)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    srcR.addData(held) // late but within the watermark delay
+    srcL.addData(lSorted.drop(25)); srcR.addData(rSorted.drop(18))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.distinct.size == streamed.size,
+      "restart must not duplicate join results")
+    val expected = (for {
+      (lk, lt, lid) <- lefts
+      (rk, rt, rid) <- rights
+      if lk == rk && rt.getTime >= lt.getTime - 5000L && rt.getTime <= lt.getTime
+    } yield (lid, rid)).toSet
+    assert(streamed.toSet == expected)
+    // non-vacuous: pairs exist that straddle the restart in BOTH directions
+    val preL = lSorted.take(25).map(_._3).toSet
+    val preR = rSorted.take(18).map(_._3).toSet -- heldIds
+    assert(expected.exists { case (l, r) => preR(r) && !preL(l) },
+      "expected a pre-restart right joining a post-restart left")
+    assert(expected.exists { case (l, r) => preL(l) && heldIds(r) },
+      "expected a pre-restart left joining a held-back late right")
+  }
 }
