@@ -613,6 +613,27 @@ object SparkEntry {
       edges(s, dir).select(col("src"), col("dst"),
         expr(graft.sources.Layout.zOrderSql("src", "dst", bits = 11)).as("zkey"))),
 
+    // ---- ordered funnel (view → click-after-view → purchase-after-click,
+    // first occurrences, strict ts ordering): each step is one keyed
+    // min-aggregation joined to the previous step's cohort — the classic
+    // product-analytics query, three shuffles total, no windows needed
+    "funnel_steps" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vts"))
+      val c = e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("vts"))
+        .groupBy("user_id").agg(min("ts").as("cts"))
+      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("cts"))
+        .groupBy("user_id").agg(min("ts").as("pts"))
+      v.agg(count(lit(1)).as("viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("purchased")))
+    }),
+
     // ---- anti-join coverage (the "never did X" cohort query): clickers
     // with no high-value purchase — Spark's left_anti operator vs a
     // NOT EXISTS oracle; at scale this is one keyed shuffle (or a
@@ -824,6 +845,15 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT event_id, user_id, epoch_us(ts) AS ts_us, a_id AS view_id, " +
         "a_val AS view_value FROM w WHERE side = 1"),
+    "funnel_steps" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e JOIN v USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN c USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY 1) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS viewed, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM c) AS clicked, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM p) AS purchased"),
     "anti_join_users" ->
       ("SELECT DISTINCT user_id FROM events e WHERE event_type = 'click' " +
         "AND NOT EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase' " +

@@ -509,6 +509,25 @@ object TrainingQueries {
           coalesce(col("slice"), lit("(all)")).as("slice"),
           col("n"), col("tok_sum"))),
 
+    // ---- EXACT-SIZE deterministic sample: bottom-25 by key hash
+    // (TakeOrderedAndProject, never a global sort) — the fixed-size draw a
+    // rate gate can't provide, same rerun/partition invariance
+    "sample_bottomk" -> ((s, dir) =>
+      Sampling.bottomK(docs(s, dir).select("doc_id", "lang"), "doc_id", k = 25)),
+
+    // ---- per-group deterministic sample (3 docs per language by key
+    // hash): a partitioned ranking window — each stratum draws inside its
+    // own task, the group-wise form of bottom-k
+    "sample_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(Sampling.keyHash(col("doc_id")).asc, col("doc_id").asc)
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"))
+    }),
+
     // ---- Gopher-style repetition metrics (token-level; the deterministic
     // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
     // n-gram column is provably non-vacuous on this synthetic corpus)
@@ -765,6 +784,14 @@ object TrainingQueries {
     "tfidf_doc_pairs" ->
       (tdocsCte + ", " + tokCte("tdocs") +
         graft.text.TfIdf.oracleCtes(maxDf = 100L, threshold = 0.8)),
+    "sample_bottomk" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "ORDER BY (doc_id % 1000003 * 48271 + 7) % 1000003, doc_id LIMIT 25"),
+    "sample_per_group" ->
+      ("WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY (doc_id % 1000003 * 48271 + 7) % 1000003, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 3"),
     // cap test first, product only below the cap — the same overflow-safe
     // predicate shape as Sampling.weightedHashSample (capW = ceil(P/12000))
     "sample_weighted" ->

@@ -56,6 +56,21 @@ object Sampling {
     df.where(w >= capW || (w > 0 && keyHash(col(keyCol)) < w * perUnit))
   }
 
+  /** EXACT-SIZE deterministic sample: the k rows with the smallest key
+    * hashes, hash ties broken by key (keys that collide mod P are rare but
+    * real). Complements rate sampling — a hash gate can't promise a size,
+    * bottom-k can't promise a fixed rate — while keeping the properties
+    * that matter: rerun/partition-invariant, and nested (bottom-3 is a
+    * prefix of bottom-5, so a small eval set sits inside the train draw).
+    * Plans as TakeOrderedAndProject — parallel per-partition top-k, never
+    * a global sort. */
+  def bottomK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    df.withColumn("_h", keyHash(col(keyCol)))
+      .orderBy(col("_h").asc, col(keyCol).asc).limit(k)
+      .drop("_h")
+  }
+
   /** Stratified hash sample: per-stratum rates (e.g. downsample the head
     * language, keep the tail), default rate for unlisted strata. Rates ride
     * a broadcast join — at 100 TB the fact side streams through one

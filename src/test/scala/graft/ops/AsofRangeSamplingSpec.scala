@@ -124,6 +124,22 @@ class AsofRangeSamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("bottom-k sample: exact size, nested across k, partition-invariant, top-k plan") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    def ids(k: Int, parts: Int) =
+      Sampling.bottomK(df.repartition(parts), "id", k)
+        .collect().map(_.getLong(0)).toSet
+    val s5 = ids(5, 4)
+    assert(s5.size == 5)
+    assert(s5 == ids(5, 13))           // partitioning never changes the draw
+    assert(s5.subsetOf(ids(25, 4)))    // bottom-5 is a prefix of bottom-25
+    // the limit-after-sort must plan as a distributed top-k
+    val plan = Sampling.bottomK(df, "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("stratified sample applies per-stratum and default rates") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
