@@ -597,6 +597,26 @@ object SparkEntry {
     // rounds, so the gate holds whether or not the peel has converged)
     "graph_kcore" -> ((s, dir) =>
       graft.ops.KCore.run(edges(s, dir), "src", "dst", k = 46, rounds = 8)),
+    // INCREMENTAL connected components: the edge stream arrives in four
+    // deterministic chunks and each chunk folds into the (node, component)
+    // labeling via ConnectedComponents.absorb — state is the star forest
+    // (|V| rows), never the edge history. Gated against the one-shot
+    // recursive-CTE labeling of the FULL edge set: incremental must equal
+    // batch. Runs on a 10%-sparsified graph (6 components at sf0.01 — a
+    // single giant component would make the min-label recursion quadratic
+    // in the oracle).
+    "cc_incremental" -> ((s, dir) => {
+      val e = edges(s, dir)
+        .where((col("src") * 31 + col("dst")) % 10 === 0)
+      var labels = graft.ops.ConnectedComponents.run(
+        e.where(pmod(col("src") + col("dst"), lit(4L)) === 0), "src", "dst")
+      for (chunk <- 1L to 3L)
+        labels = graft.ops.ConnectedComponents.absorb(labels,
+          e.where(pmod(col("src") + col("dst"), lit(4L)) === chunk),
+          "src", "dst")
+      labels
+    }),
+
     // personalized PageRank: teleport mass restricted to the n%97==0 seed
     // set (same seeds as graph_bfs) — relevance-to-a-query-set ranking
     "graph_ppr" -> ((s, dir) => {
@@ -743,6 +763,14 @@ object SparkEntry {
     "wco_triangle" -> motifOracle(Planner.triangle),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
+    "cc_incremental" ->
+      ("WITH RECURSIVE " + edgesCte.stripPrefix("WITH ") +
+        ", se AS (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 = 0)" +
+        ", e2 AS (SELECT src AS u, dst AS v FROM se UNION SELECT dst, src FROM se)" +
+        ", nodes AS (SELECT DISTINCT u AS n FROM e2)" +
+        ", lab(n, l) AS (SELECT n, n FROM nodes " +
+        "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
+        "SELECT n AS node, min(l) AS component FROM lab GROUP BY n"),
     "graph_ppr" ->
       (edgesCte + ", seeds AS (SELECT n AS s FROM " +
         "(SELECT src AS n FROM edges UNION SELECT dst FROM edges) WHERE n % 97 = 0)" +

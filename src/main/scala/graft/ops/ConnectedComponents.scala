@@ -80,6 +80,28 @@ object ConnectedComponents {
     }
   }
 
+  /** INCREMENTAL absorb: fold a batch of new edges into an existing
+    * (node, component) labeling WITHOUT the edge history. The labeling IS
+    * a star forest (node → its component's root), and components of
+    * (star forest ∪ new edges) equal components of (all edges ever) — the
+    * union-find invariant — so each batch runs [[run]] on |labels| +
+    * |batch| edges, never on the accumulated graph. Star edges have depth
+    * 1, so convergence is fast regardless of how many batches came before;
+    * state stays one table of |V| rows. This is the maintenance loop a
+    * streaming near-dup clusterer runs per micro-batch (new MinHash/LSH
+    * pairs in, updated keeper labels out), the `foreachBatch` complement
+    * of [[graft.streaming.DedupStream]]'s per-key keeper state. */
+  def absorb(labels: DataFrame, newEdges: DataFrame,
+             srcCol: String, dstCol: String): DataFrame = {
+    val star = labels.select(col("node").as("u"), col("component").as("v"))
+    val batch = newEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val verts = labels.select("node")
+      .unionByName(batch.select(col("u").as("node")))
+      .unionByName(batch.select(col("v").as("node")))
+    run(star.unionByName(batch), "u", "v", vertices = Some(verts))
+  }
+
   /** large-star: every neighbor v > u links to min(Γ(u) ∪ {u}). Emitted as
     * a groupBy computing the per-u minimum joined back against the strictly
     * larger neighbors. */

@@ -61,6 +61,37 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(runCc(500, edges, parts = 1) == runCc(500, edges, parts = 8))
   }
 
+  test("incremental absorb over chunks == one-shot run on the full edge set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    val n = 400
+    val edges = (0 until 350).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    // four deterministic chunks, including chunks that MERGE components
+    // labeled in earlier chunks (random split guarantees cross-chunk merges)
+    val chunks = edges.zipWithIndex.groupMap(_._2 % 4)(_._1)
+    var labels = ConnectedComponents.run(
+      chunks(0).toDF("a", "b"), "a", "b",
+      vertices = Some((0L until n).toDF("node")))
+    for (c <- 1 to 3)
+      labels = ConnectedComponents.absorb(labels, chunks(c).toDF("a", "b"), "a", "b")
+    val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == runCc(n, edges))
+    // state is exactly one row per vertex — never the edge history
+    assert(labels.count() == n)
+  }
+
+  test("absorb with an empty batch is a no-op on the labeling") {
+    import spark.implicits._
+    val labels = ConnectedComponents.run(
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b",
+      vertices = Some((0L until 6L).toDF("node")))
+    val after = ConnectedComponents.absorb(
+      labels, Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("large-star/small-star rounds preserve reachability classes") {
     val rnd = new scala.util.Random(3L)
     val n = 120
