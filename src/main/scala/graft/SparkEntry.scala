@@ -314,6 +314,43 @@ object SparkEntry {
         col("endTs").cast("timestamp_ntz").as("end_ts"), col("startId").as("start_id"))
   }
 
+  /** STREAMING incremental connected components, driver-gated end to end:
+    * the sparsified edge set streams through a memory source in four
+    * micro-batches, and a `foreachBatch` sink folds each batch into the
+    * (node, component) star-forest labeling via
+    * [[graft.ops.ConnectedComponents.absorb]]. State is one |V|-row label
+    * table `localCheckpoint`ed per batch (O(1) lineage across batches) —
+    * never the edge history. Hash-matched against the SAME one-shot
+    * recursive-CTE oracle as the batch `cc_incremental` entry. */
+  private def ccIncrementalStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val es = edges(s, dir)
+      .where((col("src") * 31 + col("dst")) % 10 === 0)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    if (es.isEmpty)
+      return s.emptyDataset[(Long, Long)].toDF("node", "component")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    var labels: DataFrame = null
+    val q = src.toDF().toDF("src", "dst").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        labels =
+          (if (labels == null)
+            graft.ops.ConnectedComponents.run(batch, "src", "dst")
+          else
+            graft.ops.ConnectedComponents.absorb(labels, batch, "src", "dst"))
+            .localCheckpoint()
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      for (chunk <- es.grouped(math.max(1, es.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----
     // headline motifs run the fast RDD engine's batch mode (packed-block
@@ -616,6 +653,15 @@ object SparkEntry {
           "src", "dst")
       labels
     }),
+    // STREAMING twin of cc_incremental: the same sparsified edges arrive
+    // through a memory SOURCE in four micro-batches and a foreachBatch
+    // sink folds each into the star-forest labeling — the actual
+    // maintenance loop a streaming near-dup clusterer runs (per-batch
+    // exactly-once fold over |V| rows of state, localCheckpoint'ed so
+    // lineage stays O(1) in the batch count). Same oracle: the chunking is
+    // different from the batch entry's pmod split, proving the labeling is
+    // confluent — independent of how history was batched.
+    "cc_incremental_stream" -> ccIncrementalStream _,
 
     // personalized PageRank: teleport mass restricted to the n%97==0 seed
     // set (same seeds as graph_bfs) — relevance-to-a-query-set ranking
@@ -759,18 +805,24 @@ object SparkEntry {
       "JOIN edges s ON s.src = k1.e AND s.dst = k2.e) " +
       s"SELECT $sel FROM k6"
 
+  /** One-shot min-label recursive-CTE labeling of the sparsified edge set —
+    * shared by the batch and streaming incremental-CC entries (both must
+    * converge to the labeling of the FULL history however it was batched). */
+  private lazy val ccOracle: String =
+    "WITH RECURSIVE " + edgesCte.stripPrefix("WITH ") +
+      ", se AS (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 = 0)" +
+      ", e2 AS (SELECT src AS u, dst AS v FROM se UNION SELECT dst, src FROM se)" +
+      ", nodes AS (SELECT DISTINCT u AS n FROM e2)" +
+      ", lab(n, l) AS (SELECT n, n FROM nodes " +
+      "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
+      "SELECT n AS node, min(l) AS component FROM lab GROUP BY n"
+
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
-    "cc_incremental" ->
-      ("WITH RECURSIVE " + edgesCte.stripPrefix("WITH ") +
-        ", se AS (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 = 0)" +
-        ", e2 AS (SELECT src AS u, dst AS v FROM se UNION SELECT dst, src FROM se)" +
-        ", nodes AS (SELECT DISTINCT u AS n FROM e2)" +
-        ", lab(n, l) AS (SELECT n, n FROM nodes " +
-        "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
-        "SELECT n AS node, min(l) AS component FROM lab GROUP BY n"),
+    "cc_incremental" -> ccOracle,
+    "cc_incremental_stream" -> ccOracle,
     "graph_ppr" ->
       (edgesCte + ", seeds AS (SELECT n AS s FROM " +
         "(SELECT src AS n FROM edges UNION SELECT dst FROM edges) WHERE n % 97 = 0)" +
