@@ -662,6 +662,11 @@ object SparkEntry {
     // different from the batch entry's pmod split, proving the labeling is
     // confluent — independent of how history was batched.
     "cc_incremental_stream" -> ccIncrementalStream _,
+    // per-node triangle counts + local clustering coefficient (integer
+    // thousandths — no float hash risk); degree-oriented wedge generation
+    // bounds per-node work at O(sqrt m) under hub skew
+    "graph_clustering" -> ((s, dir) =>
+      graft.ops.ClusteringCoeff.run(edges(s, dir), "src", "dst")),
 
     // personalized PageRank: teleport mass restricted to the n%97==0 seed
     // set (same seeds as graph_bfs) — relevance-to-a-query-set ranking
@@ -823,6 +828,7 @@ object SparkEntry {
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
     "cc_incremental" -> ccOracle,
     "cc_incremental_stream" -> ccOracle,
+    "graph_clustering" -> (edgesCte + graft.ops.ClusteringCoeff.oracleCtes),
     "graph_ppr" ->
       (edgesCte + ", seeds AS (SELECT n AS s FROM " +
         "(SELECT src AS n FROM edges UNION SELECT dst FROM edges) WHERE n % 97 = 0)" +

@@ -157,4 +157,38 @@ class GraphAlgosSpec extends AnyFunSuite with SparkTestBase {
     assert(k3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     assert(KCore.run(df, "src", "dst", k = 4, rounds = 4).isEmpty)
   }
+
+  private def mirrorLcc(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val und = es.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2).distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    nbrs.map { case (n, ns) =>
+      val deg = ns.size.toLong
+      val tri = ns.toSeq.combinations(2)
+        .count { case Seq(a, b) => nbrs(a)(b) }.toLong
+      val lcc = if (deg < 2) 0L else (2000L * tri) / (deg * (deg - 1))
+      n -> (deg, tri, lcc)
+    }.toMap
+  }
+
+  test("clustering coefficient == brute-force mirror on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val es = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
+    val got = ClusteringCoeff.run(es.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == mirrorLcc(es))
+  }
+
+  test("clustering coefficient structural pins: K4 is 1000, a path is 0") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val gotK4 = ClusteringCoeff.run(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotK4 == Set((3L, 3L, 1000L))) // every node: deg 3, 3 triangles
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val gotPath = ClusteringCoeff.run(path.toDF("src", "dst"), "src", "dst")
+    assert(gotPath.collect().forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
 }
