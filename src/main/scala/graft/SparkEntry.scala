@@ -351,6 +351,58 @@ object SparkEntry {
     labels
   }
 
+  /** STREAMING twin of `adjacency_lag` — the north rule's transcript→edge
+    * derivation run end to end through the `flatMapGroupsWithState` kernel
+    * ([[graft.streaming.AdjacencyDeltas]]) with REAL late-turn retraction:
+    * every turnIdx % 5 == 2 turn is held back and delivered in a final
+    * micro-batch AFTER its successors, so the kernel first emits bridging
+    * edges attr(i)→attr(k) and must later retract them (−1) and insert the
+    * two replacement pairs. The summed Z-set over all emitted deltas is
+    * hash-matched against the batch lag oracle — one lost or doubled
+    * retraction breaks the net counts. */
+  private def adjacencyLagStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.AdjacencyDeltas
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val dict = graft.transcripts.TranscriptEdges.denseDict(
+      e.withColumnRenamed("event_type", "attr"), "attr", 0L)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val turns = e.withColumn("turnIdx", row_number().over(w))
+      .join(broadcast(dict), col("event_type") === col("key"))
+      .select(col("user_id").cast("string").as("convId"),
+        col("turnIdx"), col("id").as("attrId"), col("ts"))
+      .as[AdjacencyDeltas.EncTurn].collect()
+      .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
+    if (turns.isEmpty)
+      return s.emptyDataset[(String, String, Long)]
+        .toDF("src_type", "dst_type", "n")
+    val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AdjacencyDeltas.EncTurn]
+    // The kernel reads getCurrentWatermarkMs(), which streaming only allows
+    // when a watermark IS set — attach one far enough in the past that the
+    // held-back cohort is late-but-within-watermark (retraction, not drop;
+    // actual drop semantics are gated by window_late_drop_stream).
+    val out = AdjacencyDeltas.stream(src.toDS().withWatermark("ts", "36500 days")).toDF()
+    val name = s"graft_adjlag_${cepStreamCounter.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (chunk <- onTime.grouped(math.max(1, onTime.length / 3 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      src.addData(late.toIndexedSeq) // late cohort: bridge retractions
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).groupBy("src", "dst").agg(sum("w").as("n"))
+      .where(col("n") =!= 0L)
+      .join(broadcast(dict).select(col("id").as("src"), col("key").as("src_type")), "src")
+      .join(broadcast(dict).select(col("id").as("dst"), col("key").as("dst_type")), "dst")
+      .select(col("src_type"), col("dst_type"), col("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     // ---- WCO GenericJoin engine (SURVEY.md §2.1-2.2, ops 1-17) ----
     // headline motifs run the fast RDD engine's batch mode (packed-block
@@ -547,6 +599,10 @@ object SparkEntry {
         .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
         .agg(count(lit(1)).as("n"))
     }),
+    // streaming twin: the same transition counts derived by the
+    // flatMapGroupsWithState retraction kernel with a held-back late-turn
+    // cohort (turnIdx % 5 == 2) whose bridging edges must retract cleanly
+    "adjacency_lag_stream" -> adjacencyLagStream _,
 
     // ---- as-of join (temporal): for every click, the latest view at or
     // before it per user — ONE keyed sort + running last(ignoreNulls), no
@@ -810,6 +866,14 @@ object SparkEntry {
       "JOIN edges s ON s.src = k1.e AND s.dst = k2.e) " +
       s"SELECT $sel FROM k6"
 
+  /** Consecutive-pair transition counts over (user, ts, event_id) ordering —
+    * shared by the batch lag form and the streaming retraction kernel. */
+  private lazy val adjacencyLagOracle: String =
+    "WITH nxt AS (SELECT event_type, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) " +
+      "SELECT event_type AS src_type, next_type AS dst_type, count(*) AS n " +
+      "FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2"
+
   /** One-shot min-label recursive-CTE labeling of the sparsified edge set —
     * shared by the batch and streaming incremental-CC entries (both must
     * converge to the labeling of the FULL history however it was batched). */
@@ -991,11 +1055,8 @@ object SparkEntry {
         "(PARTITION BY key ORDER BY ts, ev_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_us FROM e) " +
         "SELECT key, ts AS start_ts, ev_id AS start_id FROM m " +
         "WHERE tag = 'signup' AND (next_b_us IS NULL OR next_b_us > epoch_us(ts) + CAST(86400 AS BIGINT) * 1000000)"),
-    "adjacency_lag" ->
-      ("WITH nxt AS (SELECT event_type, lead(event_type) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) " +
-        "SELECT event_type AS src_type, next_type AS dst_type, count(*) AS n " +
-        "FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2"),
+    "adjacency_lag" -> adjacencyLagOracle,
+    "adjacency_lag_stream" -> adjacencyLagOracle,
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"),
