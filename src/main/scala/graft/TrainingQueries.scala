@@ -270,6 +270,20 @@ object TrainingQueries {
           maxShingleFreq = 100L)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // ---- benchmark decontamination: docs sharing any word 4-gram with
+    // the held-out "benchmark" slice (doc_id % 23 == 0) are flagged with
+    // their distinct-overlap count — the eval-leakage hygiene pass. The
+    // benchmark shingle set is broadcast; the corpus side never shuffles
+    // pre-join. Non-vacuous both ways at sf0.01: 31/478 docs flagged, one
+    // a near-verbatim benchmark copy (n_hits = 22). ----
+    "decontaminate_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.where(pmod(col("doc_id"), lit(23L)) =!= 0L),
+        d.where(pmod(col("doc_id"), lit(23L)) === 0L),
+        "doc_id", "text", n = 4)
+    }),
+
     // ---- similarity search ----
     "embedding_norms" -> ((s, dir) =>
       embs(s, dir).select(col("vec_id"),
@@ -528,6 +542,19 @@ object TrainingQueries {
         .select(col("lang"), col("rk"), col("doc_id"))
     }),
 
+    // ---- token-budget data mixing: per source, the hash-ordered document
+    // prefix whose token count first reaches a 600-token budget (crossing
+    // doc kept) — the "N billion tokens per domain" recipe primitive. Runs
+    // the two-phase bucket-histogram form: only the budget-crossing bucket
+    // (~1/1024 of each source) pays an ordered window; kept buckets are a
+    // broadcast-joined codegen'd filter. Keeps 231/500 docs at sf0.01.
+    "mix_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetMix(d, "doc_id", "source", "n_tokens", _ => 600L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // ---- Gopher-style repetition metrics (token-level; the deterministic
     // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
     // n-gram column is provably non-vacuous on this synthetic corpus)
@@ -607,6 +634,21 @@ object TrainingQueries {
       graft.sketch.HyperLogLog.registers(docs(s, dir), "text", m = 32)),
     "sketch_hll_distinct" -> ((s, dir) =>
       graft.sketch.HyperLogLog.distinctEstimate(docs(s, dir), "text", m = 32)),
+    // streaming twin: the register table as a COMPLETE-mode streaming
+    // aggregation (register = running max(rho) per bucket — max is the
+    // mergeable HLL combine, so the converged sink must equal the batch
+    // registers bit-for-bit against the same oracle)
+    "sketch_hll_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val reg = graft.sketch.HyperLogLog.registers(
+        src.toDF().toDF("doc_id", "text"), "text", m = 32)
+      SparkEntry.streamReplay(s, src, reg, rows.toIndexedSeq, Nil,
+        "complete", "graft_hll_stream")
+    }),
 
     // ---- REAL image resize: JDK decode + explicit nearest-neighbor
     // kernel (implementation-defined AWT scaling would not be replayable);
@@ -702,6 +744,8 @@ object TrainingQueries {
       ("WITH " + tokCte("documents") +
         graft.text.Bm25.oracleCtes("['spark', 'hash', 'join']", k = 20)),
     "sketch_hll_registers" ->
+      (hllRegCtes + " SELECT bucket, rho FROM reg"),
+    "sketch_hll_stream" ->
       (hllRegCtes + " SELECT bucket, rho FROM reg"),
     "sketch_hll_distinct" ->
       (hllRegCtes + ", agg AS (SELECT sum((CAST(" + hllInvList + " AS DOUBLE[]))[rho]) AS s, " +
@@ -799,6 +843,13 @@ object TrainingQueries {
         ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok) " +
         "SELECT doc_id, n_tok FROM d WHERE n_tok >= 84 OR " +
         "(n_tok > 0 AND (doc_id % 1000003 * 48271 + 7) % 1000003 < n_tok * 12000)"),
+    "mix_token_budget" ->
+      ("WITH " + tokCte("documents") +
+        ", d AS (SELECT tok.doc_id, documents.source, CAST(len(t) AS BIGINT) AS n_tokens " +
+        "FROM tok JOIN documents USING (doc_id))" +
+        ", h AS (SELECT *, (doc_id % 1000003 * 48271 + 7) % 1000003 AS hh FROM d)" +
+        ", c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum FROM h) " +
+        "SELECT doc_id, source, n_tokens FROM c WHERE cum - n_tokens < 600"),
     "quantile_doc_len" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT tok.doc_id, documents.lang, CAST(len(t) AS BIGINT) AS n_tok " +
@@ -870,6 +921,14 @@ object TrainingQueries {
         "GROUP BY 1, 2, 3, 4) " +
         "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
         "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"),
+    "decontaminate_ngram" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "sh4 AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+3], ' '))) END AS sh FROM tok), " +
+        "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh4 WHERE doc_id % 23 = 0), " +
+        "csh AS (SELECT doc_id, unnest(sh) AS s FROM sh4 WHERE doc_id % 23 <> 0) " +
+        "SELECT csh.doc_id, count(*) AS n_hits FROM csh JOIN bsh USING (s) GROUP BY 1"),
     "embedding_norms" ->
       ("SELECT vec_id, round(sqrt(" + dotSql("embedding", "embedding", 64) + "), 9) AS nrm " +
         "FROM embeddings"),

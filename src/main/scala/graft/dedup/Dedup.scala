@@ -390,4 +390,34 @@ object Dedup {
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min("id").as("keeper"), count(lit(1)).as("members"))
+
+  /** Benchmark decontamination: flag every corpus document that shares at
+    * least `minHits` DISTINCT word n-grams with a benchmark/eval set —
+    * the standard pre-training hygiene pass (eval questions leaking into
+    * the training corpus must be found by n-gram overlap, not exact match,
+    * because scrapes mutate whitespace and framing).
+    *
+    * Output: (idCol, n_hits) for flagged documents only.
+    *
+    * 100-TB shape: the benchmark side is eval sets — thousands to millions
+    * of n-grams, NOT corpus-scale — so its distinct shingle set is
+    * broadcast and the corpus side never shuffles (explode → broadcast-hash
+    * semi-join → partial-agg groupBy on the doc id, which re-shuffles only
+    * the ~0.1% of exploded rows that hit). For a benchmark too large to
+    * broadcast, `broadcastBench = false` degrades to a shuffle join on the
+    * shingle; a Bloom pre-filter (see [[graft.sketch.Bloom]]) composes in
+    * front of either form. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int, minHits: Long = 1L,
+                    broadcastBench: Boolean = true): DataFrame = {
+    // shingles() is already per-doc distinct, so post-join count(*) counts
+    // distinct contaminated n-grams without a second distinct pass
+    val corpSh = corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+    val benchSh0 = bench.select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
+    corpSh.join(benchSh, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
 }

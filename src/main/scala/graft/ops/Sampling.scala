@@ -91,4 +91,73 @@ object Sampling {
       .where(keyHash(col(keyCol)) < col("_thresh"))
       .drop("_thresh")
   }
+
+  /** Token-budget data mixing: per group (source/domain/language), keep the
+    * hash-ordered prefix of documents whose cumulative token count first
+    * reaches the group's budget — the "mix 30B tokens of code, 10B of
+    * forums" primitive of every pre-training data recipe. A document is
+    * kept iff the tokens BEFORE it (in (keyHash, key) order) are strictly
+    * under budget, so the budget-crossing document is kept and budgets are
+    * soft caps; membership is a pure function of the group's key set, so
+    * reruns, repartitions and engine swaps agree row-for-row.
+    *
+    * Semantically this is `sum(tokens) OVER (PARTITION BY group ORDER BY
+    * hash, key) - tokens < budget` — but a per-group running sum is a
+    * sequential scan of the whole group, and at 100 TB a "group" is a
+    * source with billions of rows funneled through one window partition.
+    * So it runs as two phases that meet the same contract exactly:
+    *   1. histogram: groupBy(group, hash-bucket).sum(tokens) — fully
+    *      parallel, `groups × buckets` rows to the driver; the driver
+    *      walks each group's buckets in hash order and finds the single
+    *      budget-crossing bucket plus the tokens consumed before it.
+    *   2. filter: buckets below the crossing bucket are kept outright by a
+    *      broadcast-joined codegen'd filter (no shuffle, no order); ONLY
+    *      the crossing bucket — ~1/buckets of each group — pays the
+    *      ordered running-sum window, against its residual budget.
+    * Bucketing is monotone in the hash, and the within-bucket order equals
+    * the global order, so phase 2 reproduces the naive window bit-for-bit
+    * (SamplingSpec pins the equality). */
+  def tokenBudgetMix(df: DataFrame, keyCol: String, groupCol: String,
+                     tokensCol: String, budget: String => Long,
+                     buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bWidth = P / buckets + 1 // ceil: hash < P ⇒ bucket < buckets
+    val withB = df
+      .withColumn("_h", keyHash(col(keyCol)))
+      .withColumn("_b", (col("_h") / bWidth).cast("int"))
+    val hist = withB.groupBy(col(groupCol), col("_b"))
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // per group: crossing bucket + tokens consumed strictly before it
+    val cross: Map[String, (Int, Long)] = hist.groupBy(_._1).map {
+      case (g, bs) =>
+        val bud = budget(g)
+        var pre = 0L
+        var cb = Int.MaxValue // budget never reached → every bucket "below"
+        val it = bs.sortBy(_._2).iterator
+        while (cb == Int.MaxValue && it.hasNext) {
+          val (_, b, t) = it.next()
+          if (pre + t >= bud) cb = b else pre += t
+        }
+        g -> (cb, bud - pre) // residual budget inside the crossing bucket
+    }
+    val crossDf = broadcast(cross.toSeq.map { case (g, (cb, res)) => (g, cb, res) }
+      .toDF(groupCol, "_cb", "_res"))
+    val joined = withB.join(crossDf, Seq(groupCol), "left")
+      .withColumn("_cb", coalesce(col("_cb"), lit(Int.MaxValue)))
+    val below = joined.where(col("_b") < col("_cb"))
+    // the crossing bucket: ordered running sum against the residual budget
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_h").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atCross = joined.where(col("_b") === col("_cb"))
+      .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+      .where(col("_cum") - col(tokensCol).cast("long") < col("_res"))
+      .drop("_cum")
+    below.unionByName(atCross).drop("_h", "_b", "_cb", "_res")
+  }
 }

@@ -147,4 +147,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val shared = gotMap.keySet intersect uncapped.keySet
     assert(shared.nonEmpty && shared.forall(k => gotMap(k) <= uncapped(k)))
   }
+
+  test("decontaminate: n-gram overlap vs brute-force mirror, broadcast on/off equal") {
+    import scala.jdk.CollectionConverters._
+    // benchmark: two "eval" docs; corpus: a verbatim leak, a partial-phrase
+    // leak, a doc sharing only shorter-than-n overlap, and clean docs
+    val bench = Seq(
+      (100L, "what is the capital of france paris obviously"),
+      (101L, "list the first five prime numbers please"))
+    val corp = Seq(
+      (1L, "what is the capital of france paris obviously"), // verbatim
+      (2L, "intro words then the first five prime numbers appear here"),
+      (3L, "capital of france is lovely"), // only 3-gram overlap, n=4 → clean
+      (4L, "completely unrelated text about spark shuffles and joins"))
+    def mk(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava, docSchema)
+    def mirror(minHits: Long): Map[Long, Long] = {
+      val bs = bench.flatMap { case (_, t) => shinglesOf(t, 4) }.toSet
+      corp.map { case (id, t) => id -> shinglesOf(t, 4).count(bs).toLong }
+        .filter(_._2 >= minHits).toMap
+    }
+    for (minHits <- Seq(1L, 3L)) {
+      val got = Dedup.decontaminate(mk(corp), mk(bench), "id", "text",
+          n = 4, minHits = minHits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == mirror(minHits), s"minHits=$minHits")
+      val noBcast = Dedup.decontaminate(mk(corp), mk(bench), "id", "text",
+          n = 4, minHits = minHits, broadcastBench = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(noBcast == got)
+    }
+    // non-vacuous: the verbatim leak is flagged with its full shingle count,
+    // the short-overlap and clean docs are not
+    val m = mirror(1L)
+    assert(m(1L) == shinglesOf(corp.head._2, 4).size && !m.contains(3L) && !m.contains(4L))
+  }
 }

@@ -158,4 +158,34 @@ class AsofRangeSamplingSpec extends AnyFunSuite with SparkTestBase {
       assert(keep.contains(i) == ((i % p * 48271 + 7) % p < thresh))
     }
   }
+
+  test("token-budget mix: two-phase == naive running-sum window, budgets are soft caps") {
+    import spark.implicits._
+    val p = graft.text.TextOps.P
+    // 3 groups × 400 docs, token counts 1..40
+    val rows = for (g <- 0 until 3; i <- 0 until 400) yield
+      (g * 1000L + i, s"src$g", (i % 40 + 1).toLong)
+    val df = rows.toDF("id", "src", "nt").repartition(7)
+    val budget: String => Long =
+      Map("src0" -> 500L, "src1" -> 100000L, "src2" -> 0L) // cross / never / nothing
+    // naive reference: per-group hash-ordered prefix sum
+    def hash(i: Long) = (i % p * 48271 + 7) % p
+    val expect = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (hash(r._1), r._1)).takeWhile { r =>
+        val keep = cum < budget(g); cum += r._3; keep
+      }
+    }.map(_._1).toSet
+    for (buckets <- Seq(1, 8, 1024)) { // 1 = pure window; 1024 = pure histogram path
+      val got = Sampling.tokenBudgetMix(df, "id", "src", "nt", budget, buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"buckets=$buckets")
+    }
+    // soft cap: src0's kept tokens reach the budget and stop at the
+    // crossing doc; src1 keeps everything; src2 keeps nothing
+    val kept = rows.filter(r => expect(r._1))
+    val t0 = kept.filter(_._2 == "src0").map(_._3).sum
+    assert(t0 >= 500L && t0 < 500L + 40L)
+    assert(kept.count(_._2 == "src1") == 400 && !kept.exists(_._2 == "src2"))
+  }
 }

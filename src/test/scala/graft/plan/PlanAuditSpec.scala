@@ -189,4 +189,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val plan = physicalPlan("anti_join_users")
     assert(plan.contains("LeftAnti"), plan.take(600))
   }
+
+  test("decontaminate_ngram broadcasts the benchmark shingle set") {
+    assume(available)
+    // the benchmark side is eval-set-sized; the corpus side must meet it in
+    // a broadcast hash join, never a shuffle of the exploded corpus shingles
+    val plan = physicalPlan("decontaminate_ngram")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("mix_token_budget: every window is group-partitioned and fed by the crossing-bucket filter") {
+    assume(available)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = unwrapped("mix_token_budget").collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the crossing-bucket running-sum window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "running sum must not funnel one task")
+    // the window input is pre-filtered to the single budget-crossing bucket
+    // (~1/buckets of each group) — the kept buckets ride a windowless filter
+    val plan = physicalPlan("mix_token_budget")
+    // Catalyst inlines the driver-side coalesce into the filter predicate
+    assert("Filter \\(_b#\\d+ = coalesce\\(_cb#\\d+".r
+      .findFirstIn(plan.replace("\n", " ")).isDefined, plan.take(1200))
+  }
 }
