@@ -99,7 +99,8 @@ object SparkEntry {
       s: SparkSession,
       src: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       out: DataFrame, rows: Seq[T], sentinels: Seq[T],
-      outputMode: String, prefix: String): DataFrame = {
+      outputMode: String, prefix: String,
+      lateBatch: Seq[T] = Nil): DataFrame = {
     val name = s"${prefix}_${cepStreamCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
@@ -107,6 +108,10 @@ object SparkEntry {
       for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
         { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
       for (sv <- sentinels) { src.addData(sv); q.processAllAvailable() }
+      // a held-back late cohort, delivered as ONE final micro-batch after
+      // everything it is late relative to (per-row sentinels would cost one
+      // micro-batch per late row)
+      if (lateBatch.nonEmpty) { src.addData(lateBatch.toIndexedSeq); q.processAllAvailable() }
     } finally q.stop()
     s.table(name)
   }
@@ -365,21 +370,28 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.AdjacencyDeltas
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val e = s.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts").cast("timestamp").as("ts"))
-    val dict = graft.transcripts.TranscriptEdges.denseDict(
-      e.withColumnRenamed("event_type", "attr"), "attr", 0L)
+    // NULL event_type must survive to the output as NULL: the batch lag
+    // form and the shared oracle keep (NULL, next) pairs and never bridge
+    // across them, but denseDict drops null keys and an inner dict join
+    // would silently pair the null's neighbours. Ride nulls through the
+    // encode as a sentinel key (a control char no enum value contains),
+    // decode back to NULL on the way out.
+    val nullKey = "\u0000null"
+    val ev = s.createDataset(wEvents(s, dir).toIndexedSeq).toDF() // cached scan
+      .withColumn("attr", coalesce(col("event_type"), lit(nullKey)))
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val turns = e.withColumn("turnIdx", row_number().over(w))
-      .join(broadcast(dict), col("event_type") === col("key"))
-      .select(col("user_id").cast("string").as("convId"),
-        col("turnIdx"), col("id").as("attrId"), col("ts"))
-      .as[AdjacencyDeltas.EncTurn].collect()
-      .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
+    val t = ev.withColumn("turn_idx", row_number().over(w))
+      .select(col("user_id").cast("string").as("conv_id"), col("turn_idx"),
+        col("attr"), col("ts"))
+    // dict feeds the encode join plus both output decode joins — cache the
+    // dense-rank plan instead of re-evaluating it three times
+    val dict = graft.transcripts.TranscriptEdges.denseDict(ev, "attr", 0L).cache()
+    val turns = AdjacencyDeltas.encode(t, dict, "attr").collect()
+      .sortBy(x => (x.ts.getTime, x.convId, x.turnIdx))
     if (turns.isEmpty)
       return s.emptyDataset[(String, String, Long)]
         .toDF("src_type", "dst_type", "n")
+    // held-back late cohort (never turn 1, so onTime is non-empty)
     val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
     val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AdjacencyDeltas.EncTurn]
     // The kernel reads getCurrentWatermarkMs(), which streaming only allows
@@ -387,20 +399,18 @@ object SparkEntry {
     // held-back cohort is late-but-within-watermark (retraction, not drop;
     // actual drop semantics are gated by window_late_drop_stream).
     val out = AdjacencyDeltas.stream(src.toDS().withWatermark("ts", "36500 days")).toDF()
-    val name = s"graft_adjlag_${cepStreamCounter.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      for (chunk <- onTime.grouped(math.max(1, onTime.length / 3 + 1)))
-        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
-      src.addData(late.toIndexedSeq) // late cohort: bridge retractions
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name).groupBy("src", "dst").agg(sum("w").as("n"))
+    val sink = streamReplay(s, src, out, onTime.toIndexedSeq, Nil,
+      "append", "graft_adjlag", lateBatch = late.toIndexedSeq)
+    sink.groupBy("src", "dst").agg(sum("w").as("n"))
       .where(col("n") =!= 0L)
-      .join(broadcast(dict).select(col("id").as("src"), col("key").as("src_type")), "src")
-      .join(broadcast(dict).select(col("id").as("dst"), col("key").as("dst_type")), "dst")
-      .select(col("src_type"), col("dst_type"), col("n"))
+      .join(broadcast(dict).select(col("id").as("src"), col("key").as("src_key")), "src")
+      .join(broadcast(dict).select(col("id").as("dst"), col("key").as("dst_key")), "dst")
+      .select(
+        when(col("src_key") === nullKey, lit(null).cast("string"))
+          .otherwise(col("src_key")).as("src_type"),
+        when(col("dst_key") === nullKey, lit(null).cast("string"))
+          .otherwise(col("dst_key")).as("dst_type"),
+        col("n"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(

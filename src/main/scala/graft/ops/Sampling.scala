@@ -116,7 +116,14 @@ object Sampling {
     *      ordered running-sum window, against its residual budget.
     * Bucketing is monotone in the hash, and the within-bucket order equals
     * the global order, so phase 2 reproduces the naive window bit-for-bit
-    * (SamplingSpec pins the equality). */
+    * (SamplingSpec pins the equality).
+    *
+    * Contract: `keyCol` and `groupCol` must be NON-NULL (they are ids and
+    * partition labels). A null key has no hash order position (the driver
+    * histogram decode rejects it); a null group cannot meet the crossing
+    * table on an equi-join and would bypass its budget — pre-bucket nulls
+    * into a real group value (`coalesce(group, "(none)")`) if they must be
+    * budgeted. */
   def tokenBudgetMix(df: DataFrame, keyCol: String, groupCol: String,
                      tokensCol: String, budget: String => Long,
                      buckets: Int = 1024): DataFrame = {
@@ -131,7 +138,11 @@ object Sampling {
     val hist = withB.groupBy(col(groupCol), col("_b"))
       .agg(sum(col(tokensCol).cast("long")).as("_t"))
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"tokenBudgetMix: $keyCol and $groupCol must be non-null")
+        (r.getString(0), r.getInt(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
     // per group: crossing bucket + tokens consumed strictly before it
     val cross: Map[String, (Int, Long)] = hist.groupBy(_._1).map {
       case (g, bs) =>

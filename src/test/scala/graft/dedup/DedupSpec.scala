@@ -172,10 +172,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
           n = 4, minHits = minHits)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == mirror(minHits), s"minHits=$minHits")
-      val noBcast = Dedup.decontaminate(mk(corp), mk(bench), "id", "text",
+      // the fallback arm must actually exercise a NON-broadcast join: with
+      // a 4-doc bench set the optimizer would auto-broadcast it regardless
+      // of the dropped hint, so disable auto-broadcast for this arm
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val noBcastDf = Dedup.decontaminate(mk(corp), mk(bench), "id", "text",
           n = 4, minHits = minHits, broadcastBench = false)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(noBcast == got)
+        assert(!noBcastDf.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"), "fallback arm still broadcasts")
+        val noBcast = noBcastDf
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(noBcast == got)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
     // non-vacuous: the verbatim leak is flagged with its full shingle count,
     // the short-overlap and clean docs are not
