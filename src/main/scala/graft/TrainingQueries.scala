@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.ops.{ConnectedComponents, Sampling}
+import graft.ops.{Cdc, ConnectedComponents, Sampling}
 import graft.sim.Embeddings
 import graft.text.TextOps
 
@@ -207,6 +207,50 @@ object TrainingQueries {
       "(PARTITION BY query_id ORDER BY dist, cand_id) AS rank FROM sc)"
     "WITH " + parts.mkString(", ") +
       s" SELECT query_id, cand_id, dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $k"
+  }
+
+  /** Deterministic CDC changelog over documents, shared bit-for-bit with
+    * the DuckDB oracle: insert everything (seq 1), update doc_id%3==0
+    * (seq 2, text+" v2"), delete doc_id%7==0 (seq 3) — keys divisible by
+    * 21 exercise the full insert→update→delete chain. */
+  private def cdcLog(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.select(col("doc_id"), lit(1L).as("seq"), lit("I").as("op"), col("text"))
+      .unionByName(d.where(pmod(col("doc_id"), lit(3L)) === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(d.where(pmod(col("doc_id"), lit(7L)) === 0)
+        .select(col("doc_id"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("text")))
+  }
+
+  /** foreachBatch fold of [[cdcLog]] in a deliberately seq-oblivious order
+    * (rows scrambled by a hash of (key, seq), ~5 micro-batches): a key's
+    * delete can arrive batches before its insert, so convergence to the
+    * batch-applied state proves the tombstoned fold is confluent. */
+  private def cdcApplyStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = cdcLog(s, dir)
+      .as[(Long, Long, String, Option[String])].collect()
+      .sortBy { case (k, q, _, _) => ((k * 131 + q * 37) % 997, k, q) }
+    if (rows.isEmpty)
+      return s.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Option[String])]
+    var state: DataFrame = null
+    val q = src.toDF().toDF("doc_id", "seq", "op", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = Cdc.foldBatch(state, batch, "doc_id", "seq", "op", Seq("text"))
+          .localCheckpoint()
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      for (chunk <- rows.grouped(math.max(1, rows.length / 5 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    Cdc.stateTable(state, "doc_id", "seq", "op", Seq("text"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -542,6 +586,19 @@ object TrainingQueries {
         .select(col("lang"), col("rk"), col("doc_id"))
     }),
 
+    // ---- CDC changelog application (MERGE INTO / upsert compaction):
+    // every doc inserted, doc_id%3==0 updated, doc_id%7==0 deleted —
+    // highest seq wins per key, a winning delete removes the key. One
+    // keyed shuffle; max_by(struct, seq) partial-aggregates map-side so a
+    // key churned 1000x in a batch ships once.
+    "cdc_apply" -> ((s, dir) =>
+      Cdc.applyLog(cdcLog(s, dir), "doc_id", "seq", "op", Seq("text"))),
+    // streaming/incremental twin: the SAME changelog scrambled into a
+    // seq-oblivious order (delete batches can precede their key's insert)
+    // and folded micro-batch by micro-batch through foreachBatch — the
+    // tombstoned fold must converge to the batch state however chunked
+    "cdc_apply_stream" -> cdcApplyStream _,
+
     // ---- token-budget data mixing: per source, the hash-ordered document
     // prefix whose token count first reaches a 600-token budget (crossing
     // doc kept) — the "N billion tokens per domain" recipe primitive. Runs
@@ -699,6 +756,15 @@ object TrainingQueries {
   private val hllInvList: String =
     graft.sketch.HyperLogLog.invPow2().map(_.toString).mkString("[", ", ", "]")
 
+  /** Highest-seq-wins replay of [[cdcLog]]; shared by the batch apply and
+    * the scrambled streaming fold. */
+  private val cdcOracle: String =
+    "WITH log AS (SELECT doc_id, 1 AS seq, 'I' AS op, text FROM documents " +
+      "UNION ALL SELECT doc_id, 2, 'U', text || ' v2' FROM documents WHERE doc_id % 3 = 0 " +
+      "UNION ALL SELECT doc_id, 3, 'D', NULL FROM documents WHERE doc_id % 7 = 0), " +
+      "w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM log) " +
+      "SELECT doc_id, text FROM w WHERE rn = 1 AND op <> 'D'"
+
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster_keep" ->
       ("WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
@@ -843,6 +909,8 @@ object TrainingQueries {
         ", d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok) " +
         "SELECT doc_id, n_tok FROM d WHERE n_tok >= 84 OR " +
         "(n_tok > 0 AND (doc_id % 1000003 * 48271 + 7) % 1000003 < n_tok * 12000)"),
+    "cdc_apply" -> cdcOracle,
+    "cdc_apply_stream" -> cdcOracle,
     "mix_token_budget" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT tok.doc_id, documents.source, CAST(len(t) AS BIGINT) AS n_tokens " +
