@@ -598,6 +598,14 @@ object TrainingQueries {
     // and folded micro-batch by micro-batch through foreachBatch — the
     // tombstoned fold must converge to the batch state however chunked
     "cdc_apply_stream" -> cdcApplyStream _,
+    // inverse primitive: snapshot diff — the changelog that turns the raw
+    // documents table into the CDC-applied state (D for deleted keys, U
+    // for changed payloads, nothing for untouched keys); one full-outer
+    // keyed join, round-trip law apply(before ∪ diff) == after spec-pinned
+    "cdc_diff" -> ((s, dir) =>
+      Cdc.diff(docs(s, dir).select("doc_id", "text"),
+        Cdc.applyLog(cdcLog(s, dir), "doc_id", "seq", "op", Seq("text")),
+        "doc_id", Seq("text"))),
 
     // ---- token-budget data mixing: per source, the hash-ordered document
     // prefix whose token count first reaches a 600-token budget (crossing
@@ -911,6 +919,14 @@ object TrainingQueries {
         "(n_tok > 0 AND (doc_id % 1000003 * 48271 + 7) % 1000003 < n_tok * 12000)"),
     "cdc_apply" -> cdcOracle,
     "cdc_apply_stream" -> cdcOracle,
+    "cdc_diff" ->
+      ("WITH a AS (" + cdcOracle + ") " +
+        "SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'D' WHEN b.doc_id IS NULL THEN 'I' " +
+        "ELSE 'U' END AS op, a.text " +
+        "FROM documents b FULL OUTER JOIN a ON b.doc_id = a.doc_id " +
+        "WHERE a.doc_id IS NULL OR b.doc_id IS NULL " +
+        "OR b.text IS DISTINCT FROM a.text"),
     "mix_token_budget" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT tok.doc_id, documents.source, CAST(len(t) AS BIGINT) AS n_tokens " +

@@ -64,4 +64,32 @@ object Cdc {
                  opCol: String, payloadCols: Seq[String]): DataFrame =
     state.where(col(opCol) =!= "D")
       .select((keyCol +: payloadCols).map(col): _*)
+
+  /** Changelog between two snapshots of a keyed table — the snapshot-diff /
+    * incremental-export primitive, inverse of [[applyLog]]: keys only in
+    * `before` emit D, only in `after` emit I, present in both with a
+    * different payload emit U (null-safe comparison; unchanged keys emit
+    * nothing). Payload columns carry the AFTER side (null for D).
+    *
+    * One full-outer keyed join: both snapshots shuffle on the key and
+    * stream through a sort-merge/hash join — at 100 TB this is the one
+    * unavoidable exchange, and bucketed-by-key table layouts (see
+    * BucketingSpec) make it exchange-free. Round-trip law (spec-pinned):
+    * applyLog(before-as-inserts ∪ diff(before, after)) == after. */
+  def diff(before: DataFrame, after: DataFrame, keyCol: String,
+           payloadCols: Seq[String]): DataFrame = {
+    val b = before.select(col(keyCol).as("_bk") +:
+      payloadCols.map(c => col(c).as(s"_b_$c")): _*)
+    val a = after.select(col(keyCol).as("_ak") +:
+      payloadCols.map(c => col(c).as(s"_a_$c")): _*)
+    val bPay = struct(payloadCols.map(c => col(s"_b_$c")): _*)
+    val aPay = struct(payloadCols.map(c => col(s"_a_$c")): _*)
+    b.join(a, col("_bk") === col("_ak"), "full_outer")
+      .where(col("_ak").isNull || col("_bk").isNull || !(bPay <=> aPay))
+      .select(
+        coalesce(col("_bk"), col("_ak")).as(keyCol) +:
+          when(col("_ak").isNull, "D").when(col("_bk").isNull, "I")
+            .otherwise("U").as("op") +:
+          payloadCols.map(c => col(s"_a_$c").as(c)): _*)
+  }
 }

@@ -58,6 +58,28 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("diff emits I/U/D exactly where snapshots differ; apply(before ∪ diff) == after") {
+    import spark.implicits._
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, Option.empty[String])).toDF("key", "payload")
+    val after = Seq((1L, Some("a")), (2L, Some("B")), (5L, Some("e")),
+      (4L, Some("d"))).toDF("key", "payload") // 3 deleted, 2 updated, 5 inserted, 4 null→value
+    val d = Cdc.diff(before, after, "key", Seq("payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    assert(d == Set((2L, "U", Some("B")), (3L, "D", None),
+      (5L, "I", Some("e")), (4L, "U", Some("d")))) // unchanged key 1 absent
+    // round-trip: before-as-inserts (seq 0) + diff (seq 1) applied == after
+    val log = before.select(col("key"), lit(0L).as("seq"), lit("I").as("op"),
+        col("payload"))
+      .unionByName(Cdc.diff(before, after, "key", Seq("payload"))
+        .select(col("key"), lit(1L).as("seq"), col("op"), col("payload")))
+    val rt = collectState(Cdc.applyLog(log, "key", "seq", "op", Seq("payload")))
+    val want = after.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(rt == want)
+  }
+
   test("straggler below a tombstone's seq cannot resurrect the key") {
     val first = toDf(Seq((9L, 5L, "D", None)))
     val straggler = toDf(Seq((9L, 3L, "U", Some("late"))))
