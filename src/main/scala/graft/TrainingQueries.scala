@@ -328,6 +328,28 @@ object TrainingQueries {
         "doc_id", "text", n = 4)
     }),
 
+    // streaming twin: corpus documents arrive as a stream and meet the
+    // static benchmark shingle set in a stream-static broadcast join (the
+    // ingest-time decontamination shape — no stream-side state beyond the
+    // complete-mode per-doc hit counts); converged sink == batch oracle
+    "decontaminate_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+      val benchSh = broadcast(d.where(pmod(col("doc_id"), lit(23L)) === 0L)
+        .select(explode(Dedup.shingles(col("text"), 4)).as("s")).distinct())
+      val rows = d.where(pmod(col("doc_id"), lit(23L)) =!= 0L)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val hits = src.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 4)).as("s"))
+        .join(benchSh, "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      SparkEntry.streamReplay(s, src, hits, rows.toIndexedSeq, Nil,
+        "complete", "graft_decon_stream")
+    }),
+
     // ---- similarity search ----
     "embedding_norms" -> ((s, dir) =>
       embs(s, dir).select(col("vec_id"),
@@ -764,6 +786,17 @@ object TrainingQueries {
   private val hllInvList: String =
     graft.sketch.HyperLogLog.invPow2().map(_.toString).mkString("[", ", ", "]")
 
+  /** Distinct-4-gram benchmark-overlap counts; shared by the batch
+    * decontamination gate and its stream-static twin. */
+  private val decontaminateOracle: String =
+    "WITH " + tokCte("documents") + ", " +
+      "sh4 AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
+      "i -> array_to_string(t[i:i+3], ' '))) END AS sh FROM tok), " +
+      "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh4 WHERE doc_id % 23 = 0), " +
+      "csh AS (SELECT doc_id, unnest(sh) AS s FROM sh4 WHERE doc_id % 23 <> 0) " +
+      "SELECT csh.doc_id, count(*) AS n_hits FROM csh JOIN bsh USING (s) GROUP BY 1"
+
   /** Highest-seq-wins replay of [[cdcLog]]; shared by the batch apply and
     * the scrambled streaming fold. */
   private val cdcOracle: String =
@@ -1005,14 +1038,8 @@ object TrainingQueries {
         "GROUP BY 1, 2, 3, 4) " +
         "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
         "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"),
-    "decontaminate_ngram" ->
-      ("WITH " + tokCte("documents") + ", " +
-        "sh4 AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
-        "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
-        "i -> array_to_string(t[i:i+3], ' '))) END AS sh FROM tok), " +
-        "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh4 WHERE doc_id % 23 = 0), " +
-        "csh AS (SELECT doc_id, unnest(sh) AS s FROM sh4 WHERE doc_id % 23 <> 0) " +
-        "SELECT csh.doc_id, count(*) AS n_hits FROM csh JOIN bsh USING (s) GROUP BY 1"),
+    "decontaminate_ngram" -> decontaminateOracle,
+    "decontaminate_stream" -> decontaminateOracle,
     "embedding_norms" ->
       ("SELECT vec_id, round(sqrt(" + dotSql("embedding", "embedding", 64) + "), 9) AS nrm " +
         "FROM embeddings"),
