@@ -760,7 +760,80 @@ object TrainingQueries {
         Multimodal.AudioCodec.syntheticWav(id, (200 + (id % 23) * 8).toInt)))
       Multimodal.decodeAudio(assets, partitions = 8).toDF()
         .select(col("asset_id"), col("n_samples"), col("sample_rate"), col("sample_sum"))
-    })
+    }),
+
+    // ---- context-window chunking (win=32, stride=24 → 8-token overlap):
+    // the packing step between cleaning and tokenization. Pure narrow
+    // flatMap — sequence/transform/slice higher-order functions, codegen'd,
+    // zero shuffle, partition-invariant
+    "doc_chunks" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(TextOps.chunks(col("text"), win = 32, stride = 24)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.n_chunk_tokens").as("n_chunk_tokens"),
+          col("c.chunk_text").as("chunk_text"))),
+
+    // ---- duplicated-passage (span-level) dedup statistics: every doc's
+    // 8-token spans tested for verbatim occurrence in OTHER docs. The
+    // synthetic corpus is near-random (no natural 8-gram repeats), so a
+    // shared passage is PLANTED on doc_id % 7 == 0 — those docs must
+    // report dup spans, the rest 0 (non-vacuous both ways)
+    "span_dup_stats" -> ((s, dir) =>
+      Dedup.spanDupStats(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" p0 p1 p2 p3 p4 p5 p6 p7")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text", n = 8)),
+
+    // ---- schema-on-read over the events.props JSON blob: extraction is a
+    // row-local codegen'd path expression (get_json_object), no UDF; the
+    // malformed/missing-key case degrades to NULL on both engines
+    "json_extract_props" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // ---- time-series resample + forward fill (LOCF): per-user hourly
+    // grid (first full hour → last truncated hour), each grid point takes
+    // the latest event value at-or-before it. The grid rides the SAME
+    // union-and-carry as-of kernel as asof_join — one keyed shuffle, no
+    // inequality join; ties at one (user, ts) resolve by largest event_id
+    "resample_ffill" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val hour = expr("INTERVAL 1 HOUR")
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min("ts")).as("lo"),
+          date_trunc("hour", max("ts")).as("hi"))
+        // grid starts one hour AFTER trunc(min): every grid point then has
+        // a predecessor event, so no NULL fills; sequence() needs the
+        // emptiness guard DuckDB's generate_series builds in
+        .where(col("lo") + hour <= col("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo") + hour, col("hi"), hour)).as("ts"),
+          // the as-of kernel orders BOTH sides by the tie column; the grid
+          // has one row per (user, hour), so a constant is a correct tie
+          lit(0L).as("event_id"))
+      graft.ops.AsofJoin.backward(grid, ev, "user_id", "ts", "event_id",
+          payload = Seq("value"))
+        .select(col("user_id"), col("ts").as("h"),
+          round(col("asof_value"), 2).as("value"))
+    }),
+
+    // ---- sequence packing (budget=256): concat docs in doc_id order,
+    // split into fixed context windows — one (doc, pack) row per overlap.
+    // The prefix sum is the size-gated window-or-distributed-scan kernel;
+    // everything after it is a narrow explode
+    "pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 256)),
+
+    // ---- deterministic epoch shuffle (seed=1): seeded pseudorandom
+    // permutation of the corpus — the data-order randomization between
+    // mixing and packing. Rides denseRankByOrder's size-gated rank kernel
+    "epoch_shuffle" -> ((s, dir) =>
+      graft.ops.Packing.epochShuffle(docs(s, dir), "doc_id", seed = 1L))
   )
 
   /** The sampling entry's per-stratum integer thresholds — ONE scala
@@ -1097,6 +1170,55 @@ object TrainingQueries {
         "FROM d, generate_series(0, 383) g(i) WHERE g.i < d.ns) " +
         "SELECT doc_id AS asset_id, CAST(ns AS BIGINT) AS n_samples, " +
         "CAST(8000 AS BIGINT) AS sample_rate, CAST(sum(v) AS BIGINT) AS sample_sum " +
-        "FROM sm GROUP BY doc_id, ns")
+        "FROM sm GROUP BY doc_id, ns"),
+    "doc_chunks" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "ch AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN CAST([] AS BIGINT[]) " +
+        "ELSE generate_series(0, len(t) - 1, 24) END AS starts FROM tok), " +
+        "u AS (SELECT doc_id, t, unnest(starts) AS s0 FROM ch) " +
+        "SELECT doc_id, CAST(s0 // 24 AS BIGINT) AS chunk_idx, " +
+        "CAST(least(32, len(t) - s0) AS BIGINT) AS n_chunk_tokens, " +
+        "array_to_string(t[s0 + 1:s0 + 32], ' ') AS chunk_text FROM u"),
+    "span_dup_stats" ->
+      ("WITH sdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+        "THEN text || ' p0 p1 p2 p3 p4 p5 p6 p7' ELSE text END AS text FROM documents), " +
+        tokCte("sdocs") + ", " +
+        "sp AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(generate_series(1, len(t) - 7), " +
+        "i -> array_to_string(t[i:i+7], ' ')) END) AS span FROM tok), " +
+        "d AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2), " +
+        "tt AS (SELECT doc_id, count(*) AS n_sp FROM sp GROUP BY doc_id), " +
+        "pd AS (SELECT doc_id, count(*) AS n_dup FROM sp JOIN d USING (span) GROUP BY doc_id) " +
+        "SELECT documents.doc_id, CAST(coalesce(tt.n_sp, 0) AS BIGINT) AS n_spans, " +
+        "CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_spans " +
+        "FROM documents LEFT JOIN tt USING (doc_id) LEFT JOIN pd USING (doc_id)"),
+    "json_extract_props" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events"),
+    "resample_ffill" ->
+      ("WITH ev AS (SELECT user_id, ts, max_by(value, event_id) AS value " +
+        "FROM events GROUP BY user_id, ts), " +
+        "b AS (SELECT user_id, date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS lo, " +
+        "date_trunc('hour', max(ts)) AS hi FROM events GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h " +
+        "FROM b WHERE lo <= hi) " +
+        "SELECT g.user_id, g.h, round(e.value, 2) AS value FROM g " +
+        "ASOF JOIN ev e ON g.user_id = e.user_id AND g.h >= e.ts"),
+    "pack_sequences" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "nt AS (SELECT doc_id, len(t) AS ntok FROM tok WHERE len(t) > 0), " +
+        "c AS (SELECT doc_id, ntok, CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0 FROM nt), " +
+        "p AS (SELECT doc_id, ntok, s0, unnest(generate_series(s0 // 256, " +
+        "(s0 + ntok - 1) // 256)) AS pack_id FROM c) " +
+        "SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id, " +
+        "CAST(least((pack_id + 1) * 256, s0 + ntok) - greatest(pack_id * 256, s0) " +
+        "AS BIGINT) AS pack_tokens, " +
+        "CAST(greatest(pack_id * 256, s0) - pack_id * 256 AS BIGINT) AS offset_in_pack " +
+        "FROM p"),
+    "epoch_shuffle" ->
+      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+        s"(doc_id * ${graft.ops.Packing.shuffleMultiplier(1L)} + 54321) " +
+        "% 2147483647, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents")
   )
 }

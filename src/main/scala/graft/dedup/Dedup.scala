@@ -420,4 +420,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
   }
+
+  /** Duplicated-passage statistics — the span-level (substring) complement
+    * of the doc-level dedups: for every document, how many of its `n`-token
+    * spans (every position, NOT per-doc distinct — a passage pasted twice
+    * into one doc counts twice) also occur verbatim in at least one OTHER
+    * document. MassiveText/RefinedWeb-style pipelines use exactly this
+    * signal to strip boilerplate passages that doc-level MinHash misses.
+    *
+    * Output: (doc_id, n_spans, n_dup_spans), one row per input doc (docs
+    * shorter than `n` tokens report 0/0).
+    *
+    * Scale shape: span extraction is a narrow flatMap (higher-order
+    * functions, codegen'd); the cross-doc test is ONE groupBy(span) with a
+    * map-side-combinable distinct-doc count, and the attribution back to
+    * docs is a semi-join on the span key — never an all-pairs doc join.
+    * Spans stay strings here so the gate is EXACT; a production run at
+    * 100 TB would pre-hash spans with xxhash64 (8-byte shuffle keys, the
+    * same swap every signature family in this file exposes) and accept the
+    * ~2^-64 collision rate. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n > 0, s"span length $n must be positive")
+    val t = tokens(col(textCol))
+    val spansArr = when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+    val spans = docs.select(col(idCol).as("doc_id"), explode(spansArr).as("span"))
+    // spans seen in >= 2 distinct docs; count(distinct) partial-aggregates
+    val dup = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("span")
+    val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
 }

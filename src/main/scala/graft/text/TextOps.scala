@@ -28,6 +28,29 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Overlapping token-window chunks — the context-window packing step a
+    * training pipeline runs between cleaning and tokenization: windows of
+    * `win` whitespace tokens starting every `stride` tokens (stride < win
+    * ⇒ overlap), the final window truncated at the document end. Returns
+    * `array<struct<chunk_idx, n_chunk_tokens, chunk_text>>`; empty text →
+    * empty array (no chunks, not one empty chunk).
+    *
+    * Scale shape: a pure per-row higher-order-function expression
+    * (sequence → transform → slice) — whole-stage-codegen'd, zero shuffle,
+    * zero UDF; exploding it is a narrow flatMap. Chunk boundaries depend
+    * only on the row, so the op is partition- and scale-invariant. */
+  def chunks(text: Column, win: Int, stride: Int): Column = {
+    require(win > 0 && stride > 0, s"win=$win stride=$stride must be positive")
+    val t = tokens(text)
+    val n = size(t)
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1, lit(stride)))
+    transform(starts, (s0, i) => struct(
+      i.cast("long").as("chunk_idx"),
+      least(lit(win), n - s0).cast("long").as("n_chunk_tokens"),
+      array_join(slice(t, s0 + 1, lit(win)), " ").as("chunk_text")))
+  }
+
   /** GPT-2-flavored BPE pre-tokenizer pattern: contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs. Deliberately
     * lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree match for

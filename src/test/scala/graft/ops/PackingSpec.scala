@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Sequence packing + epoch shuffle: brute-force equality, window-vs-scan
+  * plan equivalence, and the packing invariants. */
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Brute-force packer over (doc_id, ntok) in doc_id order. */
+  private def packRef(nt: Seq[(Long, Long)], b: Long): Set[(Long, Long, Long, Long)] = {
+    var start = 0L
+    nt.sortBy(_._1).flatMap { case (id, n) =>
+      val s0 = start; start += n
+      if (n == 0) Seq.empty
+      else (s0 / b to (s0 + n - 1) / b).map { p =>
+        val lo = math.max(p * b, s0); val hi = math.min((p + 1) * b, s0 + n)
+        (id, p, hi - lo, lo - p * b)
+      }
+    }.toSet
+  }
+
+  private val fixture = Seq(
+    (0L, "a b c"),                                  // 3 tokens
+    (1L, ""),                                       // empty → vanishes
+    (2L, (1 to 10).map(i => s"t$i").mkString(" ")), // spans the 8-boundary
+    (3L, (1 to 8).map(i => s"u$i").mkString(" ")),  // exactly one budget
+    (4L, (1 to 21).map(i => s"v$i").mkString(" ")), // spans 3+ packs
+    (5L, "z"))
+
+  test("packSequences == brute force (budget 8), incl. boundary shapes") {
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    val nt = fixture.map { case (id, t) =>
+      (id, t.trim.split("\\s+").count(_.nonEmpty).toLong) }
+    val got = Packing.packSequences(df, "doc_id", "text", budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = packRef(nt, 8)
+    assert(got === want)
+    assert(want.exists(_._2 >= 3), "fixture must span 4+ packs")
+    assert(want.count(_._1 == 4L) >= 3, "doc 4 must straddle 3 packs")
+  }
+
+  test("packing invariants: full packs, per-doc token conservation") {
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val perPack = out.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val lastPack = perPack.keys.max
+    perPack.foreach { case (p, tot) =>
+      if (p != lastPack) assert(tot === 8L, s"pack $p must be full") }
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(perDoc(2L) === 10L && perDoc(4L) === 21L)
+    assert(!perDoc.contains(1L), "empty doc contributes nothing")
+  }
+
+  test("prefix-sum window and scan paths emit identical rows") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, i % 7 + 1)).toDF("doc_id", "ntok")
+    def run(maxRows: Long) =
+      Packing.prefixSumByOrder(df, Seq(col("doc_id").asc), "ntok", "start",
+          windowMaxRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(Long.MaxValue) === run(0L)) // 0 forces the distributed scan
+  }
+
+  test("packSequences identical across the plan switch") {
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    def run(maxRows: Long) =
+      Packing.packSequences(df, "doc_id", "text", budget = 8, windowMaxRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(Long.MaxValue) === run(0L))
+  }
+
+  test("epochShuffle: a permutation, seed-sensitive, path-invariant") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(seed: Long, maxRows: Long) =
+      Packing.epochShuffle(df, "doc_id", seed, windowMaxRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val s1 = run(1L, Long.MaxValue)
+    assert(s1.map(_._2).sorted === (0L until 50L).toSeq, "positions are 0..n-1")
+    assert(s1.exists { case (id, pos) => id != pos }, "not the identity")
+    assert(s1 !== run(2L, Long.MaxValue), "seed changes the order")
+    assert(s1 === run(1L, 0L), "window and scan paths agree")
+  }
+}
