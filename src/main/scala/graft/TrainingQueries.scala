@@ -833,7 +833,13 @@ object TrainingQueries {
     // permutation of the corpus — the data-order randomization between
     // mixing and packing. Rides denseRankByOrder's size-gated rank kernel
     "epoch_shuffle" -> ((s, dir) =>
-      graft.ops.Packing.epochShuffle(docs(s, dir), "doc_id", seed = 1L))
+      graft.ops.Packing.epochShuffle(docs(s, dir), "doc_id", seed = 1L)),
+
+    // ---- token-rarity scoring: the integer-exact unigram-perplexity
+    // proxy (rank-by-corpus-frequency instead of float log-probs, so the
+    // gate is hash-exact). Histogram → size-gated rank → one dict join
+    "token_rarity" -> ((s, dir) =>
+      graft.text.Rarity.tokenRarity(docs(s, dir), "doc_id", "text"))
   )
 
   /** The sampling entry's per-stratum integer thresholds — ONE scala
@@ -1219,6 +1225,16 @@ object TrainingQueries {
     "epoch_shuffle" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         s"(doc_id * ${graft.ops.Packing.shuffleMultiplier(1L)} + 54321) " +
-        "% 2147483647, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents")
+        "% 2147483647, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
+    "token_rarity" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "u AS (SELECT doc_id, unnest(t) AS w FROM tok), " +
+        "f AS (SELECT w, count(*) AS c FROM u GROUP BY w), " +
+        "r AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) - 1 AS rank FROM f), " +
+        "s AS (SELECT doc_id, count(*) AS ntok, sum(rank) AS rarity_sum " +
+        "FROM u JOIN r USING (w) GROUP BY doc_id) " +
+        "SELECT documents.doc_id, CAST(coalesce(s.ntok, 0) AS BIGINT) AS ntok, " +
+        "CAST(coalesce(s.rarity_sum, 0) AS BIGINT) AS rarity_sum " +
+        "FROM documents LEFT JOIN s USING (doc_id)")
   )
 }
