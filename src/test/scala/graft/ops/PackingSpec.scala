@@ -77,6 +77,21 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(run(Long.MaxValue) === run(0L))
   }
 
+  test("scan-path plans carry no single-partition exchange") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, i % 7 + 1)).toDF("doc_id", "ntok")
+    val scanPlan = Packing.prefixSumByOrder(df, Seq(col("doc_id").asc), "ntok",
+        "start", windowMaxRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!scanPlan.contains("Exchange SinglePartition"),
+      "large-input prefix sum must not funnel through one partition")
+    // and the small path DOES use the window (the switch is real)
+    val winPlan = Packing.prefixSumByOrder(df, Seq(col("doc_id").asc), "ntok",
+        "start", windowMaxRows = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(winPlan.contains("Window"), "small path should plan a window")
+  }
+
   test("epochShuffle: a permutation, seed-sensitive, path-invariant") {
     import spark.implicits._
     val df = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")

@@ -41,4 +41,14 @@ class RaritySpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(Long.MaxValue) === run(0L))
   }
+
+  test("scan-path plan carries no single-partition exchange") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"t${i % 11} t${i % 7} t${i % 3}"))
+      .toDF("doc_id", "text")
+    val plan = Rarity.tokenRarity(docs, "doc_id", "text", windowMaxRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "past the vocab threshold the rank must not funnel through one task")
+  }
 }
