@@ -839,7 +839,23 @@ object TrainingQueries {
     // proxy (rank-by-corpus-frequency instead of float log-probs, so the
     // gate is hash-exact). Histogram → size-gated rank → one dict join
     "token_rarity" -> ((s, dir) =>
-      graft.text.Rarity.tokenRarity(docs(s, dir), "doc_id", "text"))
+      graft.text.Rarity.tokenRarity(docs(s, dir), "doc_id", "text")),
+
+    // ---- PII redaction: emails/phones → placeholders, row-local
+    // codegen'd regexp_replace (lookahead-free patterns both regex
+    // engines agree on). The synthetic corpus is PII-free, so a
+    // deterministic email+phone is PLANTED on doc_id % 11 == 0 — those
+    // docs must count 1/1 and rewrite, the rest stay verbatim
+    "pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com or call +1-555-010-2345 now")))
+          .otherwise(col("text")).as("text"))
+      val (ne, np) = TextOps.piiCounts(col("text"))
+      planted.select(col("doc_id"), ne.as("n_emails"), np.as("n_phones"),
+        TextOps.piiRedact(col("text")).as("redacted"))
+    })
   )
 
   /** The sampling entry's per-stratum integer thresholds — ONE scala
@@ -1226,6 +1242,17 @@ object TrainingQueries {
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         s"(doc_id * ${graft.ops.Packing.shuffleMultiplier(1L)} + 54321) " +
         "% 2147483647, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
+    "pii_redact" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+        "THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call +1-555-010-2345 now' ELSE text END AS text " +
+        "FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) " +
+        "AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) " +
+        "AS BIGINT) AS n_phones, " +
+        s"regexp_replace(regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g'), " +
+        s"'${TextOps.phonePattern}', '<PHONE>', 'g') AS redacted FROM p"),
     "token_rarity" ->
       ("WITH " + tokCte("documents") + ", " +
         "u AS (SELECT doc_id, unnest(t) AS w FROM tok), " +

@@ -51,6 +51,27 @@ object TextOps {
       array_join(slice(t, s0 + 1, lit(win)), " ").as("chunk_text")))
   }
 
+  /** PII patterns — deliberately lookahead-free and built from character
+    * classes only, so Java regex (Spark codegen) and RE2 (DuckDB) agree
+    * match for match. Conservative by design: training-data pipelines
+    * over-redact rather than leak. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+[.][A-Za-z0-9.-]*[A-Za-z]{2}"
+  val phonePattern: String = "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+  /** Redacted text: emails → <EMAIL>, then phones → <PHONE> (fixed order —
+    * redaction must be deterministic, and an email can contain digits a
+    * phone pattern might otherwise nibble). Pure codegen'd regexp_replace,
+    * row-local, zero shuffle. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** (n_emails, n_phones) found by the same patterns — the audit counters
+    * a redaction pass reports. */
+  def piiCounts(text: Column): (Column, Column) =
+    (coalesce(regexp_count(text, lit(emailPattern)), lit(0)).cast("long"),
+      coalesce(regexp_count(text, lit(phonePattern)), lit(0)).cast("long"))
+
   /** GPT-2-flavored BPE pre-tokenizer pattern: contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs. Deliberately
     * lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree match for

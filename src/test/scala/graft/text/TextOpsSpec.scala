@@ -45,4 +45,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("") == 0 && got("   ") == 0)
     assert(got("ab! c") == 4) // a, b, !, ' c' — U+000B is a gap
   }
+
+  test("piiRedact replaces whole planted matches; counts agree; clean text unchanged") {
+    import spark.implicits._
+    val rows = Seq(
+      "reach user42@example.com today",             // email, full extent
+      "call +1-555-010-2345 now",                   // phone, full extent
+      "a user42@example.com b +44 201 555 0199 c",  // both; space-separated phone
+      "no pii here at all",                         // clean
+      "half@way and 555-010-2345")                  // no dotted TLD / no +CC
+    val got = rows.toDF("text")
+      .select(col("text"), TextOps.piiRedact(col("text")).as("r"),
+        TextOps.piiCounts(col("text"))._1.as("ne"),
+        TextOps.piiCounts(col("text"))._2.as("np"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(rows(0)) === (("reach <EMAIL> today", 1L, 0L)))
+    assert(got(rows(1)) === (("call <PHONE> now", 0L, 1L)))
+    assert(got(rows(2))._1 === "a <EMAIL> b <PHONE> c")
+    assert(got(rows(3)) === ((rows(3), 0L, 0L)))
+    // "half@way" lacks a dotted TLD tail → not an email; a phone without
+    // the leading +CC is deliberately out of pattern (conservative false
+    // negatives beat corrupting arithmetic like 555-010-2345 elsewhere)
+    assert(got(rows(4)) === ((rows(4), 0L, 0L)))
+  }
 }
