@@ -821,6 +821,29 @@ object TrainingQueries {
           round(col("asof_value"), 2).as("value"))
     }),
 
+    // ---- streaming LOCF twin: the grid rows are SYNTHESIZED from O(1)
+    // per-key state in flatMapGroupsWithState (the Flink-timer pattern —
+    // emitted rows the input never contained), event-driven so no
+    // sentinel is needed; gated against the SAME oracle as the batch form
+    "resample_ffill_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.ResampleStream
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+          col("event_id").as("tie"), col("value"))
+        .as[ResampleStream.RsEv].collect()
+        .sortBy(e => (e.tsUs, e.tie))
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ResampleStream.RsEv]
+      val out = ResampleStream.resampleStream(src.toDS()).toDF()
+      SparkEntry.streamReplay(s, src, out, evs.toIndexedSeq, Nil,
+          "append", "graft_rs_stream")
+        .select(col("key").as("user_id"),
+          timestamp_micros(col("hUs")).cast("timestamp_ntz").as("h"),
+          round(col("value"), 2).as("value"))
+    }),
+
     // ---- sequence packing (budget=256): concat docs in doc_id order,
     // split into fixed context windows — one (doc, pack) row per overlap.
     // The prefix sum is the size-gated window-or-distributed-scan kernel;
@@ -860,6 +883,18 @@ object TrainingQueries {
 
   /** The sampling entry's per-stratum integer thresholds — ONE scala
     * expression feeds both engines so they cannot drift. */
+  /** ONE oracle for both LOCF resample forms (batch + streaming twin) —
+    * a shared definition cannot drift. */
+  private val resampleSql: String =
+    "WITH ev AS (SELECT user_id, ts, max_by(value, event_id) AS value " +
+      "FROM events GROUP BY user_id, ts), " +
+      "b AS (SELECT user_id, date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS lo, " +
+      "date_trunc('hour', max(ts)) AS hi FROM events GROUP BY user_id), " +
+      "g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h " +
+      "FROM b WHERE lo <= hi) " +
+      "SELECT g.user_id, g.h, round(e.value, 2) AS value FROM g " +
+      "ASOF JOIN ev e ON g.user_id = e.user_id AND g.h >= e.ts"
+
   private val sampleThreshEn = math.floor(0.25 * TextOps.P).toLong
   private val sampleThreshDefault = math.floor(0.75 * TextOps.P).toLong
 
@@ -1217,15 +1252,8 @@ object TrainingQueries {
     "json_extract_props" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events"),
-    "resample_ffill" ->
-      ("WITH ev AS (SELECT user_id, ts, max_by(value, event_id) AS value " +
-        "FROM events GROUP BY user_id, ts), " +
-        "b AS (SELECT user_id, date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS lo, " +
-        "date_trunc('hour', max(ts)) AS hi FROM events GROUP BY user_id), " +
-        "g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h " +
-        "FROM b WHERE lo <= hi) " +
-        "SELECT g.user_id, g.h, round(e.value, 2) AS value FROM g " +
-        "ASOF JOIN ev e ON g.user_id = e.user_id AND g.h >= e.ts"),
+    "resample_ffill" -> resampleSql,
+    "resample_ffill_stream" -> resampleSql,
     "pack_sequences" ->
       ("WITH " + tokCte("documents") + ", " +
         "nt AS (SELECT doc_id, len(t) AS ntok FROM tok WHERE len(t) > 0), " +
