@@ -125,6 +125,47 @@ class CheckpointRestartSpec extends AnyFunSuite
     assert(streamed.view.filterKeys(_ >= 100L).toMap == expectedKeepers)
   }
 
+  test("resample stream resumes from checkpoint: grid hours emitted after restart carry pre-restart values") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = ResampleStream.HourUs
+    // key 1: value 1.5 set pre-restart; every later event arrives
+    // post-restart, so grid hours 1..3 are emitted by the restarted query
+    // and hour 1's value (1.5) is provable only from checkpointed state
+    val pre = Seq(ResampleStream.RsEv(1L, 5L * 60 * 1000000, 10L, 1.5))
+    val post = Seq(
+      ResampleStream.RsEv(1L, H + 40L * 60 * 1000000, 11L, 2.5),
+      ResampleStream.RsEv(1L, 3 * H + 1L, 12L, 3.5))
+    val all = pre ++ post
+
+    val src = MemoryStream[ResampleStream.RsEv]
+    val cp = tmpDir("rs")
+    val outDir = tmpDir("rs-out")
+    def start() =
+      ResampleStream.resampleStream(src.toDS())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+    val q1 = start()
+    src.addData(pre)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    src.addData(post)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.distinct.size == streamed.size,
+      "restart must not duplicate grid rows")
+    // batch reference over the final data
+    val want = Set((1L, H, 1.5), (1L, 2 * H, 2.5), (1L, 3 * H, 2.5))
+    assert(streamed.toSet == want)
+    assert(all.size == 3) // fixture shape guard
+  }
+
   test("native stream-stream interval join resumes from checkpoint") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
