@@ -787,12 +787,15 @@ object TrainingQueries {
         "doc_id", "text", n = 8)),
 
     // ---- schema-on-read over the events.props JSON blob: extraction is a
-    // row-local codegen'd path expression (get_json_object), no UDF; the
-    // malformed/missing-key case degrades to NULL on both engines
+    // row-local codegen'd path expression (get_json_object), no UDF.
+    // try_cast, not cast: under ANSI a non-integer k would throw; with
+    // try_cast malformed JSON, a missing key, and a non-integer k all
+    // degrade to NULL — and the oracle mirrors each case (json_valid
+    // guard + TRY_CAST) instead of hard-erroring the whole sweep
     "json_extract_props" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))),
 
     // ---- time-series resample + forward fill (LOCF): per-user hourly
     // grid (first full hour → last truncated hour), each grid point takes
@@ -823,22 +826,31 @@ object TrainingQueries {
 
     // ---- streaming LOCF twin: the grid rows are SYNTHESIZED from O(1)
     // per-key state in flatMapGroupsWithState (the Flink-timer pattern —
-    // emitted rows the input never contained), event-driven so no
-    // sentinel is needed; gated against the SAME oracle as the batch form
+    // emitted rows the input never contained). Hours strictly below an
+    // arrival flush event-driven; exact-boundary hours are finalized by
+    // the event-time timeout (a same-ts larger-tie twin may still arrive),
+    // which also evicts the key — so the far-future sentinels both advance
+    // the watermark and run the timed-out keys. Gated against the SAME
+    // oracle as the batch form
     "resample_ffill_stream" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.ResampleStream
       val evs = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id").as("key"),
-          unix_micros(col("ts").cast("timestamp")).as("tsUs"),
-          col("event_id").as("tie"), col("value"))
-        .as[ResampleStream.RsEv].collect()
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"), col("value"))
+        .collect()
+        .map(r => ResampleStream.ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .sortBy(e => (e.tsUs, e.tie))
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ResampleStream.RsEv]
-      val out = ResampleStream.resampleStream(src.toDS()).toDF()
-      SparkEntry.streamReplay(s, src, out, evs.toIndexedSeq, Nil,
+      val out = ResampleStream.resampleStream(
+        src.toDS().withWatermark("ts", "1 millisecond")).toDF()
+      val farUs = if (evs.isEmpty) 3600000000L else evs.last.tsUs + 3600000000L
+      SparkEntry.streamReplay(s, src, out, evs.toIndexedSeq,
+          Seq(ResampleStream.ev(-1L, farUs, -1L, 0.0),
+            ResampleStream.ev(-1L, farUs + 1000000L, -2L, 0.0)),
           "append", "graft_rs_stream")
+        .where(col("key") =!= -1L)
         .select(col("key").as("user_id"),
           timestamp_micros(col("hUs")).cast("timestamp_ntz").as("h"),
           round(col("value"), 2).as("value"))
@@ -881,8 +893,6 @@ object TrainingQueries {
     })
   )
 
-  /** The sampling entry's per-stratum integer thresholds — ONE scala
-    * expression feeds both engines so they cannot drift. */
   /** ONE oracle for both LOCF resample forms (batch + streaming twin) —
     * a shared definition cannot drift. */
   private val resampleSql: String =
@@ -895,6 +905,8 @@ object TrainingQueries {
       "SELECT g.user_id, g.h, round(e.value, 2) AS value FROM g " +
       "ASOF JOIN ev e ON g.user_id = e.user_id AND g.h >= e.ts"
 
+  /** The sampling entry's per-stratum integer thresholds — ONE scala
+    * expression feeds both engines so they cannot drift. */
   private val sampleThreshEn = math.floor(0.25 * TextOps.P).toLong
   private val sampleThreshDefault = math.floor(0.75 * TextOps.P).toLong
 
@@ -1250,8 +1262,9 @@ object TrainingQueries {
         "CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_spans " +
         "FROM documents LEFT JOIN tt USING (doc_id) LEFT JOIN pd USING (doc_id)"),
     "json_extract_props" ->
-      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
-        "FROM events"),
+      ("SELECT event_id, CASE WHEN props IS NULL OR NOT json_valid(props) " +
+        "THEN NULL ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) " +
+        "END AS k FROM events"),
     "resample_ffill" -> resampleSql,
     "resample_ffill_stream" -> resampleSql,
     "pack_sequences" ->

@@ -446,7 +446,11 @@ object Dedup {
     val spansArr = when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => array_join(slice(t, i + 1, lit(n)), " ")))
+    // localCheckpoint: the span explode (n-token array_join per position
+    // per doc, the dominant cost) feeds THREE aggregations below — same
+    // shared-subtree discipline as the other candidate generators here
     val spans = docs.select(col(idCol).as("doc_id"), explode(spansArr).as("span"))
+      .localCheckpoint()
     // spans seen in >= 2 distinct docs; count(distinct) partial-aggregates
     val dup = spans.groupBy("span")
       .agg(countDistinct("doc_id").as("nd"))

@@ -36,7 +36,10 @@ object Packing {
   def prefixSumByOrder(df: DataFrame, order: Seq[Column], weightCol: String,
                        outCol: String,
                        windowMaxRows: Long = graft.sources.Layout.defaultWindowMaxRows): DataFrame = {
-    val d = df.localCheckpoint()
+    // weight normalized to LongType up front: both paths then emit the
+    // same schema, and the scan path's getLong cannot hit a narrower
+    // integral type that the window path would have silently widened
+    val d = df.withColumn(weightCol, col(weightCol).cast(LongType)).localCheckpoint()
     if (d.count() <= windowMaxRows) {
       val w = Window.orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -49,21 +52,26 @@ object Packing {
       val wIdx = sorted.schema.fieldIndex(weightCol)
       val rdd = sorted.rdd
       rdd.persist()
-      // pass 1: per-partition totals — O(#partitions) rows to the driver
-      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((pid, s))
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = totals.scanLeft(0L)(_ + _) // exclusive: offsets(pid)
-      val bc = spark.sparkContext.broadcast(offsets)
-      // pass 2: local scan seeded by the partition's global offset
-      val schema = sorted.schema.add(outCol, LongType)
-      val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var acc = bc.value(pid)
-        it.map { r =>
-          val out = Row.fromSeq(r.toSeq :+ acc); acc += r.getLong(wIdx); out
+      try {
+        // pass 1: per-partition totals — O(#partitions) rows to the driver
+        val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+          var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((pid, s))
+        }.collect().sortBy(_._1).map(_._2)
+        val offsets = totals.scanLeft(0L)(_ + _) // exclusive: offsets(pid)
+        val bc = spark.sparkContext.broadcast(offsets)
+        // pass 2: local scan seeded by the partition's global offset
+        val schema = sorted.schema.add(outCol, LongType)
+        val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+          var acc = bc.value(pid)
+          it.map { r =>
+            val out = Row.fromSeq(r.toSeq :+ acc); acc += r.getLong(wIdx); out
+          }
         }
-      }
-      spark.createDataFrame(rows, schema)
+        // materialize before unpersisting (the finally below): the result
+        // re-reads `rdd` once, and the cached sorted copy must not outlive
+        // this call (the rest of the codebase pairs persist with unpersist)
+        spark.createDataFrame(rows, schema).localCheckpoint()
+      } finally rdd.unpersist(blocking = false)
     }
   }
 

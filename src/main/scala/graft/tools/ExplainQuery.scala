@@ -8,6 +8,12 @@ import org.apache.spark.sql.execution.ExplainMode
   * joins, missing pushdown, and broken whole-stage codegen before a query
   * is declared scale-ready.
   *
+  * AQE is DISABLED here on purpose: an unexecuted AdaptiveSparkPlan prints
+  * only its initial plan, so auditing the string with AQE on would miss
+  * AQE-introduced shapes entirely (and AQE coalescing a tiny local shuffle
+  * to one partition is a small-data artifact, not the scale property under
+  * audit). The static plan is the audit object.
+  *
   * args: <sfDir> <name[,name...]> [mode]   (mode: formatted|extended|cost) */
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
@@ -16,6 +22,7 @@ object ExplainQuery {
     val mode = ExplainMode.fromString(if (args.length > 2) args(2) else "formatted")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

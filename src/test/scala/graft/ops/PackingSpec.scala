@@ -67,6 +67,18 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(run(Long.MaxValue) === run(0L)) // 0 forces the distributed scan
   }
 
+  test("prefix-sum accepts a non-Long integral weight on BOTH paths") {
+    import spark.implicits._
+    // an IntegerType weight: the window path widens silently, so the scan
+    // path must normalize rather than ClassCastException at 10^7+ rows
+    val df = (0L until 50L).map(i => (i, (i % 5 + 1).toInt)).toDF("doc_id", "w")
+    def run(maxRows: Long) =
+      Packing.prefixSumByOrder(df, Seq(col("doc_id").asc), "w", "start",
+          windowMaxRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(Long.MaxValue) === run(0L))
+  }
+
   test("packSequences identical across the plan switch") {
     import spark.implicits._
     val df = fixture.toDF("doc_id", "text")

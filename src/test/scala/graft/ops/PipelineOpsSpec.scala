@@ -101,19 +101,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---------------- json_extract_props ----------------
 
-  test("get_json_object extraction degrades to NULL on malformed/missing") {
+  test("get_json_object extraction degrades to NULL on malformed/missing/non-integer") {
     import spark.implicits._
+    // the gate's exact expression: try_cast, so a non-integer k degrades
+    // instead of throwing under ANSI
     val df = Seq(
       (0L, """{"k": 42}"""),
-      (1L, """{"j": 1}"""),      // key absent
-      (2L, "not json"),           // malformed
-      (3L, null.asInstanceOf[String]))
+      (1L, """{"j": 1}"""),       // key absent
+      (2L, "not json"),            // malformed
+      (3L, null.asInstanceOf[String]),
+      (4L, """{"k": "abc"}"""),   // non-numeric k
+      (5L, """{"k": 1.5}"""))     // non-integer k
       .toDF("event_id", "props")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
     val got = df.collect().map(r =>
       (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(got === Map(0L -> Some(42L), 1L -> None, 2L -> None, 3L -> None))
+    assert(got === Map(0L -> Some(42L), 1L -> None, 2L -> None, 3L -> None,
+      4L -> None, 5L -> None))
   }
 
   // ---------------- resample_ffill ----------------

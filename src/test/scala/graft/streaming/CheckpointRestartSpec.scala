@@ -132,17 +132,18 @@ class CheckpointRestartSpec extends AnyFunSuite
     // key 1: value 1.5 set pre-restart; every later event arrives
     // post-restart, so grid hours 1..3 are emitted by the restarted query
     // and hour 1's value (1.5) is provable only from checkpointed state
-    val pre = Seq(ResampleStream.RsEv(1L, 5L * 60 * 1000000, 10L, 1.5))
+    val pre = Seq(ResampleStream.ev(1L, 5L * 60 * 1000000, 10L, 1.5))
     val post = Seq(
-      ResampleStream.RsEv(1L, H + 40L * 60 * 1000000, 11L, 2.5),
-      ResampleStream.RsEv(1L, 3 * H + 1L, 12L, 3.5))
+      ResampleStream.ev(1L, H + 40L * 60 * 1000000, 11L, 2.5),
+      ResampleStream.ev(1L, 3 * H + 1L, 12L, 3.5))
     val all = pre ++ post
 
     val src = MemoryStream[ResampleStream.RsEv]
     val cp = tmpDir("rs")
     val outDir = tmpDir("rs-out")
     def start() =
-      ResampleStream.resampleStream(src.toDS())
+      ResampleStream.resampleStream(
+          src.toDS().withWatermark("ts", "1 millisecond"))
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", cp).outputMode("append").start()
 
