@@ -138,7 +138,8 @@ object Bench {
     val names = Seq("wco_triangle", "wco_cycle3", "wco_triangle_count",
       "wco_clique4_ordered", "seed_k4_count",
       "minhash_lsh_pairs", "minhash_lsh_pairs_fast",
-      "ann_cosine_topk", "ngram_jaccard_pairs", "window_session", "dedup_exact")
+      "ann_cosine_topk", "ngram_jaccard_pairs", "ngram_jaccard_pairs_fast",
+      "window_session", "dedup_exact")
     // production-hash (xxhash64) variant of the oracle-gated portable query;
     // measured here so the portable-vs-fast cost is visible side by side
     val extra: Map[String, (SparkSession, String) => DataFrame] = Map(

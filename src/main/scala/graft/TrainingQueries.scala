@@ -305,6 +305,14 @@ object TrainingQueries {
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsAuto(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    // production-hash twin: xxhash64 index keys (8-byte shuffle keys
+    // through the index, self-join, and df aggregation instead of ~20-byte
+    // strings); SAME oracle as the string form — identical output or the
+    // hash gate fails
+    "ngram_jaccard_pairs_fast" -> ((s, dir) =>
+      Dedup.jaccardPairsAuto(docs2(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
+          hashKeys = true)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     // document-frequency cut: the corpus-wide planted phrase is dropped
     // from the inverted index, so the hot shingle never joins (stats are
     // computed over the surviving shingles, so the cut bucket doesn't sway
@@ -893,6 +901,18 @@ object TrainingQueries {
     })
   )
 
+  /** ONE oracle for both exact-Jaccard forms (portable string keys and
+    * xxhash64 index keys) — the fast variant must reproduce the string
+    * result bit for bit. */
+  private val jaccardSql: String =
+    docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
+      "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
+      "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
+      "count(*) AS inter FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2, 3, 4) " +
+      "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+      "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"
+
   /** ONE oracle for both LOCF resample forms (batch + streaming twin) —
     * a shared definition cannot drift. */
   private val resampleSql: String =
@@ -1162,14 +1182,11 @@ object TrainingQueries {
         "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
     "ann_ivf_kmeans_topk" -> kmeansIvfOracle(nCells = 8, nProbe = 2, k = 5,
       iters = 2, dim = 64, nQueries = 20),
-    "ngram_jaccard_pairs" ->
-      (docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
-        "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
-        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
-        "count(*) AS inter FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2, 3, 4) " +
-        "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
-        "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"),
+    "ngram_jaccard_pairs" -> jaccardSql,
+    // the hashed-key fast variant must reproduce the EXACT string-keyed
+    // result — the oracle is shared, so an xxhash64 collision that changed
+    // any intersection would hash-mismatch the gate
+    "ngram_jaccard_pairs_fast" -> jaccardSql,
     "ngram_jaccard_pairs_capped" ->
       (docs3Cte + ", " + tokCte("docs3") + ", " + shCte + ", " +
         "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +

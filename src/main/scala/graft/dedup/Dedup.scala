@@ -128,19 +128,32 @@ object Dedup {
     * usual df-cut trade, mirrored exactly by the driver oracle. 0 = exact
     * (no cut). */
   /** (id, nsh, s) inverted index of distinct n-shingles — the shared input
-    * of both exact-Jaccard algorithms and the shape measurement. */
+    * of both exact-Jaccard algorithms and the shape measurement.
+    *
+    * `hashKeys` swaps the string shingle for its FULL-WIDTH xxhash64 (not
+    * mod P — folding 10^4+ distinct shingles into 10^6 buckets would
+    * produce real birthday collisions and wrong intersections; at 64 bits
+    * the collision odds are ~2^-64 per pair): ~20-byte string shuffle keys
+    * become 8-byte longs through the index checkpoint, the self-join, and
+    * the df aggregation. Distinctness per doc is preserved w.h.p., so df
+    * counts, both algorithms' outputs, and the shape stats are unchanged —
+    * the production-hash swap every signature family here documents, made
+    * concrete for the exact-Jaccard path. */
   private def invIndex(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+                       n: Int, hashKeys: Boolean = false): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
       .select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    if (hashKeys) raw.withColumn("s", xxhash64(col("s"))) else raw
+  }
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleFreq: Long = 0L): DataFrame =
+                   maxShingleFreq: Long = 0L,
+                   hashKeys: Boolean = false): DataFrame =
     // materialized once (localCheckpoint — not persist, see minhashPairs):
     // the inverted index feeds both join sides
-    jaccardPairsOnInv(invIndex(docs, idCol, textCol, n).localCheckpoint(),
+    jaccardPairsOnInv(invIndex(docs, idCol, textCol, n, hashKeys).localCheckpoint(),
       None, threshold, maxShingleFreq)
 
   private def jaccardPairsOnInv(invAll: DataFrame, dfcAll: Option[DataFrame],
@@ -320,12 +333,13 @@ object Dedup {
     * so the pick is a pure plan decision, like Catalyst choosing a join. */
   def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxShingleFreq: Long = 0L): DataFrame = {
+                       maxShingleFreq: Long = 0L,
+                       hashKeys: Boolean = false): DataFrame = {
     // ONE materialized inverted index + df table serve the measurement AND
     // the chosen algorithm — the pick costs two tiny aggregations plus one
     // heavy-set pass, not a rebuild of the index (measured: the rebuild
     // form added ~60% to ngram_jaccard_pairs at sf0.1)
-    val inv = invIndex(docs, idCol, textCol, n).localCheckpoint()
+    val inv = invIndex(docs, idCol, textCol, n, hashKeys).localCheckpoint()
     val dfcAll = inv.groupBy("s").agg(count(lit(1)).as("_df")).localCheckpoint()
     val stats = jaccardStatsOnInv(inv, dfcAll, heavyDf = 16L, maxShingleFreq)
     val pick = chooseJaccardStrategy(stats, threshold)

@@ -75,6 +75,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("xxhash64 index keys reproduce the string-keyed jaccard exactly") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      corpus.map { case (id, t) => Row(id, t) }.asJava, docSchema)
+    for (cap <- Seq(0L, 5L)) {
+      val hashed = Dedup.jaccardPairs(df, "id", "text", n = 3, threshold = 0.3,
+          maxShingleFreq = cap, hashKeys = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(hashed == run(cap), s"cap=$cap")
+    }
+  }
+
   test("auto strategy: regime picks + identical output on all three shapes") {
     import scala.jdk.CollectionConverters._
     def mk(rows: Seq[(Long, String)]) = spark.createDataFrame(
