@@ -878,6 +878,13 @@ object TrainingQueries {
     "epoch_shuffle" -> ((s, dir) =>
       graft.ops.Packing.epochShuffle(docs(s, dir), "doc_id", seed = 1L)),
 
+    // ---- shuffle→pack composition: the dataloader's real order — pack
+    // the SHUFFLED epoch (seed 1), not doc_id order. One flag on the same
+    // kernel; the oracle re-derives the same hash order in SQL
+    "pack_shuffled" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 256, shuffleSeed = Some(1L))),
+
     // ---- token-rarity scoring: the integer-exact unigram-perplexity
     // proxy (rank-by-corpus-frequency instead of float log-probs, so the
     // gate is hash-exact). Histogram → size-gated rank → one dict join
@@ -1300,6 +1307,19 @@ object TrainingQueries {
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         s"(doc_id * ${graft.ops.Packing.shuffleMultiplier(1L)} + 54321) " +
         "% 2147483647, doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents"),
+    "pack_shuffled" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "nt AS (SELECT doc_id, len(t) AS ntok FROM tok WHERE len(t) > 0), " +
+        "c AS (SELECT doc_id, ntok, CAST(coalesce(sum(ntok) OVER (ORDER BY " +
+        s"(doc_id * ${graft.ops.Packing.shuffleMultiplier(1L)} + 54321) % 2147483647, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0 FROM nt), " +
+        "p AS (SELECT doc_id, ntok, s0, unnest(generate_series(s0 // 256, " +
+        "(s0 + ntok - 1) // 256)) AS pack_id FROM c) " +
+        "SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id, " +
+        "CAST(least((pack_id + 1) * 256, s0 + ntok) - greatest(pack_id * 256, s0) " +
+        "AS BIGINT) AS pack_tokens, " +
+        "CAST(greatest(pack_id * 256, s0) - pack_id * 256 AS BIGINT) AS offset_in_pack " +
+        "FROM p"),
     "pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
         "THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || " +

@@ -90,14 +90,27 @@ object Packing {
     * oracle replays it exactly. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int,
-                    windowMaxRows: Long = graft.sources.Layout.defaultWindowMaxRows): DataFrame = {
+                    windowMaxRows: Long = graft.sources.Layout.defaultWindowMaxRows,
+                    shuffleSeed: Option[Long] = None): DataFrame = {
     require(budget > 0, s"pack budget $budget must be positive")
-    val nt = docs
+    val ntPlain = docs
       .select(col(idCol).as("doc_id"),
         TextOps.tokenCount(col(textCol)).as("ntok"))
       .where(col("ntok") > 0)
-    val started = prefixSumByOrder(nt, Seq(col("doc_id").asc), "ntok", "start",
-      windowMaxRows)
+    // shuffleSeed composes the epoch shuffle INTO the pack: the
+    // concatenation order becomes the seeded permutation (what a real
+    // dataloader feeds the model), same [[shuffleMultiplier]] hash as
+    // [[epochShuffle]] so the two gates share one definition
+    val (nt, order) = shuffleSeed match {
+      case None => (ntPlain, Seq(col("doc_id").asc))
+      case Some(seed) =>
+        (ntPlain.withColumn("_h",
+          pmod(col("doc_id") * lit(shuffleMultiplier(seed)) + lit(54321L),
+            lit(2147483647L))),
+          Seq(col("_h").asc, col("doc_id").asc))
+    }
+    val started = prefixSumByOrder(nt, order, "ntok", "start", windowMaxRows)
+      .drop("_h")
     val b = lit(budget.toLong)
     val firstPack = expr(s"start DIV ${budget}L")
     val lastPack = expr(s"(start + ntok - 1) DIV ${budget}L")

@@ -89,6 +89,35 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(run(Long.MaxValue) === run(0L))
   }
 
+  test("shuffled packing == brute force over the seeded permutation order") {
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    val nt = fixture.map { case (id, t) =>
+      (id, t.trim.split("\\s+").count(_.nonEmpty).toLong) }.filter(_._2 > 0)
+    val a = Packing.shuffleMultiplier(1L)
+    def h(id: Long) = Math.floorMod(id * a + 54321L, 2147483647L)
+    // brute force: cumulate in (hash, id) order, then slice into packs
+    var start = 0L
+    val want = nt.sortBy { case (id, _) => (h(id), id) }.flatMap { case (id, n) =>
+      val s0 = start; start += n
+      (s0 / 8 to (s0 + n - 1) / 8).map { p =>
+        val lo = math.max(p * 8, s0); val hi = math.min((p + 1) * 8, s0 + n)
+        (id, p, hi - lo, lo - p * 8)
+      }
+    }.toSet
+    val got = Packing.packSequences(df, "doc_id", "text", budget = 8,
+        shuffleSeed = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // the composition genuinely reorders: some doc's pack assignment
+    // differs from the doc_id-ordered packing
+    val plain = Packing.packSequences(df, "doc_id", "text", budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got !== plain, "seeded order must change the packing")
+  }
+
   test("scan-path plans carry no single-partition exchange") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, i % 7 + 1)).toDF("doc_id", "ntok")
