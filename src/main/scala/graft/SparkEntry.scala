@@ -37,6 +37,13 @@ object SparkEntry {
 
   val edgesCte: String = edgesCteM(K)
 
+  /** DuckDB twin of [[eventTranscripts]] — the transcript table derived
+    * from events with the identical stable (ts, event_id) turn ranking. */
+  private val transcriptsCte =
+    "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
+      "event_type AS role, props AS text FROM events)"
+
   private def motifQuery(motif: Seq[(Int, Int)], m: Long = K,
                          predicates: Seq[GenericJoin.Pred] = Nil)
                         (s: SparkSession, dir: String): DataFrame =
@@ -88,6 +95,20 @@ object SparkEntry {
           col("event_id"), col("event_type"))
         .as[WEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
     })
+
+  /** The north rule's transcript table derived from the events stream
+    * table: conv_id = user, stable turn_idx = per-user (ts, event_id) rank,
+    * role = event_type, text = props — same derivation DuckDB replays in
+    * the transcript_* oracles. The rank window partitions by user, so it
+    * scales horizontally (one conversation per task group). */
+  private def eventTranscripts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("turn_idx", row_number().over(w))
+      .select(col("user_id").cast("string").as("conv_id"), col("turn_idx"),
+        col("event_type").as("role"), col("props").as("text"))
+  }
 
   /** THE memory-source replay protocol, shared by every streaming driver
     * gate (CEP, dedup, windows, sketch): feed `rows` in ~4 ordered
@@ -450,6 +471,12 @@ object SparkEntry {
     "wco_cycle4_count" -> ((s, dir) =>
       motifQuery(Planner.cycle4)(s, dir).agg(
         count(lit(1)).as("n"), coalesce(sum("w"), lit(0L)).as("total"))),
+    // diamond (K4 minus one edge — two triangles sharing an edge), count
+    // form on the fast engine: a second non-clique 4-var family alongside
+    // the 4-cycle, keeping enumerateAgg gated on a plan whose stages mix
+    // 1- and 2-constraint extensions
+    "wco_diamond_count" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerateAgg(edges(s, dir), Planner.diamond)),
     // composite-key triangle-seeded K4 (reference examples/seed.rs mode);
     // binding set must equal the clique4 oracle
     "seed_k4" -> ((s, dir) => graft.batch.SeedQueries.seededK4(edges(s, dir))),
@@ -613,6 +640,47 @@ object SparkEntry {
     // flatMapGroupsWithState retraction kernel with a held-back late-turn
     // cohort (turnIdx % 5 == 2) whose bridging edges must retract cleanly
     "adjacency_lag_stream" -> adjacencyLagStream _,
+
+    // ---- chat→document rendering (the north rule's per-turn-text-equality
+    // invariant as a gate): each conversation flattened to ONE training doc
+    // with pieces concatenated under stable (conv_id, turn_idx) order — a
+    // reordered, dropped or duplicated turn anywhere breaks the doc hash
+    "transcript_render" -> ((s, dir) =>
+      graft.transcripts.TranscriptDocs.render(eventTranscripts(s, dir))),
+    // per-conversation role-alternation validation (lag window partitioned
+    // by conv_id — no single-partition funnel)
+    "transcript_roles" -> ((s, dir) =>
+      graft.transcripts.TranscriptDocs.roleStats(eventTranscripts(s, dir))),
+
+    // ---- STREAMING exact turn dedup: Spark's dropDuplicatesWithinWatermark
+    // driven end to end with PLANTED duplicate deliveries — every
+    // event_id % 7 == 3 row arrives twice in the same micro-batch and every
+    // event_id % 11 == 5 row is re-delivered in a final late batch after
+    // everything else; the appended sink must still equal the batch
+    // distinct. The watermark delay (90d > the 30d data span) is what
+    // BOUNDS the dedup state at scale — state for keys older than the
+    // watermark is dropped, which is exactly the at-least-once→exactly-once
+    // window a 10^12-turn redelivery source actually needs
+    "dedup_turns_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = wEvents(s, dir)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+      val out = src.toDS().toDF()
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val rows = evs.iterator.flatMap(e =>
+        if (e.event_id % 7 == 3) Iterator(e, e) else Iterator(e)).toIndexedSeq
+      val lateDups = evs.filter(_.event_id % 11 == 5).toIndexedSeq
+      if (evs.isEmpty)
+        s.emptyDataset[(Long, Long, String, Long)]
+          .toDF("event_id", "user_id", "event_type", "ts_us")
+      else
+        streamReplay(s, src, out, rows, Nil, "append", "graft_ddw",
+          lateBatch = lateDups)
+    }),
 
     // ---- as-of join (temporal): for every click, the latest view at or
     // before it per user — ONE keyed sort + running last(ignoreNulls), no
@@ -935,6 +1003,12 @@ object SparkEntry {
       (s"$edgesCte SELECT count(*) AS n, CAST(count(*) AS BIGINT) AS total FROM " +
         "(SELECT e0.src FROM edges e0, edges e1, edges e2, edges e3 " +
         "WHERE e1.src = e0.dst AND e2.src = e1.dst AND e3.src = e2.dst AND e3.dst = e0.src)"),
+    // diamond (0,1),(0,2),(1,2),(1,3),(2,3): x0=e0.src x1=e0.dst x2=e1.dst x3=e3.dst
+    "wco_diamond_count" ->
+      (s"$edgesCte SELECT count(*) AS n, CAST(count(*) AS BIGINT) AS total FROM " +
+        "(SELECT e0.src FROM edges e0, edges e1, edges e2, edges e3, edges e4 " +
+        "WHERE e1.src = e0.src AND e2.src = e0.dst AND e2.dst = e1.dst " +
+        "AND e3.src = e0.dst AND e4.src = e1.dst AND e4.dst = e3.dst)"),
     "seed_k4" -> motifOracle(Planner.clique4),
     "seed_k4_count" ->
       (edgesCte + ", tri AS MATERIALIZED (SELECT e0.src AS a, e0.dst AS b, e1.dst AS c " +
@@ -1067,6 +1141,21 @@ object SparkEntry {
         "WHERE tag = 'signup' AND (next_b_us IS NULL OR next_b_us > epoch_us(ts) + CAST(86400 AS BIGINT) * 1000000)"),
     "adjacency_lag" -> adjacencyLagOracle,
     "adjacency_lag_stream" -> adjacencyLagOracle,
+    "transcript_render" ->
+      (transcriptsCte + " SELECT conv_id, count(*) AS n_turns, " +
+        "string_agg(coalesce(role, '') || ':' || coalesce(text, ''), chr(10) " +
+        "ORDER BY turn_idx) AS doc FROM t GROUP BY conv_id"),
+    "transcript_roles" ->
+      (transcriptsCte + ", l AS (SELECT conv_id, role, lag(role) OVER " +
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS prev_role FROM t) " +
+        "SELECT conv_id, count(*) AS n_turns, " +
+        "CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats " +
+        "FROM l GROUP BY conv_id"),
+    // the dedup'd stream must converge to exactly the batch relation
+    // (event_id is unique in the source; every duplicate is planted by the
+    // entry's delivery schedule)
+    "dedup_turns_stream" ->
+      "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events",
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"),

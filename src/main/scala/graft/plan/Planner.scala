@@ -135,4 +135,8 @@ object Planner {
   val cycle4: Seq[(Int, Int)] = Seq((0, 1), (1, 2), (2, 3), (3, 0))
   /** "Clique with hat" q6-style 5-var motif: K4 on {0,1,2,3} plus edge (0,4). */
   val cliqueHat: Seq[(Int, Int)] = clique4 ++ Seq((0, 4))
+  /** Diamond: K4 minus the (0,3) edge — two triangles sharing edge (1,2).
+    * The classic chordal-4-cycle motif (same arbitrary-edge-list planner
+    * path as the reference's plan_query, /root/reference/src/motif.rs:239-266). */
+  val diamond: Seq[(Int, Int)] = Seq((0, 1), (0, 2), (1, 2), (1, 3), (2, 3))
 }

@@ -1,0 +1,64 @@
+package graft.transcripts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Turn-level document operations over the north rule's transcript table
+  * (conv_id, turn_idx, role, text, …) — the "per-turn text equality under
+  * stable (conv_id, turn_idx) ordering" invariant (BASELINE.json
+  * input_hint) made executable:
+  *
+  *  - [[render]] flattens each conversation into ONE training document with
+  *    the turns concatenated in turn_idx order — the chat→document step of
+  *    an LLM training pipeline. A single hash-partitioned groupBy on
+  *    conv_id; the per-group payload is one conversation (bounded by max
+  *    turns × max text, never by corpus size), so the shuffle is the only
+  *    cost and it scales horizontally to 10^12 turns. Ordering does NOT
+  *    rely on `collect_list` order (undefined under retries/AQE): each
+  *    piece carries its turn_idx and `array_sort` on (turn_idx, piece)
+  *    structs restores the stable order inside the group, deterministically
+  *    at any parallelism.
+  *
+  *  - [[roleStats]] validates turn ordering per conversation: counts
+  *    adjacent turns with the same role (alternation violations) via a
+  *    conv-partitioned lag window — each conversation ranks inside its own
+  *    task, nothing funnels through one partition.
+  *
+  * Reference: the per-turn ordering contract is the reference's epoch/order
+  * guarantee on streamed tuples (/root/reference/src/lib.rs:120-156
+  * extend_using prefix streams keep input order); here it is a first-class
+  * relational op rather than a property of the dataflow runtime.
+  */
+object TranscriptDocs {
+
+  /** "role:text" with SQL-null role/text rendered as '' (concat_ws would
+    * silently drop a null operand AND its separator — coalesce first so
+    * the DuckDB `coalesce(x,'') || ':' || coalesce(y,'')` twin matches). */
+  private def piece(role: Column, text: Column): Column =
+    concat_ws(":", coalesce(role, lit("")), coalesce(text, lit("")))
+
+  /** One row per conversation: (conv_id, n_turns, doc) where doc is the
+    * turn pieces joined by `sep` in ascending turn_idx order. */
+  def render(t: DataFrame, sep: String = "\n"): DataFrame =
+    t.select(col("conv_id"),
+        struct(col("turn_idx"), piece(col("role"), col("text")).as("p")).as("tp"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(array_sort(collect_list(col("tp"))), x => x("p")),
+          sep).as("doc"))
+
+  /** Per-conversation alternation stats: n_turns and n_repeats = count of
+    * turns whose role equals the previous turn's role (standard SQL `=`
+    * null semantics: a null role never counts as a repeat — matches the
+    * DuckDB twin's CASE WHEN role = prev THEN 1 form). */
+  def roleStats(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t.withColumn("prev_role", lag("role", 1).over(w))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_repeats"))
+  }
+}

@@ -59,6 +59,20 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
     check(Planner.cycle3, Nil, randomEdges(35, 500, 11L), parts = 3)
   }
 
+  test("batch fast == sql: diamond (mixed 1- and 2-constraint stages)") {
+    // K4 minus (0,3): stage for x2 has two constraints, stage for x3 has
+    // two but from non-seed attrs — a shape no clique/cycle test covers
+    check(Planner.diamond, Nil, randomEdges(35, 550, 53L), parts = 4)
+  }
+
+  test("enumerateAgg diamond matches full enumeration") {
+    val e = df(randomEdges(30, 500, 59L))
+    val full = GenericJoin.enumerate(e, Planner.diamond).collect()
+    val row = FastBatch.enumerateAgg(e, Planner.diamond, numParts = 3).collect()(0)
+    assert(row.getLong(0) == full.length)
+    assert(row.getLong(1) == full.map(r => r.getLong(r.length - 1)).sum)
+  }
+
   test("batch fast == sql: clique4 (two extension levels)") {
     check(Planner.clique4, Nil, randomEdges(25, 500, 13L), parts = 4)
   }

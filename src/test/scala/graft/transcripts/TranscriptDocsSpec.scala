@@ -1,0 +1,65 @@
+package graft.transcripts
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Brute-force gates for the chat→document render and the role-alternation
+  * stats, on a planted fixture that is non-vacuous in both directions:
+  * out-of-order input rows MUST be restored by turn_idx (a sort-free render
+  * would emit a different doc), convs exist with and without alternation
+  * violations, and null role/text exercise the coalesce seams. */
+class TranscriptDocsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType)))
+
+  // conv a: alternating, delivered REVERSED (render must reorder);
+  // conv b: user,user,assistant — one repeat; null text on one turn;
+  // conv c: single turn with null role
+  private val turns = Seq(
+    ("a", 3, "user", "t3"), ("a", 2, "assistant", "t2"), ("a", 1, "user", "t1"),
+    ("b", 1, "user", "hi"), ("b", 2, "user", null), ("b", 3, "assistant", "yo"),
+    ("c", 1, null, "solo"))
+
+  private def df(parts: Int) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      turns.map(t => Row(t._1, t._2, t._3, t._4)).asJava, schema)
+      .repartition(parts)
+  }
+
+  test("render restores turn order, joins with separator, coalesces nulls") {
+    val got = TranscriptDocs.render(df(5)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val expect = Seq(
+      ("a", 3L, "user:t1\nassistant:t2\nuser:t3"),
+      ("b", 3L, "user:hi\nuser:\nassistant:yo"),
+      ("c", 1L, ":solo"))
+    assert(got.toSeq == expect)
+  }
+
+  test("render is parallelism-invariant") {
+    def rows(p: Int) = TranscriptDocs.render(df(p)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(rows(1) == rows(7))
+  }
+
+  test("roleStats counts adjacent same-role turns; null role never repeats") {
+    val got = TranscriptDocs.roleStats(df(3)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // b has exactly one user→user repeat; a none; c's null role counts none
+    assert(got.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L), ("c", 1L, 0L)))
+  }
+
+  test("roleStats: consecutive null roles do not count as repeats (= semantics)") {
+    import scala.jdk.CollectionConverters._
+    val d = spark.createDataFrame(Seq(
+      Row("n", 1, null, "x"), Row("n", 2, null, "y"), Row("n", 3, "user", "z"),
+      Row("n", 4, "user", "w")).asJava, schema)
+    val r = TranscriptDocs.roleStats(d).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("n", 4L, 1L)))
+  }
+}
