@@ -103,10 +103,15 @@ object SparkEntry {
     * scales horizontally (one conversation per task group). */
   private def eventTranscripts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // rank by the STRING conv_id (user_id's cast is bijective, so the rank
+    // is identical) — the downstream render/roleStats groupBy keys on
+    // conv_id too, letting ENSURE_REQUIREMENTS reuse this exchange instead
+    // of reshuffling the full turn table a second time
+    val w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     s.read.parquet(s"$dir/events.parquet")
+      .withColumn("conv_id", col("user_id").cast("string"))
       .withColumn("turn_idx", row_number().over(w))
-      .select(col("user_id").cast("string").as("conv_id"), col("turn_idx"),
+      .select(col("conv_id"), col("turn_idx"),
         col("event_type").as("role"), col("props").as("text"))
   }
 
