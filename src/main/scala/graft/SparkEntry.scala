@@ -112,7 +112,8 @@ object SparkEntry {
       .withColumn("conv_id", col("user_id").cast("string"))
       .withColumn("turn_idx", row_number().over(w))
       .select(col("conv_id"), col("turn_idx"),
-        col("event_type").as("role"), col("props").as("text"))
+        col("event_type").as("role"), col("props").as("text"),
+        col("ts")) // NTZ; stream twins cast before watermarking
   }
 
   /** THE memory-source replay protocol, shared by every streaming driver
@@ -656,6 +657,36 @@ object SparkEntry {
     // by conv_id — no single-partition funnel)
     "transcript_roles" -> ((s, dir) =>
       graft.transcripts.TranscriptDocs.roleStats(eventTranscripts(s, dir))),
+    // STREAMING twin of transcript_render: conversations assembled in
+    // flatMapGroupsWithState and finalized by event-time timeout, with a
+    // held-back late cohort (turn_idx % 5 == 2 delivered in the final
+    // chunk, after its successors) that must still land in turn order —
+    // same oracle as the batch render
+    "transcript_render_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.RenderStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val turns = eventTranscripts(s, dir)
+        .select(col("conv_id").as("convId"), col("turn_idx").as("turnIdx"),
+          concat_ws(":", coalesce(col("role"), lit("")),
+            coalesce(col("text"), lit(""))).as("piece"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[RenderStream.Turn].collect()
+        .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
+      if (turns.isEmpty) s.emptyDataset[RenderStream.RDoc].toDF()
+      else {
+        val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
+        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RenderStream.Turn]
+        val out = RenderStream.renderStream(
+          src.toDS().withWatermark("ts", "90 days")).toDF()
+        val farMs = turns.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+        def sentinel(off: Long) = RenderStream.Turn("~s", 1, "",
+          new java.sql.Timestamp(farMs + off))
+        streamReplay(s, src, out, (onTime ++ late).toIndexedSeq,
+            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_render_stream")
+          .where(col("conv_id") =!= "~s")
+      }
+    }),
 
     // ---- STREAMING exact turn dedup: Spark's dropDuplicatesWithinWatermark
     // driven end to end with PLANTED duplicate deliveries — every
@@ -1147,6 +1178,10 @@ object SparkEntry {
     "adjacency_lag" -> adjacencyLagOracle,
     "adjacency_lag_stream" -> adjacencyLagOracle,
     "transcript_render" ->
+      (transcriptsCte + " SELECT conv_id, count(*) AS n_turns, " +
+        "string_agg(coalesce(role, '') || ':' || coalesce(text, ''), chr(10) " +
+        "ORDER BY turn_idx) AS doc FROM t GROUP BY conv_id"),
+    "transcript_render_stream" ->
       (transcriptsCte + " SELECT conv_id, count(*) AS n_turns, " +
         "string_agg(coalesce(role, '') || ':' || coalesce(text, ''), chr(10) " +
         "ORDER BY turn_idx) AS doc FROM t GROUP BY conv_id"),
