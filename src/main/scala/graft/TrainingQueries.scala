@@ -209,6 +209,62 @@ object TrainingQueries {
       s" SELECT query_id, cand_id, dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $k"
   }
 
+  /** DuckDB replay of [[Embeddings.pqTopK]]: the per-subspace integer
+    * Lloyd's loops unrolled, PQ encoding as per-(id, subspace) argmin, the
+    * ADC scan as a join of codes against the query distance tables, exact
+    * integer rerank on the top `rerank·k` ADC pool. All-BIGINT except the
+    * one floor(sum/count) per mean coordinate (exact below 2^53 in both
+    * engines), so the comparison is hash-exact. */
+  private def pqOracle(m: Int, ksub: Int, k: Int, iters: Int, rerank: Int,
+                       dim: Int, nQueries: Int): String = {
+    val dsub = dim / m
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1,$dsub), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def d2full(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1,$dim), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "ei AS (SELECT vec_id AS id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS v FROM embeddings)",
+      s"sv AS (SELECT id, s, v[(s*$dsub+1):(s*$dsub+$dsub)] AS sv " +
+        s"FROM ei, generate_series(0,${m - 1}) g(s))",
+      s"ini AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS code " +
+        s"FROM (SELECT id FROM ei ORDER BY id LIMIT $ksub))",
+      "c0 AS (SELECT v.s, CAST(i.code AS BIGINT) AS code, v.sv AS cvec " +
+        "FROM sv v JOIN ini i USING (id))")
+    var prev = "c0"
+    for (it <- 1 to iters) {
+      parts += s"d$it AS (SELECT v.id, v.s, v.sv, c.code, ${d2("v.sv", "c.cvec")} AS dist " +
+        s"FROM sv v JOIN $prev c ON v.s = c.s)"
+      parts += s"a$it AS (SELECT s, code, sv FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY id, s ORDER BY dist, code) AS rn FROM d$it) WHERE rn = 1)"
+      parts += s"m$it AS (SELECT s, code, list(mm ORDER BY j) AS nvec FROM " +
+        s"(SELECT s, code, j, CAST(floor(CAST(sum(sv[j]) AS DOUBLE) / count(*)) AS BIGINT) AS mm " +
+        s"FROM a$it, generate_series(1,$dsub) g(j) GROUP BY s, code, j) GROUP BY s, code)"
+      parts += s"c$it AS (SELECT p.s, p.code, coalesce(m$it.nvec, p.cvec) AS cvec " +
+        s"FROM $prev p LEFT JOIN m$it USING (s, code))"
+      prev = s"c$it"
+    }
+    parts += s"enc AS (SELECT id, s, code FROM (SELECT v.id, v.s, c.code, " +
+      s"row_number() OVER (PARTITION BY v.id, v.s ORDER BY ${d2("v.sv", "c.cvec")}, c.code) AS rn " +
+      s"FROM sv v JOIN $prev c ON v.s = c.s) WHERE rn = 1)"
+    parts += s"dt AS (SELECT q.id AS query_id, c.s, c.code, ${d2("q.sv", "c.cvec")} AS pd " +
+      s"FROM sv q JOIN $prev c ON q.s = c.s WHERE q.id < $nQueries)"
+    parts += "adc AS (SELECT dt.query_id, e.id AS cand_id, CAST(sum(pd) AS BIGINT) AS adist " +
+      "FROM enc e JOIN dt ON e.s = dt.s AND e.code = dt.code " +
+      "WHERE dt.query_id <> e.id GROUP BY 1, 2)"
+    parts += s"pool AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS prn FROM adc) " +
+      s"WHERE prn <= ${rerank * k})"
+    parts += s"ex AS (SELECT p.query_id, p.cand_id, ${d2full("q.v", "c.v")} AS dist " +
+      s"FROM pool p JOIN ei q ON q.id = p.query_id JOIN ei c ON c.id = p.cand_id)"
+    parts += "r AS (SELECT query_id, cand_id, dist, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY dist, cand_id) AS rank FROM ex)"
+    "WITH " + parts.mkString(", ") +
+      s" SELECT query_id, cand_id, dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $k"
+  }
+
   /** Deterministic CDC changelog over documents, shared bit-for-bit with
     * the DuckDB oracle: insert everything (seq 1), update doc_id%3==0
     * (seq 2, text+" v2"), delete doc_id%7==0 (seq 3) — keys divisible by
@@ -382,6 +438,14 @@ object TrainingQueries {
       val e = embs(s, dir)
       Embeddings.ivfTopKKMeans(e.where(col("vec_id") < 20), e, k = 5,
         nCells = 8, nProbe = 2, iters = 2)
+    }),
+    // product quantization: per-subspace trained codebooks, PQ codes (64
+    // floats → 4 codes), ADC compressed-domain scan, exact rerank on the
+    // top rerank·k pool — all integer-deterministic, DuckDB-replayed
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Embeddings.pqTopK(e.where(col("vec_id") < 20), e, k = 5,
+        m = 4, ksub = 8, iters = 1, rerank = 4)
     }),
 
     // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
@@ -1189,6 +1253,8 @@ object TrainingQueries {
         "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
     "ann_ivf_kmeans_topk" -> kmeansIvfOracle(nCells = 8, nProbe = 2, k = 5,
       iters = 2, dim = 64, nQueries = 20),
+    "ann_pq_topk" -> pqOracle(m = 4, ksub = 8, k = 5, iters = 1, rerank = 4,
+      dim = 64, nQueries = 20),
     "ngram_jaccard_pairs" -> jaccardSql,
     // the hashed-key fast variant must reproduce the EXACT string-keyed
     // result — the oracle is shared, so an xxhash64 collision that changed

@@ -206,6 +206,101 @@ object Embeddings {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Product-quantization ANN top-k (the 100-TB ANN architecture: PQ codes +
+    * ADC scan + exact rerank), run entirely in the same scaled-integer
+    * domain as [[ivfTopKKMeans]] so the whole pipeline — codebook training,
+    * encoding, the ADC scan, the rerank — is deterministic and bit-exactly
+    * replayable in SQL.
+    *
+    * Structure: the `dim`-wide vector splits into `m` subspaces of
+    * `dim/m` coordinates; each subspace trains its own `ksub`-centroid
+    * codebook (fixed-iteration integer Lloyd's, init = the subvectors of
+    * the `ksub` smallest-id corpus vectors, empty cells keep their previous
+    * centroid, ties to the lowest code). A corpus vector's PQ code is its
+    * per-subspace argmin — `m` small integers standing in for `dim` floats
+    * (64 floats → 4 codes here: 64× compression). A query precomputes its
+    * distance table (d² to every sub-centroid, `m·ksub` longs); the ADC
+    * scan approximates d²(q, x) as the sum of `m` table lookups, and only
+    * the top `rerank·k` ADC candidates are reranked by exact integer d²
+    * on the full vectors.
+    *
+    * Scale shape: codebooks and distance tables are tiny broadcasts
+    * (m·ksub rows); training is `iters+1` corpus scans; the ADC scan
+    * touches only codes (never the raw vectors), so the compressed corpus
+    * is what streams through the shuffle; the rerank reads full vectors
+    * for just |queries|·rerank·k candidates via a broadcast semijoin of the
+    * pool against one corpus scan. No global windows: every row_number
+    * partitions by cand_id or query_id. Output: (query_id, cand_id, dist,
+    * rank) with dist the exact integer squared L2 of the reranked top-k. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 8, iters: Int = 1, rerank: Int = 4,
+             dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dim / m
+    val corpusInt = corpus.select(col(idCol).as("cand_id"), toIntVec(col(vecCol)).as("cv"))
+    // (cand_id, s, sv): the corpus exploded into its m subvectors
+    def subspaces(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), posexplode(array(
+        (0 until m).map(s => slice(col(vec), s * dsub + 1, dsub)): _*)).as(Seq("s", "sv")))
+    val subv = subspaces(corpusInt, "cand_id", "cv")
+    // init: every subspace's codebook starts from the subvectors of the
+    // ksub smallest-id corpus vectors (TakeOrderedAndProject, then a window
+    // over just ksub rows to number the codes)
+    val iw = Window.orderBy(col("cand_id").asc)
+    var cb = subspaces(
+      corpusInt.orderBy(col("cand_id").asc).limit(ksub)
+        .withColumn("code", row_number().over(iw) - 1),
+      "code", "cv")
+      .select(col("s"), col("code").cast("long").as("code"), col("sv").as("cvec"))
+      .localCheckpoint()
+    def argmin(rows: DataFrame, id: String, keep: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col(id), col("s")).orderBy(col("dist").asc, col("code").asc)
+      rows.join(broadcast(cb), "s")
+        .withColumn("dist", dist2Int(col("sv"), col("cvec")))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(keep: _*)
+    }
+    for (_ <- 0 until iters) {
+      val assigned = argmin(subv, "cand_id", Seq(col("s"), col("code"), col("sv")))
+      val means = assigned
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "code", "pos")
+        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("mm"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          t => t.getField("mm")).as("nvec"))
+      cb = cb.join(means, Seq("s", "code"), "left")
+        .select(col("s"), col("code"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+        .localCheckpoint() // m·ksub rows; keeps the iteration plan flat
+    }
+    // PQ encoding: (cand_id, s, code) — m codes per corpus vector
+    val enc = argmin(subv, "cand_id", Seq(col("cand_id"), col("s"), col("code")))
+    // per-query ADC distance tables: d²(query subvector, sub-centroid)
+    val queriesInt = queries.select(col(idCol).as("query_id"), toIntVec(col(vecCol)).as("qv"))
+    val dtab = subspaces(queriesInt, "query_id", "qv")
+      .join(broadcast(cb), "s")
+      .select(col("query_id"), col("s"), col("code"),
+        dist2Int(col("sv"), col("cvec")).as("pd"))
+    // ADC scan: m table lookups per (query, candidate), summed
+    val adc = enc.join(broadcast(dtab), Seq("s", "code"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id").agg(sum("pd").as("adist"))
+    val pw = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id").asc)
+    val pool = adc.withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= rerank * k)
+      .select(col("query_id"), col("cand_id"))
+    // exact rerank on the ADC pool only
+    val rw = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    corpusInt.join(broadcast(pool), "cand_id")
+      .join(broadcast(queriesInt), "query_id")
+      .withColumn("dist", dist2Int(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rw)).where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
     * sandbox scales only). */
   def bruteForcePairs(df: DataFrame, threshold: Double,

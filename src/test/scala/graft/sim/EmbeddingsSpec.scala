@@ -135,6 +135,46 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
     assert(trained >= 0.8, s"trained recall $trained below 0.8")
   }
 
+  // ---- product quantization ----
+
+  test("PQ with a full-corpus rerank pool == exhaustive integer top-k") {
+    // rerank·k ≥ |corpus|-1 makes the ADC pool the whole corpus, so the
+    // exact rerank must reproduce brute-force integer top-k regardless of
+    // how lossy the 4-subspace codes are
+    val c = clustered(60, 5, 19L, skewedInit = false, initK = 6)
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val got = Embeddings.pqTopK(q, c, k = 4, m = 4, ksub = 6, iters = 1,
+      rerank = 15, dim = dim).collect()
+    val truth = intTopK(c, 10, 4)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq == truth(qid),
+        s"query $qid")
+    }
+  }
+
+  test("PQ ADC pruning keeps high recall on a clustered corpus") {
+    val c = clustered(120, 6, 23L, skewedInit = false, initK = 8)
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 24)
+    val truth = intTopK(c, 24, 4)
+    val r = recallOf(
+      Embeddings.pqTopK(q, c, k = 4, m = 4, ksub = 8, iters = 1,
+        rerank = 4, dim = dim).collect(),
+      truth, 4)
+    assert(r >= 0.8, s"PQ recall $r below 0.8 at rerank=4")
+  }
+
+  test("PQ is deterministic across runs and partitionings") {
+    val c = clustered(80, 5, 29L, skewedInit = false, initK = 6)
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 8)
+    def run(cc: org.apache.spark.sql.DataFrame) =
+      Embeddings.pqTopK(q, cc, k = 3, m = 2, ksub = 6, iters = 2,
+        rerank = 3, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    assert(run(c) == run(c))
+    assert(run(c.repartition(7)) == run(c))
+  }
+
   test("k-means IVF is deterministic across runs and partitionings") {
     val c = clustered(80, 5, 17L, skewedInit = false, initK = 5)
     val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 8)
