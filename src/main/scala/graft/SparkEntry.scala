@@ -44,6 +44,20 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
       "event_type AS role, props AS text FROM events)"
 
+  /** Shared by turn_latency and its O(1)-state streaming twin: exact
+    * integer micros between consecutive turns, aggregated per conv. */
+  private val latencyOracle =
+    "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
+      "epoch_us(ts) AS ts_us FROM events), " +
+      "g AS (SELECT conv_id, ts_us - lag(ts_us) OVER " +
+      "(PARTITION BY conv_id ORDER BY turn_idx) AS gap FROM t) " +
+      "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "CAST(min(gap) AS BIGINT) AS min_gap_us, " +
+      "CAST(max(gap) AS BIGINT) AS max_gap_us, " +
+      "CAST(sum(gap) AS BIGINT) AS sum_gap_us " +
+      "FROM g WHERE gap IS NOT NULL GROUP BY conv_id"
+
   private def motifQuery(motif: Seq[(Int, Int)], m: Long = K,
                          predicates: Seq[GenericJoin.Pred] = Nil)
                         (s: SparkSession, dir: String): DataFrame =
@@ -657,6 +671,37 @@ object SparkEntry {
     // by conv_id — no single-partition funnel)
     "transcript_roles" -> ((s, dir) =>
       graft.transcripts.TranscriptDocs.roleStats(eventTranscripts(s, dir))),
+    // per-conversation response-latency aggregates: exact integer micros
+    // over consecutive-turn gaps — all-integer (n/min/max/sum), so the
+    // O(1)-state streaming twin below reproduces them hash-exactly
+    "turn_latency" -> ((s, dir) =>
+      graft.transcripts.TranscriptDocs.latencyStats(eventTranscripts(s, dir))),
+    // STREAMING twin with O(1) per-conversation state (six longs — the
+    // mergeable aggregate, not the buffered conversation): turns delivered
+    // in global ts order (= per-conv turn order, the keyed-log contract
+    // LatencyStream documents), finalized by event-time timeout
+    "turn_latency_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.LatencyStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val turns = eventTranscripts(s, dir)
+        .select(col("conv_id").as("convId"), col("turn_idx").as("turnIdx"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[LatencyStream.Turn].collect()
+        .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
+      if (turns.isEmpty) s.emptyDataset[LatencyStream.LatRow].toDF()
+      else {
+        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[LatencyStream.Turn]
+        val out = LatencyStream.latencyStream(
+          src.toDS().withWatermark("ts", "90 days")).toDF()
+        val farMs = turns.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+        def sentinel(off: Long) = LatencyStream.Turn("~s", 1,
+          new java.sql.Timestamp(farMs + off))
+        streamReplay(s, src, out, turns.toIndexedSeq,
+            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_latency_stream")
+          .where(col("conv_id") =!= "~s")
+      }
+    }),
     // STREAMING twin of transcript_render: conversations assembled in
     // flatMapGroupsWithState and finalized by event-time timeout, with a
     // held-back late cohort (turn_idx % 5 == 2 delivered in the final
@@ -1191,6 +1236,8 @@ object SparkEntry {
         "SELECT conv_id, count(*) AS n_turns, " +
         "CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats " +
         "FROM l GROUP BY conv_id"),
+    "turn_latency" -> latencyOracle,
+    "turn_latency_stream" -> latencyOracle,
     // the dedup'd stream must converge to exactly the batch relation
     // (event_id is unique in the source; every duplicate is planted by the
     // entry's delivery schedule)

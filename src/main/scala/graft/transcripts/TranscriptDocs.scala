@@ -49,6 +49,25 @@ object TranscriptDocs {
           transform(array_sort(collect_list(col("tp"))), x => x("p")),
           sep).as("doc"))
 
+  /** Per-conversation response-latency stats: exact integer aggregates over
+    * the gaps between consecutive turns (micros, `unix_micros`): n_gaps,
+    * min/max/sum. All-integer and mergeable (no mean/median), so the same
+    * figures fall out of the O(1)-state streaming kernel
+    * ([[graft.streaming.LatencyStream]]) and a partial-aggregated batch
+    * plan alike. Conversations with a single turn have no gaps and emit no
+    * row. One conv-partitioned lag window + a groupBy on the same key —
+    * ENSURE_REQUIREMENTS reuses the window exchange, nothing funnels
+    * through one partition. */
+  def latencyStats(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_gap_us"),
+        max("gap").as("max_gap_us"), sum("gap").as("sum_gap_us"))
+  }
+
   /** Per-conversation alternation stats: n_turns and n_repeats = count of
     * turns whose role equals the previous turn's role (standard SQL `=`
     * null semantics: a null role never counts as a repeat — matches the
