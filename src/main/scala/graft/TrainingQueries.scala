@@ -447,6 +447,12 @@ object TrainingQueries {
       Embeddings.pqTopK(e.where(col("vec_id") < 20), e, k = 5,
         m = 4, ksub = 8, iters = 1, rerank = 4)
     }),
+    // one-pass covariance sufficient statistics (PCA/whitening prep): per
+    // upper-triangle pair (i≤j) the exact integer n, Σxi, Σxj, Σxixj in the
+    // scaled-integer domain — map-side partial aggregation keeps the one
+    // shuffle at O(d²·partitions) regardless of corpus size
+    "embedding_covariance" -> ((s, dir) =>
+      Embeddings.covarianceStats(embs(s, dir), dim = 64)),
 
     // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
     "multimodal_features" -> ((s, dir) => {
@@ -1275,6 +1281,19 @@ object TrainingQueries {
     "embedding_norms" ->
       ("SELECT vec_id, round(sqrt(" + dotSql("embedding", "embedding", 64) + "), 9) AS nrm " +
         "FROM embeddings"),
+    // the same floor(x·2^20+0.5) integer domain as the k-means/PQ oracles;
+    // coordinate explode via a 1..64 index cross join (1-based list access)
+    "embedding_covariance" ->
+      ("WITH ei AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS v FROM embeddings), " +
+        "idx AS (SELECT unnest(range(1, 65)) AS i), " +
+        "c AS (SELECT ei.vec_id, idx.i, ei.v[idx.i] AS x FROM ei CROSS JOIN idx), " +
+        "g AS (SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s_ij " +
+        "FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
+        "s AS (SELECT i - 1 AS i, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n " +
+        "FROM c GROUP BY 1) " +
+        "SELECT g.i, g.j, si.n, si.s AS s_i, sj.s AS s_j, g.s_ij " +
+        "FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j"),
     "ann_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
         "c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), " +

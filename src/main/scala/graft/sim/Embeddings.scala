@@ -301,6 +301,51 @@ object Embeddings {
         col("rank").cast("long").as("rank"))
   }
 
+  /** One-pass covariance SUFFICIENT STATISTICS over the embedding column —
+    * the PCA / whitening / feature-correlation prep stage of a training-data
+    * pipeline. Emits one row per upper-triangle coordinate pair (i ≤ j)
+    * carrying everything covariance (or the Gram matrix, or Pearson
+    * correlation) is a closed form of: n, Σxᵢ, Σxⱼ and Σxᵢxⱼ —
+    * cov(i,j) = (s_ij − s_i·s_j/n)/n, derivable exactly by the consumer.
+    *
+    * Runs in the same scaled-integer domain as [[ivfTopKKMeans]]
+    * (floor(x·2^20 + 0.5) longs), so every statistic is an exact,
+    * order-independent integer sum — bit-identical across partitionings,
+    * reruns and engines, and replayed verbatim by the DuckDB oracle.
+    *
+    * Scale shape: each vector expands to its d(d+1)/2 upper-triangle
+    * products INSIDE one whole-stage-codegen'd generate stage and feeds a
+    * hash aggregate — partial (map-side) aggregation collapses every
+    * partition to ≤ d(d+1)/2 rows before the one shuffle, so shuffle volume
+    * is O(d²·partitions), independent of row count; the per-coordinate sums
+    * ride the same pattern (d rows/partition) and join back as a broadcast
+    * of d rows. No windows, no driver collect. At 10^12 rows the long Σxᵢxⱼ
+    * would near 2^63 — shard the corpus and merge stats (they are additive),
+    * or widen the accumulator to decimal(38,0); the sandbox SFs stay below
+    * 2^51. */
+  def covarianceStats(df: DataFrame, dim: Int = 64,
+                      vecCol: String = "embedding"): DataFrame = {
+    val iv = df.select(toIntVec(col(vecCol)).as("v"))
+    // (i, j, xi·xj) for j ≥ i, generated from the slice of v at offset i —
+    // d(d+1)/2 structs per row, one generator, no self-join
+    val tri = iv.select(explode(flatten(transform(col("v"), (xi, i) =>
+        transform(slice(col("v"), i + lit(1), lit(dim) - i),
+          (xj, jj) => struct(i.as("i"), (i + jj).as("j"),
+            (xi * xj).as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+    val gram = tri.groupBy("i", "j").agg(sum("p").as("s_ij"))
+    // materialized (d rows): joined twice below — without the checkpoint the
+    // plan would re-scan the corpus once per join arm
+    val sums = iv.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    gram
+      .join(broadcast(sums.select(col("i"), col("s").as("s_i"), col("n"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("s_j"))), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), col("s_i"), col("s_j"), col("s_ij"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
     * sandbox scales only). */
   def bruteForcePairs(df: DataFrame, threshold: Double,

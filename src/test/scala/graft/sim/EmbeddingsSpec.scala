@@ -188,4 +188,57 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
       .toSeq.sortBy(t => (t._1, t._4))
     assert(rep == run())
   }
+
+  // ---- covariance sufficient statistics ----
+
+  test("covarianceStats equals the driver-side brute force, any partitioning") {
+    val c = corpus(60, 11L)
+    // driver-side reference in the same integer domain
+    val vecs = c.collect().map(_.getSeq[Float](1).map(x =>
+      math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray)
+    val n = vecs.length.toLong
+    val si = Array.tabulate(dim)(i => vecs.map(_(i)).sum)
+    val expect = (for { i <- 0 until dim; j <- i until dim } yield
+      (i.toLong, j.toLong, n, si(i), si(j),
+        vecs.map(v => v(i) * v(j)).sum)).sorted
+    def run(cc: org.apache.spark.sql.DataFrame) =
+      Embeddings.covarianceStats(cc, dim = dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(run(c) == expect)
+    assert(run(c.repartition(7)) == expect)
+    // every upper-triangle pair present exactly once
+    assert(expect.size == dim * (dim + 1) / 2)
+  }
+
+  test("covarianceStats recovers a planted covariance exactly") {
+    import scala.jdk.CollectionConverters._
+    // two coordinates perfectly anti-correlated: x1 = -x0
+    val rows = (0 until 40).map { i =>
+      val x = (i % 7 - 3).toFloat / 4f
+      Row(i.toLong, Seq(x, -x))
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val m = Embeddings.covarianceStats(df, dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (n, s0, s1, s01) = m((0L, 1L))
+    val s00 = m((0L, 0L))._4
+    val s11 = m((1L, 1L))._4
+    assert(n == 40L && s1 == -s0)
+    // cov numerator n·s01 − s0·s1 must be the exact negative of the
+    // variance numerator n·s00 − s0² (x1 = −x0 ⇒ cov = −var)
+    assert(n * s01 - s0 * s1 == -(n * s00 - s0 * s0))
+    assert(s11 == s00)
+  }
+
+  test("covarianceStats plan has no single-partition exchange") {
+    val c = corpus(60, 13L)
+    val plan = Embeddings.covarianceStats(c, dim = dim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "covariance stats must aggregate in parallel, never via one partition")
+  }
 }
