@@ -166,7 +166,8 @@ object SparkEntry {
       s: SparkSession,
       srcA: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
       srcB: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B],
-      out: DataFrame, rowsA: Seq[A], rowsB: Seq[B], prefix: String): DataFrame = {
+      out: DataFrame, rowsA: Seq[A], rowsB: Seq[B], prefix: String,
+      sentinels: Seq[(A, B)] = Nil): DataFrame = {
     val name = s"${prefix}_${cepStreamCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -177,6 +178,12 @@ object SparkEntry {
         if (i < chunksA.size) srcA.addData(chunksA(i))
         if (i < chunksB.size) srcB.addData(chunksB(i))
         q.processAllAvailable()
+      }
+      // far-future pairs, one per micro-batch: batch k's max event time
+      // raises the watermark AFTER the batch, batch k+1 evicts/flushes with
+      // it — OUTER joins need ≥2 so every null-extended row is emitted
+      for ((sa, sb) <- sentinels) {
+        srcA.addData(sa); srcB.addData(sb); q.processAllAvailable()
       }
     } finally q.stop()
     s.table(name)
@@ -641,6 +648,44 @@ object SparkEntry {
         col("e_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS") &&
         col("e_ts") <= col("c_ts"))
       streamReplay2(s, srcC, srcE, joined, clicks, errs, "graft_ssj")
+        .select(col("click_id"), col("err_id"), col("c_uid").as("user_id"),
+          unix_micros(col("c_ts")).as("click_ts_us"),
+          unix_micros(col("e_ts")).as("err_ts_us"))
+    }),
+    // LEFT OUTER form of the same interval join: clicks with NO error in
+    // their preceding 24 h must still emit, null-extended — the row Spark
+    // can only produce once the error-side watermark proves no match can
+    // arrive. Matched rows emit on arrival (same as inner); the unmatched
+    // remainder is flushed by two far-future sentinel batches (watermark
+    // rises after batch k, batch k+1 evicts), so the sink equals a batch
+    // LEFT JOIN exactly. Sentinel rows themselves sit above the final
+    // watermark forever and are never emitted; they are filtered anyway.
+    "stream_stream_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      val all = wEvents(s, dir)
+      val clicks = all.filter(_.event_type == "click").toIndexedSeq
+      val errs = all.filter(_.event_type == "error").toIndexedSeq
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val srcC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+      val srcE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+      val c = srcC.toDS().withWatermark("ts", "25 hours")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val e = srcE.toDS().withWatermark("ts", "25 hours")
+        .select(col("user_id").as("e_uid"), col("ts").as("e_ts"),
+          col("event_id").as("err_id"))
+      val joined = c.join(e, col("c_uid") === col("e_uid") &&
+        col("e_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS") &&
+        col("e_ts") <= col("c_ts"), "left_outer")
+      // flush horizon: watermark must pass max(c_ts) + 24 h + the 25 h
+      // delay before the last unmatched click can emit
+      val farMs = all.map(_.ts.getTime).max + 60L * 86400000L
+      def sentinel(off: Long) =
+        WEv(-1L, new java.sql.Timestamp(farMs + off), -1L, "sentinel")
+      streamReplay2(s, srcC, srcE, joined, clicks, errs, "graft_ssjo",
+          sentinels = Seq((sentinel(0L), sentinel(0L)),
+            (sentinel(1000L), sentinel(1000L))))
+        .where(col("click_id") =!= -1L)
         .select(col("click_id"), col("err_id"), col("c_uid").as("user_id"),
           unix_micros(col("c_ts")).as("click_ts_us"),
           unix_micros(col("e_ts")).as("err_ts_us"))
@@ -1180,6 +1225,13 @@ object SparkEntry {
         "SELECT c.event_id AS click_id, e.event_id AS err_id, c.user_id, " +
         "epoch_us(c.ts) AS click_ts_us, epoch_us(e.ts) AS err_ts_us " +
         "FROM c JOIN e ON c.user_id = e.user_id " +
+        "AND e.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts"),
+    "stream_stream_join_outer" ->
+      ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "e AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') " +
+        "SELECT c.event_id AS click_id, e.event_id AS err_id, c.user_id, " +
+        "epoch_us(c.ts) AS click_ts_us, epoch_us(e.ts) AS err_ts_us " +
+        "FROM c LEFT JOIN e ON c.user_id = e.user_id " +
         "AND e.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts"),
     "range_join_bins" ->
       ("WITH p AS (SELECT event_id, epoch_us(ts) AS pt_us FROM events WHERE event_type = 'click'), " +
