@@ -685,6 +685,35 @@ object TrainingQueries {
         .where(col("rk") <= 3)
         .select(col("lang"), col("rk"), col("doc_id"))
     }),
+    // STREAMING twin with O(k) per-group state (the k smallest (hash, key)
+    // pairs — a running bottom-k is mergeable, so the draw is identical to
+    // the batch ranking window under ANY arrival order); groups finalized
+    // by event-time timeout, same oracle as the batch form. ts synthesized
+    // from doc_id (documents carry no event time; the clock only drives
+    // watermark mechanics, never membership)
+    "sample_per_group_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.SamplerStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = 1767225600000L
+      val rows = docs(s, dir).select(col("doc_id").cast("long"), col("lang"))
+        .as[(Long, String)].collect().sortBy(_._1)
+        .map { case (id, lang) =>
+          SamplerStream.Doc(lang, id, new java.sql.Timestamp(base + id)) }
+      if (rows.isEmpty) s.emptyDataset[SamplerStream.SampleRow].toDF()
+      else {
+        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SamplerStream.Doc]
+        val out = SamplerStream.samplePerGroupStream(
+          src.toDS().withWatermark("ts", "90 days"), k = 3)
+        val farMs = base + rows.map(_.docId).max + 90L * 86400000L + 7200000L
+        def sentinel(off: Long) = SamplerStream.Doc("~s", 0L,
+          new java.sql.Timestamp(farMs + off))
+        SparkEntry.streamReplay(s, src, out.toDF(), rows.toIndexedSeq,
+            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_spg_stream")
+          .where(col("lang") =!= "~s")
+          .select(col("lang"), col("rk"), col("doc_id"))
+      }
+    }),
 
     // ---- CDC changelog application (MERGE INTO / upsert compaction):
     // every doc inserted, doc_id%3==0 updated, doc_id%7==0 deleted —
@@ -1178,6 +1207,12 @@ object TrainingQueries {
       ("SELECT doc_id, lang FROM documents " +
         "ORDER BY (doc_id % 1000003 * 48271 + 7) % 1000003, doc_id LIMIT 25"),
     "sample_per_group" ->
+      ("WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY (doc_id % 1000003 * 48271 + 7) % 1000003, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 3"),
+    // the streamed bottom-k must reproduce the batch ranking window exactly
+    "sample_per_group_stream" ->
       ("WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
         "ORDER BY (doc_id % 1000003 * 48271 + 7) % 1000003, doc_id) AS rk " +
         "FROM documents) " +
