@@ -265,6 +265,43 @@ object TrainingQueries {
       s" SELECT query_id, cand_id, dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $k"
   }
 
+  /** Floor division of a (possibly negative) BIGINT expression by a
+    * positive BIGINT expression, DuckDB-side: subtract the positive mod,
+    * then the now-exact `//`. Mirrors the JVM's Math.floorDiv. */
+  private def floorDivSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+
+  /** DuckDB replay of [[Embeddings.pcaPowerTop]]: the same integer
+    * covariance numerators, the same 2^28 downshift, and `iters` unrolled
+    * matrix-vector + max-norm-renormalize steps in exact floor-division
+    * arithmetic. */
+  private def pcaPowerOracle(dim: Int, iters: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "ei AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS v FROM embeddings)",
+      s"idx AS (SELECT unnest(range(1, ${dim + 1})) AS i)",
+      "c AS (SELECT ei.vec_id, idx.i, ei.v[idx.i] AS x FROM ei CROSS JOIN idx)",
+      // full (not triangular) matrix: the iteration multiplies both halves
+      "g AS (SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s_ij " +
+        "FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2)",
+      "s AS (SELECT i - 1 AS i, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)",
+      "m AS (SELECT g.i, g.j, " +
+        floorDivSql("si.n * g.s_ij - si.sx * sj.sx", (1L << 28).toString) + " AS cc " +
+        "FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j)",
+      "v0 AS (SELECT i - 1 AS j, CAST(1048576 AS BIGINT) AS v FROM idx)")
+    for (t <- 1 to iters) {
+      parts += s"u$t AS (SELECT m.i, CAST(sum(m.cc * p.v) AS BIGINT) AS u " +
+        s"FROM m JOIN v${t - 1} p ON p.j = m.j GROUP BY 1)"
+      parts += s"q$t AS (SELECT greatest(CAST(1 AS BIGINT), " +
+        s"CAST(max(abs(u)) AS BIGINT) // 1048576) AS q FROM u$t)"
+      parts += s"v$t AS (SELECT i AS j, " + floorDivSql("u", "q") +
+        s" AS v FROM u$t CROSS JOIN q$t)"
+    }
+    "WITH " + parts.mkString(", ") +
+      s" SELECT j AS i, v FROM v$iters"
+  }
+
   /** Deterministic CDC changelog over documents, shared bit-for-bit with
     * the DuckDB oracle: insert everything (seq 1), update doc_id%3==0
     * (seq 2, text+" v2"), delete doc_id%7==0 (seq 3) — keys divisible by
@@ -453,6 +490,11 @@ object TrainingQueries {
     // shuffle at O(d²·partitions) regardless of corpus size
     "embedding_covariance" -> ((s, dir) =>
       Embeddings.covarianceStats(embs(s, dir), dim = 64)),
+    // top principal component: fixed-point power iteration over the
+    // covariance numerators — distributed stats pass, then an O(d²) exact
+    // integer iteration (corpus-size-independent), bit-replayed in DuckDB
+    "embedding_pca_power" -> ((s, dir) =>
+      Embeddings.pcaPowerTop(embs(s, dir), dim = 64, iters = 8)),
 
     // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
     "multimodal_features" -> ((s, dir) => {
@@ -1329,6 +1371,7 @@ object TrainingQueries {
         "FROM c GROUP BY 1) " +
         "SELECT g.i, g.j, si.n, si.s AS s_i, sj.s AS s_j, g.s_ij " +
         "FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j"),
+    "embedding_pca_power" -> pcaPowerOracle(dim = 64, iters = 8),
     "ann_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
         "c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), " +

@@ -346,6 +346,53 @@ object Embeddings {
         col("n"), col("s_i"), col("s_j"), col("s_ij"))
   }
 
+  /** Top principal component by FIXED-POINT power iteration over
+    * [[covarianceStats]] — the direction PCA whitening, embedding-drift
+    * monitoring and spectral outlier checks all start from.
+    *
+    * The heavy lifting is the one-pass distributed covariance pass; the
+    * iteration itself operates on the d×d integer covariance numerators
+    * (c_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, exact longs), which are O(d²) NO MATTER the
+    * corpus size — so they are collected (2080 longs at d=64, the same at
+    * 10^12 rows) and iterated on the driver in exact integer arithmetic:
+    *   c'ᵢⱼ = floor(cᵢⱼ / 2^28)        (keeps u below 2^59 at every SF)
+    *   v₀   = (2^20, …, 2^20)
+    *   uᵢ   = Σⱼ c'ᵢⱼ·vⱼ ;  q = max(1, floor(max|u| / 2^20))
+    *   vᵢ   = floor(uᵢ / q)            (max-norm renormalize, floor division)
+    * Every step is floor division by a positive integer, so the whole
+    * trajectory — including the sign of the returned direction — is
+    * bit-reproducible across engines; the DuckDB oracle replays the same
+    * `iters` steps verbatim. A rank-0 (all-zero) covariance collapses v to
+    * the zero vector after one step, same in both engines.
+    *
+    * Output: (i, v) — the unnormalized fixed-point direction; callers
+    * needing a unit vector divide by its norm in their own precision. */
+  def pcaPowerTop(df: DataFrame, dim: Int = 64, iters: Int = 8,
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val S = 1048576L // 2^20 target max-norm
+    val cs = covarianceStats(df, dim, vecCol).collect()
+    val mat = Array.ofDim[Long](dim, dim)
+    cs.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val c = Math.floorDiv(r.getLong(2) * r.getLong(5) -
+        r.getLong(3) * r.getLong(4), 1L << 28)
+      mat(i)(j) = c; mat(j)(i) = c
+    }
+    var v = Array.fill(dim)(S)
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += mat(i)(j) * v(j); j += 1 }; acc
+      }
+      val q = math.max(1L, u.map(math.abs).max / S)
+      v = u.map(Math.floorDiv(_, q))
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("i", "v")
+  }
+
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
     * sandbox scales only). */
   def bruteForcePairs(df: DataFrame, threshold: Double,

@@ -234,6 +234,37 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
     assert(s11 == s00)
   }
 
+  test("pcaPowerTop recovers a planted dominant direction") {
+    import scala.jdk.CollectionConverters._
+    // docs = alpha * d1 + small noise, d1 the known dominant direction
+    val d1 = Array(0.6f, -0.3f, 0.5f, 0.2f, -0.4f, 0.1f, 0.3f, -0.2f)
+    val rnd = new scala.util.Random(3L)
+    val rows = (0 until 120).map { i =>
+      val a = (rnd.nextFloat() * 2 - 1) * 0.8f
+      Row(i.toLong, d1.map(x => x * a + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq)
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val v = Embeddings.pcaPowerTop(df, dim = dim, iters = 8).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    val n1 = math.sqrt(d1.map(x => x.toDouble * x).sum)
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    assert(nv > 0)
+    val cos = math.abs(d1.map(_.toDouble).zip(v).map { case (a, b) => a * b }.sum / (n1 * nv))
+    assert(cos > 0.99, s"recovered direction cos=$cos, expected ≈1")
+  }
+
+  test("pcaPowerTop is deterministic across runs and partitionings") {
+    val c = corpus(70, 19L)
+    def run(cc: org.apache.spark.sql.DataFrame) =
+      Embeddings.pcaPowerTop(cc, dim = dim, iters = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val a = run(c)
+    assert(a == run(c) && a == run(c.repartition(7)))
+    assert(a.exists(_._2 != 0L)) // non-degenerate on a random corpus
+  }
+
   test("covarianceStats plan has no single-partition exchange") {
     val c = corpus(60, 13L)
     val plan = Embeddings.covarianceStats(c, dim = dim)
