@@ -964,6 +964,36 @@ object SparkEntry {
         .crossJoin(c.agg(count(lit(1)).as("clicked")))
         .crossJoin(p.agg(count(lit(1)).as("purchased")))
     }),
+    // STREAMING twin: per-user O(steps) state machine (one timestamp per
+    // attained stage) under ts-ordered delivery — the one-pass form of the
+    // batch min-chain, finalized by event-time timeout. Gated PER USER on
+    // final depth, over a deterministically THINNED feed (user%3==0 loses
+    // purchases, user%5==0 loses clicks — at this SF every user otherwise
+    // completes the funnel and a depth gate would be vacuous); the oracle
+    // replays the same thinning
+    "funnel_steps_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.FunnelStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val steps = Seq("view", "click", "purchase")
+      val evs = wEvents(s, dir).filter(e => steps.contains(e.event_type))
+        .filterNot(e => e.event_type == "purchase" && e.user_id % 3 == 0)
+        .filterNot(e => e.event_type == "click" && e.user_id % 5 == 0)
+        .map(e => FunnelStream.Ev(e.user_id, e.ts, e.event_type)).toIndexedSeq
+      if (evs.isEmpty) s.emptyDataset[FunnelStream.FunnelRow].toDF()
+      else {
+        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelStream.Ev]
+        val out = FunnelStream.funnelStream(
+          src.toDS().withWatermark("ts", "90 days"), steps).toDF()
+        val farMs = evs.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+        def sentinel(off: Long) = FunnelStream.Ev(-1L,
+          new java.sql.Timestamp(farMs + off), "view")
+        streamReplay(s, src, out, evs,
+            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_funnel_stream")
+          .where(col("user_id") =!= -1L)
+          .select(col("user_id"), col("depth"))
+      }
+    }),
 
     // ---- anti-join coverage (the "never did X" cohort query): clickers
     // with no high-value purchase — Spark's left_anti operator vs a
@@ -1214,6 +1244,20 @@ object SparkEntry {
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS viewed, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM c) AS clicked, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM p) AS purchased"),
+    // the streamed state machine's per-user depth must reproduce the batch
+    // min-chain over the same deterministically thinned feed
+    "funnel_steps_stream" ->
+      ("WITH ev AS (SELECT * FROM events WHERE " +
+        "NOT (event_type = 'purchase' AND user_id % 3 = 0) " +
+        "AND NOT (event_type = 'click' AND user_id % 5 = 0)), " +
+        "v AS (SELECT user_id, min(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS cts FROM ev e JOIN v USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS pts FROM ev e JOIN c USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY 1) " +
+        "SELECT v.user_id, CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) " +
+        "+ (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS INT) AS depth " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"),
     "anti_join_users" ->
       ("SELECT DISTINCT user_id FROM events e WHERE event_type = 'click' " +
         "AND NOT EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase' " +
