@@ -275,7 +275,17 @@ object TrainingQueries {
     * covariance numerators, the same 2^28 downshift, and `iters` unrolled
     * matrix-vector + max-norm-renormalize steps in exact floor-division
     * arithmetic. */
-  private def pcaPowerOracle(dim: Int, iters: Int): String = {
+  private def pcaPowerOracle(dim: Int, iters: Int): String =
+    pcaPowerCtes(dim, iters) + s" SELECT j AS i, v FROM v$iters"
+
+  /** [[pcaPowerOracle]]'s direction projected back onto every embedding:
+    * proj = Σᵢ xᵢ·pcᵢ over the (vec_id, i, x) coordinate CTE. */
+  private def pcaProjectOracle(dim: Int, iters: Int): String =
+    pcaPowerCtes(dim, iters) +
+      s" SELECT c.vec_id, CAST(sum(c.x * p.v) AS BIGINT) AS proj " +
+      s"FROM c JOIN v$iters p ON p.j = c.i - 1 GROUP BY 1"
+
+  private def pcaPowerCtes(dim: Int, iters: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer(
       "ei AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS v FROM embeddings)",
@@ -298,8 +308,7 @@ object TrainingQueries {
       parts += s"v$t AS (SELECT i AS j, " + floorDivSql("u", "q") +
         s" AS v FROM u$t CROSS JOIN q$t)"
     }
-    "WITH " + parts.mkString(", ") +
-      s" SELECT j AS i, v FROM v$iters"
+    "WITH " + parts.mkString(", ")
   }
 
   /** Deterministic CDC changelog over documents, shared bit-for-bit with
@@ -495,6 +504,11 @@ object TrainingQueries {
     // integer iteration (corpus-size-independent), bit-replayed in DuckDB
     "embedding_pca_power" -> ((s, dir) =>
       Embeddings.pcaPowerTop(embs(s, dir), dim = 64, iters = 8)),
+    // per-row projection onto that component (spectral outlier scores /
+    // whitening step 1): the direction folds in as a broadcast literal,
+    // one shuffle-free codegen'd scan
+    "embedding_pca_project" -> ((s, dir) =>
+      Embeddings.pcaProject(embs(s, dir), dim = 64, iters = 8)),
 
     // ---- multimodal plumbing (decode is stubbed; shape+metadata real) ----
     "multimodal_features" -> ((s, dir) => {
@@ -1372,6 +1386,7 @@ object TrainingQueries {
         "SELECT g.i, g.j, si.n, si.s AS s_i, sj.s AS s_j, g.s_ij " +
         "FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j"),
     "embedding_pca_power" -> pcaPowerOracle(dim = 64, iters = 8),
+    "embedding_pca_project" -> pcaProjectOracle(dim = 64, iters = 8),
     "ann_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
         "c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), " +

@@ -370,6 +370,15 @@ object Embeddings {
   def pcaPowerTop(df: DataFrame, dim: Int = 64, iters: Int = 8,
                   vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    pcaPowerVector(df, dim, iters, vecCol).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toSeq.toDF("i", "v")
+  }
+
+  /** The raw fixed-point direction of [[pcaPowerTop]], for composition
+    * (projection, whitening). */
+  private[graft] def pcaPowerVector(df: DataFrame, dim: Int, iters: Int,
+                                    vecCol: String): Array[Long] = {
     val S = 1048576L // 2^20 target max-norm
     val cs = covarianceStats(df, dim, vecCol).collect()
     val mat = Array.ofDim[Long](dim, dim)
@@ -388,9 +397,24 @@ object Embeddings {
       val q = math.max(1L, u.map(math.abs).max / S)
       v = u.map(Math.floorDiv(_, q))
     }
-    import spark.implicits._
-    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
-      .toDF("i", "v")
+    v
+  }
+
+  /** Every embedding's exact integer projection onto the fixed-point top
+    * principal component — the distributed per-row leg of the PCA family
+    * (spectral outlier scores, 1-D quantization, whitening's first step).
+    * The direction rides along as a d-long broadcast literal folded into
+    * one codegen'd `aggregate(zip_with(...))` scan — no shuffle at all on
+    * the projection pass itself (the only shuffles are inside the stats
+    * pass that trains the direction). proj = Σ vᵢ·pcᵢ stays below 2^47
+    * (2^20-scaled coords × 2^20-max-norm direction × d=64). */
+  def pcaProject(df: DataFrame, dim: Int = 64, iters: Int = 8,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pc = pcaPowerVector(df, dim, iters, vecCol)
+    val pcCol = array(pc.map(lit): _*)
+    df.select(col(idCol),
+      aggregate(zip_with(toIntVec(col(vecCol)), pcCol, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("proj"))
   }
 
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —

@@ -265,6 +265,20 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.exists(_._2 != 0L)) // non-degenerate on a random corpus
   }
 
+  test("pcaProject equals the driver-side dot with the power direction") {
+    val c = corpus(50, 23L)
+    val pc = Embeddings.pcaPowerTop(c, dim, iters = 8).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    val proj = Embeddings.pcaProject(c, dim, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = c.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong))
+    assert(vecs.nonEmpty && proj.size == vecs.length)
+    vecs.foreach { case (id, v) =>
+      assert(proj(id) == v.zip(pc).map { case (a, b) => a * b }.sum)
+    }
+  }
+
   test("covarianceStats plan has no single-partition exchange") {
     val c = corpus(60, 13L)
     val plan = Embeddings.covarianceStats(c, dim = dim)

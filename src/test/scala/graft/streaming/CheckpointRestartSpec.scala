@@ -167,6 +167,53 @@ class CheckpointRestartSpec extends AnyFunSuite
     assert(all.size == 3) // fixture shape guard
   }
 
+  test("funnel state machine resumes from checkpoint: stages attained pre-restart survive") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def fev(u: Long, ms: Long, tag: String) =
+      FunnelStream.Ev(u, new Timestamp(base + ms), tag)
+    // u1 attains view+click pre-restart, purchase post-restart: depth 3 is
+    // provable only if the checkpointed stage timestamps survived. u2's
+    // click post-restart must respect the PRE-restart view's strict
+    // inequality. u3 exists only post-restart.
+    val pre = Seq(fev(1, 1000, "view"), fev(1, 2000, "click"), fev(2, 2500, "view"))
+    val post = Seq(fev(1, 3000, "purchase"), fev(2, 4000, "click"), fev(3, 5000, "view"))
+
+    val src = MemoryStream[FunnelStream.Ev]
+    val cp = tmpDir("funnel")
+    val outDir = tmpDir("funnel-out")
+    def start() =
+      FunnelStream.funnelStream(
+          src.toDS().withWatermark("ts", "1 minute"),
+          Seq("view", "click", "purchase"), gapMs = 60000L)
+        .toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+    val q1 = start()
+    src.addData(pre)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    src.addData(post)
+    q2.processAllAvailable()
+    val far = base + 10000000L
+    for (off <- Seq(0L, 1000L)) {
+      src.addData(FunnelStream.Ev(-1L, new Timestamp(far + off), "view"))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .where(col("user_id") =!= -1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(streamed.distinct.size == streamed.size,
+      "restart must not duplicate funnel rows")
+    assert(streamed.toMap == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
   test("native stream-stream interval join resumes from checkpoint") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
