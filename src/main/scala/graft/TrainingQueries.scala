@@ -355,6 +355,11 @@ object TrainingQueries {
     Cdc.stateTable(state, "doc_id", "seq", "op", Seq("text"))
   }
 
+  /** split_leakage_safe's hash cut, shared between the Spark entry
+    * (trainPermille = 800 → Splits recomputes the same value) and the
+    * oracle SQL so the constant cannot drift. */
+  private val splitCut: Long = graft.ops.Splits.P * 800 / 1000
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "doc_fingerprint" -> ((s, dir) =>
@@ -626,6 +631,60 @@ object TrainingQueries {
       ConnectedComponents.run(pairs, "id_a", "id_b",
           vertices = Some(e.select("vec_id")))
         .select(col("node").as("vec_id"), col("component").as("keep_id"))
+    }),
+
+    // ---- VERIFIED near-dup pairs: the stage AFTER candidate generation —
+    // every MinHash candidate pair re-checked with a BOUNDED exact edit
+    // distance (Spark's levenshtein(l, r, band): O(len·band) per pair,
+    // -1 outside the band). Distance evaluates on candidates only, never
+    // all-pairs; planted mutants verify at lev = 6 (' xyzzy'), LSH false
+    // positives fail the band — the gate checks both directions.
+    "near_dup_verify" -> ((s, dir) => {
+      val corpus = docs2(s, dir)
+      Dedup.verifyPairs(corpus,
+        Dedup.minhashPairs(corpus, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash),
+        "doc_id", "text", maxDist = 20)
+    }),
+
+    // ---- LEAKAGE-SAFE train/val split: assignment by near-dup CLUSTER
+    // representative (connected components over the candidate pairs) so
+    // paraphrase pairs never straddle the eval boundary — the split that
+    // keeps a deduplicated corpus's validation set honest
+    "split_leakage_safe" -> ((s, dir) => {
+      val corpus = docs2(s, dir)
+      graft.ops.Splits.leakageSafeSplit(corpus, "doc_id",
+        Dedup.minhashPairs(corpus, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash),
+        trainPermille = 800)
+    }),
+
+    // ---- kNN GRAPH over the hyperplane-LSH candidate set (the SemDeDup /
+    // data-curation primitive): per-vector top-3 by exact cosine, ranked
+    // inside a vec_id-partitioned window — no all-pairs, no global ordering
+    "knn_graph" -> ((s, dir) => Embeddings.knnGraph(embs(s, dir), k = 3)),
+
+    // ---- agent-TRAJECTORY dedup (transcript-native): conversations whose
+    // ordered action sequences are identical collapse to one keeper —
+    // sequence-level dedup for agent-trace corpora. Planted fixtures:
+    // user%10 conversations get an exact clone (MUST merge), user%17 a
+    // first-action-mutated clone (must NOT merge)
+    "trajectory_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("conv"), col("ts"), col("event_id"),
+          col("event_type"))
+      val clone = base.where(pmod(col("conv"), lit(10L)) === 0)
+        .withColumn("conv", col("conv") + 1000000L)
+      val mw = Window.partitionBy("conv").orderBy("ts", "event_id")
+      val mutant = base.where(pmod(col("conv"), lit(17L)) === 0)
+        .withColumn("rn", row_number().over(mw))
+        .withColumn("event_type",
+          when(col("rn") === 1, lit("mutant")).otherwise(col("event_type")))
+        .withColumn("conv", col("conv") + 2000000L).drop("rn")
+      graft.transcripts.Trajectories.dedup(
+        base.unionByName(clone).unionByName(mutant),
+        "conv", "event_type", col("ts"), col("event_id"))
     }),
 
     // ---- TF-IDF document-pair cosine over an inverted index (integer
@@ -1139,6 +1198,45 @@ object TrainingQueries {
         "lab(n, l) AS (SELECT doc_id, doc_id FROM docs2 " +
         "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
         "SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n"),
+    "near_dup_verify" ->
+      (minhashPairsCtes +
+        ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
+        "HAVING max(est_jaccard) >= 0.5) " +
+        "SELECT q.id_a, q.id_b, " +
+        "CASE WHEN levenshtein(a.text, b.text) <= 20 " +
+        "THEN levenshtein(a.text, b.text) ELSE -1 END AS lev, " +
+        "CASE WHEN levenshtein(a.text, b.text) <= 20 THEN 1 ELSE 0 END AS verified " +
+        "FROM q JOIN docs2 a ON a.doc_id = q.id_a JOIN docs2 b ON b.doc_id = q.id_b"),
+    "split_leakage_safe" ->
+      ("WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
+        ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
+        "HAVING max(est_jaccard) >= 0.5), " +
+        "e2 AS (SELECT id_a AS u, id_b AS v FROM q UNION SELECT id_b, id_a FROM q), " +
+        "lab(n, l) AS (SELECT doc_id, doc_id FROM docs2 " +
+        "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v), " +
+        "comp AS (SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n) " +
+        s"SELECT doc_id, keep_id, CASE WHEN (keep_id * 48271 + 7) % ${graft.ops.Splits.P} " +
+        s"< $splitCut THEN 'train' ELSE 'val' END AS split FROM comp"),
+    "knn_graph" ->
+      (lshPairCtes(nPlanes = 12, tables = 4, seed = 42L, dim = 64) +
+        ", sym AS (SELECT id_a AS src, id_b AS nbr, cos FROM scored " +
+        "UNION ALL SELECT id_b, id_a, cos FROM scored), " +
+        "r AS (SELECT src, nbr, cos, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, nbr) AS rank FROM sym) " +
+        "SELECT src AS vec_id, rank, nbr AS nbr_id, cos FROM r WHERE rank <= 3"),
+    "trajectory_dedup" ->
+      ("WITH base AS (SELECT user_id AS conv, ts, event_id, event_type FROM events), " +
+        "clone AS (SELECT conv + 1000000 AS conv, ts, event_id, event_type " +
+        "FROM base WHERE conv % 10 = 0), " +
+        "mut0 AS (SELECT conv, ts, event_id, event_type, row_number() OVER " +
+        "(PARTITION BY conv ORDER BY ts, event_id) AS rn FROM base WHERE conv % 17 = 0), " +
+        "mut AS (SELECT conv + 2000000 AS conv, ts, event_id, " +
+        "CASE WHEN rn = 1 THEN 'mutant' ELSE event_type END AS event_type FROM mut0), " +
+        "allt AS (SELECT * FROM base UNION ALL SELECT * FROM clone UNION ALL SELECT * FROM mut), " +
+        "tr AS (SELECT conv, array_to_string(list(event_type ORDER BY ts, event_id), '|') AS traj " +
+        "FROM allt GROUP BY conv) " +
+        "SELECT conv AS conv_id, min(conv) OVER (PARTITION BY traj) AS keep_conv, " +
+        "count(*) OVER (PARTITION BY traj) AS n_dup FROM tr"),
     "repetition_stats" ->
       ("WITH d2 AS (SELECT doc_id, coalesce(text, '') || ' r1 r2 r3 r1 r2 r3' AS text FROM documents), " +
         tokCte("d2") + ", " +

@@ -115,6 +115,34 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Exact edit-distance VERIFICATION of near-duplicate candidate pairs —
+    * the verify stage of a production dedup pipeline (reference analog:
+    * none — beyond-reference pipeline axis). LSH candidate generation
+    * trades recall for work and admits false positives; keeper decisions
+    * (deletion!) want certainty, so each candidate pair joins its full
+    * texts back and computes Levenshtein distance with Spark's BOUNDED
+    * form (`levenshtein(l, r, maxDist)`), which early-exits outside the
+    * ±maxDist band and returns -1 — O(len·maxDist) per pair instead of
+    * O(len²), the at-scale defense for book-length documents.
+    *
+    * Scale shape: the distance evaluates ONLY on the bucketed candidate
+    * set (never all-pairs); the two text-fetch joins are plain keyed
+    * equi-joins on doc id (sort-merge at scale, broadcast when the
+    * candidate set is small); the expression is a codegen'd built-in.
+    * Output: (id_a, id_b, lev, verified∈{0,1}) — lev = -1 where the
+    * bounded scan bailed (distance provably > maxDist). */
+  def verifyPairs(docs: DataFrame, pairs: DataFrame,
+                  idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist $maxDist must be non-negative")
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    pairs.select("id_a", "id_b")
+      .join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("lev"))
+      .withColumn("verified", when(col("lev") >= 0, 1L).otherwise(0L))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ threshold, via shared-shingle candidate
     * join (inverted index), never all-pairs.
     *

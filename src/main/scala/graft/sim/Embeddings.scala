@@ -76,6 +76,33 @@ object Embeddings {
       .where(col("cos") >= threshold)
   }
 
+  /** kNN-GRAPH construction over the LSH candidate set — the SemDeDup /
+    * curation primitive (every vector's k nearest neighbors, not a query
+    * batch's): candidates come from the multi-table hyperplane buckets
+    * (never all-pairs), exact cosine re-ranks them, and a per-source
+    * row_number window (partitioned by vector id — fully parallel) keeps
+    * the top k with deterministic (cos DESC, neighbor id ASC) tie-breaks.
+    * Vectors whose buckets contain no other vector emit no rows — at
+    * recall-sensitive scale, raise `tables` (more probes) rather than
+    * falling back to a quadratic pass. Output: (vec_id, rank, nbr_id, cos).
+    */
+  def knnGraph(df: DataFrame, k: Int, nPlanes: Int = 12, tables: Int = 4,
+               seed: Long = 42L, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k $k must be positive")
+    // threshold -1 keeps every candidate (cos ∈ [-1, 1]); the pair set is
+    // already deduped per (id_a, id_b) with one cos each
+    val pairs = lshCosinePairs(df, threshold = -1.0, nPlanes, tables, seed,
+      dim, idCol, vecCol)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("rank"), col("nbr").as("nbr_id"), col("cos"))
+  }
+
   /** IVF-style ANN top-k: a coarse quantizer of `nCells` DETERMINISTIC
     * centroids (the corpus vectors with the smallest ids — IVF needs a
     * fixed coarse quantizer, not necessarily a trained one, and member
