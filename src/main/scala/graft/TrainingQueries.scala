@@ -355,6 +355,42 @@ object TrainingQueries {
     Cdc.stateTable(state, "doc_id", "seq", "op", Seq("text"))
   }
 
+  /** trajectory_dedup's planted corpus, shared with its streaming twin:
+    * events as (conv, ts, event_id, event_type) ∪ exact clones of user%10
+    * conversations (MUST merge) ∪ first-action-mutated clones of user%17
+    * conversations (must NOT merge). */
+  private def plantedTrajCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("conv"), col("ts"), col("event_id"),
+        col("event_type"))
+    val clone = base.where(pmod(col("conv"), lit(10L)) === 0)
+      .withColumn("conv", col("conv") + 1000000L)
+    val mw = Window.partitionBy("conv").orderBy("ts", "event_id")
+    val mutant = base.where(pmod(col("conv"), lit(17L)) === 0)
+      .withColumn("rn", row_number().over(mw))
+      .withColumn("event_type",
+        when(col("rn") === 1, lit("mutant")).otherwise(col("event_type")))
+      .withColumn("conv", col("conv") + 2000000L).drop("rn")
+    base.unionByName(clone).unionByName(mutant)
+  }
+
+  /** One oracle for both trajectory forms — the stream twin must converge
+    * to the batch dedup exactly. */
+  private val trajDedupOracle: String =
+    "WITH base AS (SELECT user_id AS conv, ts, event_id, event_type FROM events), " +
+      "clone AS (SELECT conv + 1000000 AS conv, ts, event_id, event_type " +
+      "FROM base WHERE conv % 10 = 0), " +
+      "mut0 AS (SELECT conv, ts, event_id, event_type, row_number() OVER " +
+      "(PARTITION BY conv ORDER BY ts, event_id) AS rn FROM base WHERE conv % 17 = 0), " +
+      "mut AS (SELECT conv + 2000000 AS conv, ts, event_id, " +
+      "CASE WHEN rn = 1 THEN 'mutant' ELSE event_type END AS event_type FROM mut0), " +
+      "allt AS (SELECT * FROM base UNION ALL SELECT * FROM clone UNION ALL SELECT * FROM mut), " +
+      "tr AS (SELECT conv, array_to_string(list(event_type ORDER BY ts, event_id), '|') AS traj " +
+      "FROM allt GROUP BY conv) " +
+      "SELECT conv AS conv_id, min(conv) OVER (PARTITION BY traj) AS keep_conv, " +
+      "count(*) OVER (PARTITION BY traj) AS n_dup FROM tr"
+
   /** split_leakage_safe's hash cut, shared between the Spark entry
     * (trainPermille = 800 → Splits recomputes the same value) and the
     * oracle SQL so the constant cannot drift. */
@@ -669,22 +705,42 @@ object TrainingQueries {
     // sequence-level dedup for agent-trace corpora. Planted fixtures:
     // user%10 conversations get an exact clone (MUST merge), user%17 a
     // first-action-mutated clone (must NOT merge)
-    "trajectory_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id").as("conv"), col("ts"), col("event_id"),
-          col("event_type"))
-      val clone = base.where(pmod(col("conv"), lit(10L)) === 0)
-        .withColumn("conv", col("conv") + 1000000L)
-      val mw = Window.partitionBy("conv").orderBy("ts", "event_id")
-      val mutant = base.where(pmod(col("conv"), lit(17L)) === 0)
-        .withColumn("rn", row_number().over(mw))
-        .withColumn("event_type",
-          when(col("rn") === 1, lit("mutant")).otherwise(col("event_type")))
-        .withColumn("conv", col("conv") + 2000000L).drop("rn")
-      graft.transcripts.Trajectories.dedup(
-        base.unionByName(clone).unionByName(mutant),
-        "conv", "event_type", col("ts"), col("event_id"))
+    "trajectory_dedup" -> ((s, dir) =>
+      graft.transcripts.Trajectories.dedup(plantedTrajCorpus(s, dir),
+        "conv", "event_type", col("ts"), col("event_id"))),
+
+    // STREAMING twin of trajectory_dedup: per-conv action sequences
+    // assembled in flatMapGroupsWithState (state O(turns/conv), removed at
+    // emission), finalized by event-time timeout; the sink's (conv_id,
+    // traj) table then gets the SAME traj-keyed group labeling as the
+    // batch form — identical oracle. A held-back late cohort
+    // (event_id % 5 == 2, delivered last) must still sort into place.
+    "trajectory_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.TrajectoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = plantedTrajCorpus(s, dir)
+        .select(col("conv"), col("event_id").as("tie"),
+          col("event_type").as("action"), col("ts").cast("timestamp").as("ts"))
+        .as[TrajectoryStream.TTurn].collect()
+        .sortBy(t => (t.ts.getTime, t.conv, t.tie))
+      if (rows.isEmpty)
+        graft.transcripts.Trajectories.labelGroups(
+          s.emptyDataset[TrajectoryStream.TTraj].toDF())
+      else {
+        val (late, onTime) = rows.partition(_.tie % 5 == 2)
+        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TrajectoryStream.TTurn]
+        val out = TrajectoryStream.trajStream(
+          src.toDS().withWatermark("ts", "90 days")).toDF()
+        val farMs = rows.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+        def sentinel(off: Long) = TrajectoryStream.TTurn(-1L, 0L, "",
+          new java.sql.Timestamp(farMs + off))
+        val sink = SparkEntry.streamReplay(s, src, out,
+            (onTime ++ late).toIndexedSeq,
+            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_traj_stream")
+          .where(col("conv_id") =!= -1L)
+        graft.transcripts.Trajectories.labelGroups(sink)
+      }
     }),
 
     // ---- TF-IDF document-pair cosine over an inverted index (integer
@@ -1224,19 +1280,8 @@ object TrainingQueries {
         "r AS (SELECT src, nbr, cos, row_number() OVER " +
         "(PARTITION BY src ORDER BY cos DESC, nbr) AS rank FROM sym) " +
         "SELECT src AS vec_id, rank, nbr AS nbr_id, cos FROM r WHERE rank <= 3"),
-    "trajectory_dedup" ->
-      ("WITH base AS (SELECT user_id AS conv, ts, event_id, event_type FROM events), " +
-        "clone AS (SELECT conv + 1000000 AS conv, ts, event_id, event_type " +
-        "FROM base WHERE conv % 10 = 0), " +
-        "mut0 AS (SELECT conv, ts, event_id, event_type, row_number() OVER " +
-        "(PARTITION BY conv ORDER BY ts, event_id) AS rn FROM base WHERE conv % 17 = 0), " +
-        "mut AS (SELECT conv + 2000000 AS conv, ts, event_id, " +
-        "CASE WHEN rn = 1 THEN 'mutant' ELSE event_type END AS event_type FROM mut0), " +
-        "allt AS (SELECT * FROM base UNION ALL SELECT * FROM clone UNION ALL SELECT * FROM mut), " +
-        "tr AS (SELECT conv, array_to_string(list(event_type ORDER BY ts, event_id), '|') AS traj " +
-        "FROM allt GROUP BY conv) " +
-        "SELECT conv AS conv_id, min(conv) OVER (PARTITION BY traj) AS keep_conv, " +
-        "count(*) OVER (PARTITION BY traj) AS n_dup FROM tr"),
+    "trajectory_dedup" -> trajDedupOracle,
+    "trajectory_dedup_stream" -> trajDedupOracle,
     "repetition_stats" ->
       ("WITH d2 AS (SELECT doc_id, coalesce(text, '') || ' r1 r2 r3 r1 r2 r3' AS text FROM documents), " +
         tokCte("d2") + ", " +

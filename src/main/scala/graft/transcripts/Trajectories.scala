@@ -34,17 +34,21 @@ object Trajectories {
           x => x.getField("a")),
         "|").as("traj"))
 
-  /** Trajectory-level dedup: every conversation labeled with its
-    * duplicate-group keeper (min conv id among identical trajectories)
-    * and the group size. Output: (conv_id, keep_conv, n_dup). */
-  def dedup(turns: DataFrame, convCol: String, actionCol: String,
-            tsCol: Column, tieCol: Column): DataFrame = {
-    val t = trajectories(turns, convCol, actionCol, tsCol, tieCol)
-    // group labeling as a traj-keyed window: one shuffle, no self-join,
-    // no re-computation of the aggregate subtree
+  /** Duplicate-group labeling of a (conv_id, traj) table — shared by the
+    * batch dedup and the streaming twin's post-sink labeling. A traj-keyed
+    * window: one shuffle, no self-join, no re-computation of the upstream
+    * assembly. */
+  def labelGroups(t: DataFrame): DataFrame = {
     val w = Window.partitionBy("traj")
     t.withColumn("keep_conv", min("conv_id").over(w))
       .withColumn("n_dup", count(lit(1)).over(w))
       .select("conv_id", "keep_conv", "n_dup")
   }
+
+  /** Trajectory-level dedup: every conversation labeled with its
+    * duplicate-group keeper (min conv id among identical trajectories)
+    * and the group size. Output: (conv_id, keep_conv, n_dup). */
+  def dedup(turns: DataFrame, convCol: String, actionCol: String,
+            tsCol: Column, tieCol: Column): DataFrame =
+    labelGroups(trajectories(turns, convCol, actionCol, tsCol, tieCol))
 }
