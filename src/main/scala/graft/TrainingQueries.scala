@@ -391,6 +391,32 @@ object TrainingQueries {
       "SELECT conv AS conv_id, min(conv) OVER (PARTITION BY traj) AS keep_conv, " +
       "count(*) OVER (PARTITION BY traj) AS n_dup FROM tr"
 
+  /** Quantile-sketch shape, shared by the batch entry, the stream twin,
+    * and the oracle so no constant can drift. */
+  private val qsK = 5
+  private val qsPermilles = Seq(500, 900, 990)
+  private def qsVals(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      when(pmod(col("doc_id"), lit(20L)) === 0, pmod(col("doc_id"), lit(30L)))
+        .otherwise(col("n_chars")).as("val"))
+  private val qsOracle: String = {
+    val w = 1L << qsK
+    val vals = qsPermilles.map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+    "WITH v AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id % 30 ELSE n_chars END AS val FROM documents), " +
+      "b AS (SELECT CASE WHEN val <= 0 THEN CAST(0 AS BIGINT) " +
+      s"WHEN length(bin(CAST(val AS BIGINT))) - 1 <= $qsK THEN CAST(val AS BIGINT) " +
+      s"ELSE CAST(length(bin(CAST(val AS BIGINT))) - 1 - $qsK AS BIGINT) * $w + " +
+      s"(CAST(val AS BIGINT) >> CAST(length(bin(CAST(val AS BIGINT))) - 1 - $qsK AS INT)) END AS bucket FROM v), " +
+      "c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket), " +
+      "cc AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum, " +
+      "CAST(sum(cnt) OVER () AS BIGINT) AS n FROM c), " +
+      s"q(q_permille) AS (VALUES $vals), " +
+      "sel AS (SELECT q_permille, min(bucket) AS bucket FROM q JOIN cc " +
+      "ON cum >= (q_permille * n + 999) // 1000 GROUP BY q_permille) " +
+      s"SELECT q_permille, bucket, CASE WHEN (bucket >> $qsK) <= 0 THEN bucket " +
+      s"ELSE (bucket - ((bucket >> $qsK) - 1) * $w) << CAST((bucket >> $qsK) - 1 AS INT) END AS est FROM sel"
+  }
+
   /** split_leakage_safe's hash cut, shared between the Spark entry
     * (trainPermille = 800 → Splits recomputes the same value) and the
     * oracle SQL so the constant cannot drift. */
@@ -1015,6 +1041,32 @@ object TrainingQueries {
         "complete", "graft_hll_stream")
     }),
 
+    // ---- QUANTILE sketch (HDR-style integer histogram — the rank
+    // companion of the CountMin/HLL/Bloom family): p50/p90/p99 doc length
+    // from an O(64·2^k)-row mergeable bucket table. One shuffle to bucket
+    // counts; every later pass (cumulative window, permille join) runs on
+    // SKETCH-sized data — the same bounded-finalizer triage class as the
+    // other sketches. doc_id%20 rows swap in a tiny planted value so the
+    // exact linear region (v < 2^k) is exercised next to the log region.
+    "sketch_quantile_doclen" -> ((s, dir) =>
+      graft.sketch.QuantileSketch.quantiles(
+        graft.sketch.QuantileSketch.sketch(qsVals(s, dir), "val", qsK),
+        qsK, qsPermilles)),
+    // streaming twin: the bucket aggregation runs as a complete-mode
+    // streaming aggregate (the count-sum monoid IS the update rule) and
+    // the finalizer reads the last snapshot — same oracle as batch
+    "sketch_quantile_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = qsVals(s, dir).as[Long].collect().sorted
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val sk = graft.sketch.QuantileSketch.sketch(
+        src.toDF().toDF("val"), "val", qsK)
+      val sink = SparkEntry.streamReplay(s, src, sk, rows.toIndexedSeq, Nil,
+        "complete", "graft_qsk_stream")
+      graft.sketch.QuantileSketch.quantiles(sink, qsK, qsPermilles)
+    }),
+
     // ---- REAL image resize: JDK decode + explicit nearest-neighbor
     // kernel (implementation-defined AWT scaling would not be replayable);
     // resized checksum is closed-form exact in the oracle
@@ -1254,6 +1306,8 @@ object TrainingQueries {
         "lab(n, l) AS (SELECT doc_id, doc_id FROM docs2 " +
         "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
         "SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n"),
+    "sketch_quantile_doclen" -> qsOracle,
+    "sketch_quantile_stream" -> qsOracle,
     "near_dup_verify" ->
       (minhashPairsCtes +
         ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +

@@ -1,0 +1,82 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HDR-histogram-style quantile sketch — the rank companion to
+  * [[HyperLogLog]] (cardinality) and [[CountMin]] (frequency): a training
+  * pipeline asks "p50/p90/p99 document length" at sizes where an exact
+  * quantile is a full sort of the corpus.
+  *
+  * Spark-first framing, same as the other sketches: the histogram IS a
+  * keyed aggregate — `groupBy(bucket).count()` — so per-partition partial
+  * aggregation builds per-partition sketches and the one shuffle merges
+  * them (bucket-wise count sum is the merge, a commutative monoid). The
+  * whole sketch is O(64·2^k) rows regardless of input size, so every pass
+  * AFTER the bucketing aggregate runs on sketch-sized data.
+  *
+  * Portable arithmetic (bit-replayable in the DuckDB oracle): NO float
+  * log anywhere — the bucket index uses the classic HDR decomposition of
+  * a non-negative integer v with e = floor(log2 v) computed as
+  * `length(bin(v)) - 1` (pure string-of-bits length, identical in Spark
+  * and DuckDB):
+  *   v < 2^k          → bucket = v              (exact linear region)
+  *   otherwise        → bucket = (e-k)·2^k + (v >> (e-k))
+  * Buckets are contiguous and monotone in v; the bucket containing v has
+  * width 2^(e-k), so the relative error of its lower bound is ≤ 2^-k.
+  */
+object QuantileSketch {
+
+  /** Bucket index of a non-negative integer value (see object doc).
+    * Values ≤ 0 land in bucket 0. */
+  def bucketOf(v: Column, k: Int): Column = {
+    require(k >= 1 && k <= 20, s"sub-bucket bits k=$k must be in [1, 20]")
+    val vl = v.cast("long")
+    val e = (length(bin(vl)) - lit(1)).cast("long")
+    when(vl <= 0L, lit(0L))
+      .when(e <= k, vl)
+      .otherwise((e - k) * (1L << k) +
+        call_function("shiftright", vl, (e - k).cast("int")))
+  }
+
+  /** Inverse: the smallest value mapping into `bucket` — the sketch's
+    * quantile estimate (an underestimate by at most a factor 1 + 2^-k). */
+  def lowerBound(bucket: Column, k: Int): Column = {
+    val br = shiftright(bucket, k)
+    when(br <= 0L, bucket)
+      .otherwise(call_function("shiftleft",
+        bucket - (br - 1L) * (1L << k), (br - 1L).cast("int")))
+  }
+
+  /** The mergeable sketch: (bucket, cnt). One shuffle, map-side partial
+    * aggregation; merging two sketches is a bucket-wise count sum. */
+  def sketch(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.groupBy(bucketOf(col(valueCol), k).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates at the requested permilles from a sketch.
+    * Output: (q_permille, bucket, est). The rank target is
+    * ceil(q·n/1000); the chosen bucket is the first whose cumulative
+    * count reaches it. The ordering window and the permille join below
+    * run on SKETCH-sized data (O(64·2^k) rows by construction), never on
+    * the corpus — the single-partition exchange they plan is bounded by
+    * the sketch, exactly like the other sketch finalizers here. */
+  def quantiles(sk: DataFrame, k: Int, permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles $permilles must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = sk.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val qdf = permilles.map(_.toLong).toDF("q_permille")
+    qdf.join(cum, expr("cum >= ((q_permille * n + 999) DIV 1000)"))
+      .groupBy("q_permille").agg(min("bucket").as("bucket"))
+      .select(col("q_permille"), col("bucket"),
+        lowerBound(col("bucket"), k).as("est"))
+  }
+}

@@ -214,6 +214,51 @@ class CheckpointRestartSpec extends AnyFunSuite
     assert(streamed.toMap == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("trajectory assembly resumes from checkpoint: turns buffered pre-restart survive") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def tt(c: Long, tie: Long, a: String, ms: Long) =
+      TrajectoryStream.TTurn(c, tie, a, new Timestamp(base + ms))
+    // conv 1 straddles the restart (a,b pre + c post): its full trajectory
+    // is provable only if the buffered actions survived the checkpoint.
+    // conv 2 is entirely pre-restart (timeout fires post-restart), conv 3
+    // entirely post-restart.
+    val pre = Seq(tt(1, 1, "a", 1000), tt(1, 2, "b", 2000),
+      tt(2, 1, "p", 1500), tt(2, 2, "q", 2500))
+    val post = Seq(tt(1, 3, "c", 3000), tt(3, 1, "z", 4000))
+
+    val src = MemoryStream[TrajectoryStream.TTurn]
+    val cp = tmpDir("traj")
+    val outDir = tmpDir("traj-out")
+    def start() =
+      TrajectoryStream.trajStream(
+          src.toDS().withWatermark("ts", "1 minute"), gapMs = 60000L).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+    val q1 = start()
+    src.addData(pre)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    src.addData(post)
+    q2.processAllAvailable()
+    val far = base + 10000000L
+    for (off <- Seq(0L, 1000L)) {
+      src.addData(TrajectoryStream.TTurn(-1L, 0L, "", new Timestamp(far + off)))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir).where(col("conv_id") =!= -1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(streamed.distinct.size == streamed.size,
+      "restart must not duplicate trajectories")
+    assert(streamed.toMap == Map(1L -> "a|b|c", 2L -> "p|q", 3L -> "z"))
+  }
+
   test("native stream-stream interval join resumes from checkpoint") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
