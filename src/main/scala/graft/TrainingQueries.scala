@@ -399,23 +399,43 @@ object TrainingQueries {
     docs(s, dir).select(
       when(pmod(col("doc_id"), lit(20L)) === 0, pmod(col("doc_id"), lit(30L)))
         .otherwise(col("n_chars")).as("val"))
-  private val qsOracle: String = {
-    val w = 1L << qsK
-    val vals = qsPermilles.map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+  private val qsW = 1L << qsK
+  /** DuckDB replay of [[graft.sketch.QuantileSketch.bucketOf]] on `v`. */
+  private def qsBucketSql(v: String): String =
+    s"CASE WHEN $v <= 0 THEN CAST(0 AS BIGINT) " +
+      s"WHEN length(bin(CAST($v AS BIGINT))) - 1 <= $qsK THEN CAST($v AS BIGINT) " +
+      s"ELSE CAST(length(bin(CAST($v AS BIGINT))) - 1 - $qsK AS BIGINT) * $qsW + " +
+      s"(CAST($v AS BIGINT) >> CAST(length(bin(CAST($v AS BIGINT))) - 1 - $qsK AS INT)) END"
+  /** DuckDB replay of [[graft.sketch.QuantileSketch.lowerBound]] on `b`. */
+  private def qsEstSql(b: String): String =
+    s"CASE WHEN ($b >> $qsK) <= 0 THEN $b " +
+      s"ELSE ($b - (($b >> $qsK) - 1) * $qsW) << CAST(($b >> $qsK) - 1 AS INT) END"
+  private val qsValuesSql: String =
+    qsPermilles.map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+  private val qsOracle: String =
     "WITH v AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id % 30 ELSE n_chars END AS val FROM documents), " +
-      "b AS (SELECT CASE WHEN val <= 0 THEN CAST(0 AS BIGINT) " +
-      s"WHEN length(bin(CAST(val AS BIGINT))) - 1 <= $qsK THEN CAST(val AS BIGINT) " +
-      s"ELSE CAST(length(bin(CAST(val AS BIGINT))) - 1 - $qsK AS BIGINT) * $w + " +
-      s"(CAST(val AS BIGINT) >> CAST(length(bin(CAST(val AS BIGINT))) - 1 - $qsK AS INT)) END AS bucket FROM v), " +
+      s"b AS (SELECT ${qsBucketSql("val")} AS bucket FROM v), " +
       "c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket), " +
       "cc AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum, " +
       "CAST(sum(cnt) OVER () AS BIGINT) AS n FROM c), " +
-      s"q(q_permille) AS (VALUES $vals), " +
+      s"q(q_permille) AS (VALUES $qsValuesSql), " +
       "sel AS (SELECT q_permille, min(bucket) AS bucket FROM q JOIN cc " +
       "ON cum >= (q_permille * n + 999) // 1000 GROUP BY q_permille) " +
-      s"SELECT q_permille, bucket, CASE WHEN (bucket >> $qsK) <= 0 THEN bucket " +
-      s"ELSE (bucket - ((bucket >> $qsK) - 1) * $w) << CAST((bucket >> $qsK) - 1 AS INT) END AS est FROM sel"
-  }
+      s"SELECT q_permille, bucket, ${qsEstSql("bucket")} AS est FROM sel"
+  /** Per-event-time-window quantiles: the keyed form, partitioned by the
+    * hour bucket end to end. */
+  private val windowQuantileOracle: String =
+    "WITH v AS (SELECT date_trunc('hour', ts) AS win_start, " +
+      "CAST(floor(value * 1024 + 0.5) AS BIGINT) AS val FROM events), " +
+      s"b AS (SELECT win_start, ${qsBucketSql("val")} AS bucket FROM v), " +
+      "c AS (SELECT win_start, bucket, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+      "cc AS (SELECT win_start, bucket, " +
+      "CAST(sum(cnt) OVER (PARTITION BY win_start ORDER BY bucket) AS BIGINT) AS cum, " +
+      "CAST(sum(cnt) OVER (PARTITION BY win_start) AS BIGINT) AS n FROM c), " +
+      s"q(q_permille) AS (VALUES $qsValuesSql), " +
+      "sel AS (SELECT win_start, q_permille, min(bucket) AS bucket FROM cc JOIN q " +
+      "ON cum >= (q_permille * n + 999) // 1000 GROUP BY 1, 2) " +
+      s"SELECT win_start, q_permille, bucket, ${qsEstSql("bucket")} AS est FROM sel"
 
   /** split_leakage_safe's hash cut, shared between the Spark entry
     * (trainPermille = 800 → Splits recomputes the same value) and the
@@ -1066,6 +1086,21 @@ object TrainingQueries {
         "complete", "graft_qsk_stream")
       graft.sketch.QuantileSketch.quantiles(sink, qsK, qsPermilles)
     }),
+    // per-event-time-window quantiles: the KEYED sketch form. One shuffle
+    // to (window, bucket) counts; the finalizer's cumulative window is
+    // PARTITIONED by the window start, so — unlike the global finalizers
+    // above — no single-partition exchange exists anywhere in this plan
+    // (pinned in QuantileSketchSpec). value is fixed-point scaled (x1024,
+    // round half up) into the integer domain the sketch indexes.
+    "window_quantile" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(date_trunc("hour", col("ts")).as("win_start"),
+          floor(col("value") * 1024 + 0.5).cast("long").as("val"))
+      graft.sketch.QuantileSketch.quantilesPerKey(
+        graft.sketch.QuantileSketch.sketchKeyed(
+          e, Seq("win_start"), "val", qsK),
+        Seq("win_start"), qsK, qsPermilles)
+    }),
 
     // ---- REAL image resize: JDK decode + explicit nearest-neighbor
     // kernel (implementation-defined AWT scaling would not be replayable);
@@ -1308,6 +1343,7 @@ object TrainingQueries {
         "SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n"),
     "sketch_quantile_doclen" -> qsOracle,
     "sketch_quantile_stream" -> qsOracle,
+    "window_quantile" -> windowQuantileOracle,
     "near_dup_verify" ->
       (minhashPairsCtes +
         ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +

@@ -54,6 +54,42 @@ object QuantileSketch {
     df.groupBy(bucketOf(col(valueCol), k).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Keyed sketch: one mergeable histogram per key tuple (e.g. per
+    * event-time window). Same single-shuffle shape as [[sketch]]. */
+  def sketchKeyed(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame =
+    df.groupBy(keyCols.map(col) :+ bucketOf(col(valueCol), k).as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-key quantiles from a keyed sketch — the identical selection rule
+    * as [[quantiles]], but the cumulative window is PARTITIONED by the key
+    * columns, so the finalizer is fully parallel (no single-partition
+    * exchange anywhere) and its per-key input is one sketch, O(64·2^k)
+    * rows. This is the form a per-window latency-quantile dashboard runs
+    * at cluster scale. */
+  def quantilesPerKey(sk: DataFrame, keyCols: Seq[String], k: Int,
+                      permilles: Seq[Int]): DataFrame = {
+    require(keyCols.nonEmpty, "use quantiles() for the unkeyed form")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles $permilles must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val kc = keyCols.map(col)
+    val wc = Window.partitionBy(kc: _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(kc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = sk.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val qdf = permilles.map(_.toLong).toDF("q_permille")
+    cum.crossJoin(broadcast(qdf))
+      .where(expr("cum >= ((q_permille * n + 999) DIV 1000)"))
+      .groupBy(kc :+ col("q_permille"): _*).agg(min("bucket").as("bucket"))
+      .select(kc ++ Seq(col("q_permille"), col("bucket"),
+        lowerBound(col("bucket"), k).as("est")): _*)
+  }
+
   /** Quantile estimates at the requested permilles from a sketch.
     * Output: (q_permille, bucket, est). The rank target is
     * ceil(q·n/1000); the chosen bucket is the first whose cumulative

@@ -74,6 +74,41 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestBase {
       s"sketch grew to $n buckets")
   }
 
+  test("keyed form equals the unkeyed finalizer run per key") {
+    val rows = (0 until 3000).map { i =>
+      val key = i % 7
+      val v = math.abs(graft.gen.TranscriptGen.splitmix64(991L + i)) % 500000L
+      (key.toLong, v)
+    }
+    val df = rows.toDF("key", "val")
+    val got = QuantileSketch.quantilesPerKey(
+      QuantileSketch.sketchKeyed(df, Seq("key"), "val", k),
+      Seq("key"), k, Seq(500, 900, 990))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet.map(_._1) == (0L until 7L).toSet)
+    for (key <- 0L until 7L) {
+      val vs = rows.filter(_._1 == key).map(_._2)
+      val expect = QuantileSketch.quantiles(
+        QuantileSketch.sketch(vs.toDF("val"), "val", k), k, Seq(500, 900, 990))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      for (q <- Seq(500L, 900L, 990L))
+        assert(got((key, q)) == expect(q), s"key=$key q=$q diverged from unkeyed")
+    }
+  }
+
+  test("keyed finalizer plans no single-partition exchange") {
+    val df = (0 until 200).map(i => (i % 5L, (i * 37L) % 9999L))
+      .toDF("key", "val")
+    val plan = QuantileSketch.quantilesPerKey(
+      QuantileSketch.sketchKeyed(df, Seq("key"), "val", k),
+      Seq("key"), k, Seq(500, 990))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "the keyed cumulative window must stay partitioned by the key")
+  }
+
   test("sketches merge by bucket-wise count sum") {
     val a = (0 until 500).map(i => math.abs(graft.gen.TranscriptGen.splitmix64(i.toLong)) % 100000L)
     val b = (500 until 900).map(i => math.abs(graft.gen.TranscriptGen.splitmix64(i.toLong)) % 100000L)
