@@ -436,6 +436,19 @@ object TrainingQueries {
       "sel AS (SELECT win_start, q_permille, min(bucket) AS bucket FROM cc JOIN q " +
       "ON cum >= (q_permille * n + 999) // 1000 GROUP BY 1, 2) " +
       s"SELECT win_start, q_permille, bucket, ${qsEstSql("bucket")} AS est FROM sel"
+  /** Sketch-driven curation trim: docs whose length exceeds the sketch's
+    * p990 estimate. The threshold sub-plan is sketch-sized; the corpus
+    * pass is a broadcast-filtered scan. */
+  private val qualityTrimOracle: String =
+    "WITH v AS (SELECT CAST(n_chars AS BIGINT) AS val FROM documents), " +
+      s"b AS (SELECT ${qsBucketSql("val")} AS bucket FROM v), " +
+      "c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket), " +
+      "cc AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum, " +
+      "CAST(sum(cnt) OVER () AS BIGINT) AS n FROM c), " +
+      "sel AS (SELECT min(bucket) AS bucket FROM cc WHERE cum >= (990 * n + 999) // 1000), " +
+      s"thr AS (SELECT ${qsEstSql("bucket")} AS threshold FROM sel) " +
+      "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, thr.threshold " +
+      "FROM documents d, thr WHERE CAST(d.n_chars AS BIGINT) > thr.threshold"
 
   /** split_leakage_safe's hash cut, shared between the Spark entry
     * (trainPermille = 800 → Splits recomputes the same value) and the
@@ -1101,6 +1114,45 @@ object TrainingQueries {
           e, Seq("win_start"), "val", qsK),
         Seq("win_start"), qsK, qsPermilles)
     }),
+    // streaming twin: the keyed bucket aggregation runs as a complete-mode
+    // streaming aggregate over the replayed event stream (the per-window
+    // count-sum monoid IS the update rule); the parallel finalizer reads
+    // the last snapshot — same oracle as the batch form
+    "window_quantile_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts").cast("timestamp").as("ts"),
+          floor(col("value") * 1024 + 0.5).cast("long").as("val"))
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val sk = graft.sketch.QuantileSketch.sketchKeyed(
+        src.toDF().toDF("ts", "val")
+          .select(date_trunc("hour", col("ts")).as("win_start"), col("val")),
+        Seq("win_start"), "val", qsK)
+      val sink = SparkEntry.streamReplay(s, src, sk, rows.toIndexedSeq, Nil,
+        "complete", "graft_wq_stream")
+      graft.sketch.QuantileSketch.quantilesPerKey(
+        sink, Seq("win_start"), qsK, qsPermilles)
+        .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+          col("q_permille"), col("bucket"), col("est"))
+    }),
+
+    // ---- sketch-DRIVEN curation trim: keep documents longer than the
+    // corpus's p99 length estimate. The threshold is computed from the
+    // O(64·2^k)-row sketch and broadcast (1 row) into a filtered scan of
+    // the corpus — at 100 TB this is one bucketing shuffle plus one
+    // map-side pass; an exact-percentile trim would be a full corpus sort.
+    "quality_trim_p99" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val thr = graft.sketch.QuantileSketch.quantiles(
+        graft.sketch.QuantileSketch.sketch(d, "n_chars", qsK), qsK, Seq(990))
+        .select(col("est").as("threshold"))
+      d.join(broadcast(thr), col("n_chars") > col("threshold"))
+        .select(col("doc_id"), col("n_chars"), col("threshold"))
+    }),
 
     // ---- REAL image resize: JDK decode + explicit nearest-neighbor
     // kernel (implementation-defined AWT scaling would not be replayable);
@@ -1344,6 +1396,8 @@ object TrainingQueries {
     "sketch_quantile_doclen" -> qsOracle,
     "sketch_quantile_stream" -> qsOracle,
     "window_quantile" -> windowQuantileOracle,
+    "window_quantile_stream" -> windowQuantileOracle,
+    "quality_trim_p99" -> qualityTrimOracle,
     "near_dup_verify" ->
       (minhashPairsCtes +
         ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
