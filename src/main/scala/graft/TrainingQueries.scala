@@ -436,6 +436,35 @@ object TrainingQueries {
       "sel AS (SELECT win_start, q_permille, min(bucket) AS bucket FROM cc JOIN q " +
       "ON cum >= (q_permille * n + 999) // 1000 GROUP BY 1, 2) " +
       s"SELECT win_start, q_permille, bucket, ${qsEstSql("bucket")} AS est FROM sel"
+  /** Exact order statistics the 2-pass kernel must reproduce: value at
+    * rank ceil(q·n/1000) of the planted-mix distribution. */
+  private val exactQuantileOracle: String =
+    "WITH v AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id % 30 ELSE n_chars END AS val FROM documents), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v), " +
+      s"q(q_permille) AS (VALUES $qsValuesSql), " +
+      "r AS (SELECT q_permille, (q_permille * n.n + 999) // 1000 AS rk FROM q, n), " +
+      "s AS (SELECT CAST(val AS BIGINT) AS val, row_number() OVER (ORDER BY val) AS rn FROM v) " +
+      "SELECT r.q_permille, s.val FROM r JOIN s ON s.rn = r.rk"
+  /** Pane-composed sliding-window distinct users: per-15-min-pane HLL
+    * registers max-merge into the 4 overlapping hour windows; same
+    * estimate formula as sketch_hll_distinct, per window. */
+  private lazy val slidingDistinctOracle: String =
+    "WITH e AS (SELECT (epoch_us(ts) // 1000000) // 900 * 900 AS pane_s, " +
+      "user_id % 1000003 AS h FROM events), " +
+      "g AS (SELECT pane_s, (h * 48271 + 3) % 1000003 AS g0, " +
+      "(h * 16807 + 17) % 1000003 AS g1 FROM e), " +
+      "reg AS (SELECT pane_s, CAST((g0 * 32) // 1000003 AS BIGINT) AS bucket, " +
+      "CAST(max(len(list_filter(generate_series(1, 20), k -> g1 % (1 << k) = 0)) + 1) AS BIGINT) AS rho " +
+      "FROM g GROUP BY 1, 2), " +
+      "wreg AS (SELECT pane_s - 900 * j AS win_start_s, bucket, max(rho) AS rho " +
+      "FROM reg, generate_series(0, 3) t(j) GROUP BY 1, 2), " +
+      "agg AS (SELECT win_start_s, sum((CAST(" + hllInvList + " AS DOUBLE[]))[rho]) AS s, " +
+      "count(*) AS filled FROM wreg GROUP BY 1), " +
+      "e0 AS (SELECT win_start_s, 0.697 * 32 * 32 / (s + (32 - filled)) AS raw, " +
+      "CAST(32 - filled AS DOUBLE) AS zeros FROM agg) " +
+      "SELECT CAST(win_start_s AS BIGINT) AS win_start_s, " +
+      "round(CASE WHEN raw <= 80.0 AND zeros > 0 THEN 32.0 * ln(32.0 / zeros) ELSE raw END, 6) AS est FROM e0"
+
   /** Sketch-driven curation trim: docs whose length exceeds the sketch's
     * p990 estimate. The threshold sub-plan is sketch-sized; the corpus
     * pass is a broadcast-filtered scan. */
@@ -1139,6 +1168,38 @@ object TrainingQueries {
           col("q_permille"), col("bucket"), col("est"))
     }),
 
+    // ---- EXACT quantiles in two sketch-pruned passes: pass 1 collects
+    // the hard-bounded sketch (≤ ~1.9K rows for k=5, independent of corpus
+    // size) and maps each permille to (bucket, offset); pass 2 re-scans
+    // pruned to the ≤3 selected buckets and rank-selects within each —
+    // exact order statistics without a corpus sort.
+    "exact_quantile_2pass" -> ((s, dir) =>
+      graft.sketch.QuantileSketch.exactQuantiles(
+        qsVals(s, dir), "val", qsK, qsPermilles)),
+
+    // ---- pane-composed SLIDING distinct users (HLL): per-15-min-pane
+    // registers (one event-shuffle to O(panes · m) rows) max-merge into
+    // each of the 4 overlapping hour windows — the 4x fan-out happens on
+    // pane REGISTERS, never on events; the per-window estimate is the
+    // same bias-corrected harmonic mean as sketch_hll_distinct (per-key
+    // register sums are exact dyadic fractions, so the replay is
+    // bit-stable cross-engine).
+    "sliding_distinct_hll" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 DIV 900 * 900")
+          .as("pane_s"),
+          pmod(col("user_id"), lit(graft.text.TextOps.P)).as("h"))
+      val paneRegs = e.groupBy(col("pane_s"),
+          graft.sketch.HyperLogLog.bucket(col("h"), 32).as("bucket"))
+        .agg(max(graft.sketch.HyperLogLog.rho(col("h"))).cast("long").as("rho"))
+      val winRegs = paneRegs
+        .withColumn("j", explode(array((0 to 3).map(lit): _*)))
+        .select((col("pane_s") - col("j") * 900L).as("win_start_s"),
+          col("bucket"), col("rho"))
+        .groupBy("win_start_s", "bucket").agg(max("rho").as("rho"))
+      graft.sketch.HyperLogLog.estimatePerKey(winRegs, Seq("win_start_s"), 32)
+    }),
+
     // ---- sketch-DRIVEN curation trim: keep documents longer than the
     // corpus's p99 length estimate. The threshold is computed from the
     // O(64·2^k)-row sketch and broadcast (1 row) into a filtered scan of
@@ -1398,6 +1459,8 @@ object TrainingQueries {
     "window_quantile" -> windowQuantileOracle,
     "window_quantile_stream" -> windowQuantileOracle,
     "quality_trim_p99" -> qualityTrimOracle,
+    "exact_quantile_2pass" -> exactQuantileOracle,
+    "sliding_distinct_hll" -> slidingDistinctOracle,
     "near_dup_verify" ->
       (minhashPairsCtes +
         ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +

@@ -99,6 +99,31 @@ object HyperLogLog {
           .otherwise(col("raw")), 6).as("est"))
   }
 
+  /** Per-key cardinality estimates from a KEYED register table
+    * (keyCols..., bucket, rho) — the same bias-corrected formula as
+    * [[estimate]], grouped by the key columns. Every per-key sum is over
+    * at most m exact binary fractions ≥ 2^-21, so it fits a double
+    * mantissa exactly and is order-independent — safe to replay
+    * cross-engine. This is the finalizer for pane-composed windows: merge
+    * pane registers into window registers (register-wise max), then
+    * estimate per window. */
+  def estimatePerKey(registers: DataFrame, keyCols: Seq[String],
+                     m: Int = 32): DataFrame = {
+    require(keyCols.nonEmpty, "use estimate() for the unkeyed form")
+    val inv = array(invPow2().map(lit): _*)
+    val kc = keyCols.map(col)
+    registers.groupBy(kc: _*)
+      .agg(sum(element_at(inv, col("rho").cast("int"))).as("s"),
+        count(lit(1)).as("filled"))
+      .select(kc ++ Seq(
+        (lit(alpha(m)) * m * m / (col("s") + (lit(m) - col("filled")))).as("raw"),
+        (lit(m) - col("filled")).cast("double").as("zeros")): _*)
+      .select(kc :+ round(
+        when(col("raw") <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")), 6).as("est"): _*)
+  }
+
   /** Distinct-count estimate of `keyCol` in one expression chain. */
   def distinctEstimate(df: DataFrame, keyCol: String, m: Int = 32): DataFrame =
     estimate(registers(df, keyCol, m), m)

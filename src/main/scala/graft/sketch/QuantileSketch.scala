@@ -90,6 +90,48 @@ object QuantileSketch {
         lowerBound(col("bucket"), k).as("est")): _*)
   }
 
+  /** EXACT quantiles in two corpus passes, sketch-pruned — the scale
+    * answer when an estimate is not enough but a full corpus sort is
+    * unaffordable. Pass 1 builds the sketch and collects it to the driver:
+    * legitimate because the bucket space is HARD-bounded at
+    * (63-k)·2^k + 2^(k+1) rows by construction (spec-pinned), independent
+    * of corpus size. The driver turns each permille's rank target into
+    * (bucket, offset-within-bucket). Pass 2 re-scans the corpus pruned to
+    * the ≤ |permilles| selected buckets (the bucket predicate is a plain
+    * comparison on a derived column — everything else is filtered out
+    * map-side before any shuffle) and rank-selects within each bucket.
+    * The only per-bucket funnel is bounded by one bucket's row count —
+    * one 2^-k relative band of the distribution; raise k to narrow it.
+    * Output: (q_permille, val) — exact order statistics. */
+  def exactQuantiles(df: DataFrame, valueCol: String, k: Int,
+                     permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles $permilles must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = sketch(df, valueCol, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    if (n == 0L)
+      return Seq.empty[(Long, Long)].toDF("q_permille", "val")
+    val cumBefore = hist.scanLeft(0L)(_ + _._2) // cum count before hist(i)
+    val targets = permilles.map { q =>
+      val rank = (q.toLong * n + 999L) / 1000L
+      val i = hist.indices.find(i => rank <= cumBefore(i) + hist(i)._2).get
+      (q.toLong, hist(i)._1, rank - cumBefore(i))
+    }
+    val tdf = targets.toDF("q_permille", "tb", "toff")
+    val ranked = df.select(col(valueCol).cast("long").as("val"))
+      .withColumn("b", bucketOf(col("val"), k))
+      .join(broadcast(tdf.select(col("tb").as("b")).distinct()), "b")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("b").orderBy("val")).cast("long"))
+    ranked.join(broadcast(tdf),
+        ranked("b") === tdf("tb") && ranked("rn") === tdf("toff"))
+      .select(col("q_permille"), col("val"))
+  }
+
   /** Quantile estimates at the requested permilles from a sketch.
     * Output: (q_permille, bucket, est). The rank target is
     * ceil(q·n/1000); the chosen bucket is the first whose cumulative

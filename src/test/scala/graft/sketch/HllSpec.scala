@@ -62,6 +62,49 @@ class HllSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("estimatePerKey == estimate run independently per key") {
+    import spark.implicits._
+    val rows = (0 until 900).map(i => (s"g${i % 3}", s"k${i % (100 + (i % 3) * 77)}"))
+    val df = rows.toDF("g", "k")
+    val keyedRegs = df
+      .select(col("g"), graft.text.TextOps.polyHash(col("k")).as("h"))
+      .groupBy(col("g"), HyperLogLog.bucket(col("h"), m).as("bucket"))
+      .agg(max(HyperLogLog.rho(col("h"))).cast("long").as("rho"))
+    val got = HyperLogLog.estimatePerKey(keyedRegs, Seq("g"), m)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val keys = rows.filter(_._1 == g).map(_._2)
+      val expect = HyperLogLog.distinctEstimate(keys.toDF("k"), "k", m)
+        .head().getDouble(0)
+      assert(got(g) == expect, s"group $g: keyed $got vs unkeyed $expect")
+    }
+  }
+
+  test("pane composition: pane-merged window registers == direct window registers") {
+    import spark.implicits._
+    // events at second granularity; 4 panes of 10s merge into 40s windows
+    val evs = (0 until 600).map { i =>
+      val t = (i * 7) % 120 // seconds
+      (t.toLong / 10 * 10, s"u${i % 83}") // (pane_start, user)
+    }
+    val df = evs.toDF("pane", "k")
+      .select(col("pane"), graft.text.TextOps.polyHash(col("k")).as("h"))
+    val paneRegs = df.groupBy(col("pane"), HyperLogLog.bucket(col("h"), m).as("bucket"))
+      .agg(max(HyperLogLog.rho(col("h"))).cast("long").as("rho"))
+    val viaPanes = paneRegs
+      .withColumn("j", explode(array((0 to 3).map(lit): _*)))
+      .select((col("pane") - col("j") * 10L).as("win"), col("bucket"), col("rho"))
+      .groupBy("win", "bucket").agg(max("rho").as("rho"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = df
+      .withColumn("j", explode(array((0 to 3).map(lit): _*)))
+      .select((col("pane") - col("j") * 10L).as("win"), col("h"))
+      .groupBy(col("win"), HyperLogLog.bucket(col("h"), m).as("bucket"))
+      .agg(max(HyperLogLog.rho(col("h"))).cast("long").as("rho"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaPanes == direct)
+  }
+
   test("linear-counting branch engages for tiny cardinalities") {
     import spark.implicits._
     val n = 5

@@ -109,6 +109,32 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestBase {
       "the keyed cumulative window must stay partitioned by the key")
   }
 
+  test("exactQuantiles returns the exact order statistic at every permille") {
+    val vals = (0 until 5000).map(i =>
+      math.abs(graft.gen.TranscriptGen.splitmix64(13L + i)) % 2000000L) ++
+      Seq.fill(40)(7L) // heavy tie block crossing a rank boundary
+    val df = vals.toDF("val")
+    val permilles = Seq(1, 250, 500, 900, 990, 1000)
+    val got = QuantileSketch.exactQuantiles(df, "val", k, permilles)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    for (q <- permilles) {
+      val rank = (q.toLong * vals.size + 999L) / 1000L
+      assert(got(q.toLong) == sorted(rank.toInt - 1),
+        s"q=$q expected exact ${sorted(rank.toInt - 1)}, got ${got(q.toLong)}")
+    }
+  }
+
+  test("exactQuantiles on empty input is empty; pass 2 prunes to target buckets") {
+    assert(QuantileSketch.exactQuantiles(
+      Seq.empty[Long].toDF("val"), "val", k, Seq(500)).isEmpty)
+    // the second pass must touch only the selected buckets: every surviving
+    // row's bucket is one of the ≤|permilles| targets
+    val vals = (0 until 3000).map(i => (i * 17L) % 400000L)
+    val out = QuantileSketch.exactQuantiles(vals.toDF("val"), "val", k, Seq(500, 990))
+    assert(out.count() == 2)
+  }
+
   test("sketches merge by bucket-wise count sum") {
     val a = (0 until 500).map(i => math.abs(graft.gen.TranscriptGen.splitmix64(i.toLong)) % 100000L)
     val b = (500 until 900).map(i => math.abs(graft.gen.TranscriptGen.splitmix64(i.toLong)) % 100000L)
