@@ -1168,6 +1168,29 @@ object TrainingQueries {
           col("q_permille"), col("bucket"), col("est"))
     }),
 
+    // ---- CO-LOCATED big-big join via bucketed layout: both fact tables
+    // are written bucketBy(8, okey) once, then the orderkey equi-join
+    // plans with NO Exchange on either side (each task reads matching
+    // bucket files; spec-pinned with broadcast disabled). The 100-TB
+    // trade: one layout shuffle at ingest instead of a full-table
+    // exchange per downstream join. Result hashed against the plain-join
+    // oracle, so the layout provably changes the plan and not the data.
+    "bucketed_join" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("okey"), col("o_custkey"))
+      val lb = graft.sources.BucketedTables.writeBucketed(
+        l, "graft_lineitem_b", "okey", nBuckets = 8, base)
+      val ob = graft.sources.BucketedTables.writeBucketed(
+        o, "graft_orders_b", "okey", nBuckets = 8, base)
+      graft.sources.BucketedTables.colocatedJoin(lb, ob, "okey")
+        .groupBy("o_custkey")
+        .agg(sum("l_quantity").cast("long").as("qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- EXACT quantiles in two sketch-pruned passes: pass 1 collects
     // the hard-bounded sketch (≤ ~1.9K rows for k=5, independent of corpus
     // size) and maps each permille to (bucket, offset); pass 2 re-scans
@@ -1193,6 +1216,34 @@ object TrainingQueries {
           graft.sketch.HyperLogLog.bucket(col("h"), 32).as("bucket"))
         .agg(max(graft.sketch.HyperLogLog.rho(col("h"))).cast("long").as("rho"))
       val winRegs = paneRegs
+        .withColumn("j", explode(array((0 to 3).map(lit): _*)))
+        .select((col("pane_s") - col("j") * 900L).as("win_start_s"),
+          col("bucket"), col("rho"))
+        .groupBy("win_start_s", "bucket").agg(max("rho").as("rho"))
+      graft.sketch.HyperLogLog.estimatePerKey(winRegs, Seq("win_start_s"), 32)
+    }),
+
+    // streaming twin: per-pane registers as a complete-mode streaming
+    // aggregate (register-wise max IS the HLL merge monoid); the pane→
+    // window fan-out and per-window estimate run on the converged
+    // snapshot — same oracle as the batch form
+    "sliding_distinct_hll_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 DIV 900 * 900")
+          .as("pane_s"),
+          pmod(col("user_id"), lit(graft.text.TextOps.P)).as("h"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val paneRegs = src.toDF().toDF("pane_s", "h")
+        .groupBy(col("pane_s"),
+          graft.sketch.HyperLogLog.bucket(col("h"), 32).as("bucket"))
+        .agg(max(graft.sketch.HyperLogLog.rho(col("h"))).cast("long").as("rho"))
+      val sink = SparkEntry.streamReplay(s, src, paneRegs, rows.toIndexedSeq,
+        Nil, "complete", "graft_sdh_stream")
+      val winRegs = sink
         .withColumn("j", explode(array((0 to 3).map(lit): _*)))
         .select((col("pane_s") - col("j") * 900L).as("win_start_s"),
           col("bucket"), col("rho"))
@@ -1460,7 +1511,12 @@ object TrainingQueries {
     "window_quantile_stream" -> windowQuantileOracle,
     "quality_trim_p99" -> qualityTrimOracle,
     "exact_quantile_2pass" -> exactQuantileOracle,
+    "bucketed_join" ->
+      ("SELECT o_custkey, CAST(sum(l_quantity) AS BIGINT) AS qty, " +
+        "count(*) AS n_items FROM lineitem JOIN orders " +
+        "ON l_orderkey = o_orderkey GROUP BY 1"),
     "sliding_distinct_hll" -> slidingDistinctOracle,
+    "sliding_distinct_hll_stream" -> slidingDistinctOracle,
     "near_dup_verify" ->
       (minhashPairsCtes +
         ", q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
