@@ -1168,6 +1168,23 @@ object TrainingQueries {
           col("q_permille"), col("bucket"), col("est"))
     }),
 
+    // ---- DataSource V2 edge connector end to end: write the edge table
+    // as text shards once, read it back through the custom TableProvider
+    // with a pushed src-range filter and a pruned (src, dst) projection —
+    // the predicates evaluate inside the partition readers (PushedFilters
+    // in the scan, spec-pinned) and parallelism is one task per shard.
+    "edge_source_v2" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2"
+      SparkEntry.edges(s, dir)
+        .select(concat_ws(" ", col("src"), col("dst")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(base)
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .where(col("src") >= 100L && col("src") < 1500L)
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
+    }),
+
     // ---- CO-LOCATED big-big join via bucketed layout: both fact tables
     // are written bucketBy(8, okey) once, then the orderkey equi-join
     // plans with NO Exchange on either side (each task reads matching
@@ -1515,6 +1532,10 @@ object TrainingQueries {
       ("SELECT o_custkey, CAST(sum(l_quantity) AS BIGINT) AS qty, " +
         "count(*) AS n_items FROM lineitem JOIN orders " +
         "ON l_orderkey = o_orderkey GROUP BY 1"),
+    "edge_source_v2" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
     "sliding_distinct_hll" -> slidingDistinctOracle,
     "sliding_distinct_hll_stream" -> slidingDistinctOracle,
     "near_dup_verify" ->

@@ -15,13 +15,15 @@ object EdgeTextSource {
 
   private def parse(lines: DataFrame): DataFrame = {
     val t = trim(col("value"))
-    val parts = split(t, "\\s+")
+    // try_cast (not cast): under ANSI mode a malformed numeric token must
+    // SKIP the row per the reference's parse contract, not fail the task
     lines
       .where(length(t) > 0 && !t.startsWith("#"))
+      .select(split(t, "\\s+").as("p"))
       .select(
-        try_element_at(parts, lit(1)).cast("long").as("src"),
-        try_element_at(parts, lit(2)).cast("long").as("dst"),
-        coalesce(try_element_at(parts, lit(3)).cast("long"), lit(1L)).as("w"))
+        expr("try_cast(try_element_at(p, 1) AS BIGINT)").as("src"),
+        expr("try_cast(try_element_at(p, 2) AS BIGINT)").as("dst"),
+        coalesce(expr("try_cast(try_element_at(p, 3) AS BIGINT)"), lit(1L)).as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
   }
 
