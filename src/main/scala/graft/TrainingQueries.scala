@@ -1185,6 +1185,29 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // streaming twin through the connector's MicroBatchStream: file-count
+    // offsets replay each shard exactly once (spec-pinned), the pushed
+    // range filter evaluates inside every micro-batch's readers, and the
+    // complete-mode degree aggregate converges to the batch answer —
+    // same oracle
+    "edge_source_v2_stream" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2s"
+      SparkEntry.edges(s, dir)
+        .select(concat_ws(" ", col("src"), col("dst")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(base)
+      val agg = s.readStream.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).load()
+        .where(col("src") >= 100L && col("src") < 1500L)
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
+      val name = s"graft_ev2s_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    }),
+
     // ---- CO-LOCATED big-big join via bucketed layout: both fact tables
     // are written bucketBy(8, okey) once, then the orderkey equi-join
     // plans with NO Exchange on either side (each task reads matching
@@ -1533,6 +1556,10 @@ object TrainingQueries {
         "count(*) AS n_items FROM lineitem JOIN orders " +
         "ON l_orderkey = o_orderkey GROUP BY 1"),
     "edge_source_v2" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_source_v2_stream" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),

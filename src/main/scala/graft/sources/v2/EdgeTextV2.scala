@@ -52,7 +52,7 @@ private[v2] class EdgeTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_edges($path)"
   override def schema(): StructType = EdgeTextV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeScanBuilder(path)
 }
@@ -96,19 +96,85 @@ private[v2] class EdgeScan(path: String, required: StructType,
     s"graft_edges path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   /** One partition per shard file — the multi-file parallelism axis. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString).sorted
-      else Array(p.toString)
-    files.map(f => EdgeFilePartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    EdgeScan.listShards(path).map(f => EdgeFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeReaderFactory(required.fieldNames, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EdgeMicroBatchStream(path, required.fieldNames, pushed)
+}
+
+private[v2] object EdgeScan {
+  /** Stable (sorted) shard listing shared by the batch planner and the
+    * streaming offset tracker. */
+  def listShards(path: String): Array[String] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).sorted
+    else Array(p.toString)
+  }
+}
+
+/** Streaming form of the connector — the reference's file-replay input
+  * (one shard file per trigger batch, `examples/motif.rs` reads its edge
+  * file in timestamped chunks) as a real DSv2 MicroBatchStream. The
+  * offset IS the count of (sorted) shard files already emitted, so the
+  * checkpoint replays exactly: restarting from offset k re-plans files
+  * [k, end) and never re-emits or skips a shard. Requires append-only
+  * shard dirs with stable names (the contract of every file stream).
+  * Filter pushdown and column pruning apply to each micro-batch exactly
+  * as in the batch scan (same reader factory). */
+private[v2] class EdgeMicroBatchStream(path: String, cols: Array[String],
+                                       pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  // AvailableNow: freeze the target file count at query start so the
+  // trigger terminates even if files keep arriving
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(EdgeScan.listShards(path).length)
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+
+  override def latestOffset(): Offset = {
+    val current = EdgeScan.listShards(path).length
+    FileCountOffset(availableNowTarget.fold(current)(math.min(current, _)))
+  }
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
+  // limiting — each trigger takes everything up to the frozen target
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    EdgeScan.listShards(path).slice(s, e)
+      .map(f => EdgeFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EdgeReaderFactory(cols, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[v2] case class EdgeFilePartition(file: String) extends InputPartition

@@ -51,6 +51,30 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((4L, 5L), (6L, 4L), (7L, 9L), (10L, 11L), (11L, 12L)))
   }
 
+  test("micro-batch stream: file-count offsets replay each shard exactly once") {
+    val path = writeShards()
+    val name = "edge_v2_stream_sink"
+    val q = spark.readStream.format("graft.sources.v2.EdgeTextV2")
+      .option("path", path).load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).count()
+      assert(afterFirst == 10, s"expected all 10 parsed edges, got $afterFirst")
+      // a shard arriving later is picked up as its own increment — and
+      // earlier shards are NOT re-emitted (offset is the file count)
+      val w = new java.io.PrintWriter(new java.io.File(path, "part-99999.txt"), "UTF-8")
+      try { w.println("100 200"); w.println("200 300 4") } finally w.close()
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length == 12, s"expected 12 rows after the late shard, got ${rows.length}")
+      assert(rows.count(_ == ((100L, 200L, 1L))) == 1)
+      assert(rows.count(_ == ((1L, 2L, 1L))) == 1, "early shard must not re-emit")
+    } finally q.stop()
+  }
+
   test("projection prunes the read schema; one partition per shard file") {
     val path = writeShards()
     val q = v2(path).select("src")
