@@ -1185,6 +1185,23 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // the connector's WRITE path: edges round-trip through the V2 batch
+    // commit protocol (per-task staged files renamed into place only at
+    // driver commit — a zombie attempt's output is never visible), then
+    // read back through the same connector and aggregated — the oracle
+    // recomputes from lineitem, so a lost/duplicated shard breaks the hash
+    "edge_sink_v2" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2w"
+      SparkEntry.edges(s, dir)
+        .withColumn("w", lit(1L)).repartition(4)
+        .write.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).mode("overwrite").save()
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .where(col("src") >= 100L && col("src") < 1500L)
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
+    }),
+
     // streaming twin through the connector's MicroBatchStream: file-count
     // offsets replay each shard exactly once (spec-pinned), the pushed
     // range filter evaluates inside every micro-batch's readers, and the
@@ -1560,6 +1577,10 @@ object TrainingQueries {
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
     "edge_source_v2_stream" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_sink_v2" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),

@@ -41,20 +41,29 @@ class EdgeTextV2 extends TableProvider {
 }
 
 object EdgeTextV2 {
+  // nullable so nullable upstream plans can write through the connector
+  // (the reader itself never emits nulls — malformed rows are skipped)
   val schema: StructType = StructType(Seq(
-    StructField("src", LongType, nullable = false),
-    StructField("dst", LongType, nullable = false),
-    StructField("w", LongType, nullable = false)))
+    StructField("src", LongType, nullable = true),
+    StructField("dst", LongType, nullable = true),
+    StructField("w", LongType, nullable = true)))
 }
 
-private[v2] class EdgeTable(path: String) extends Table with SupportsRead {
+private[v2] class EdgeTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "option 'path' is required")
   override def name(): String = s"graft_edges($path)"
   override def schema(): StructType = EdgeTextV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new EdgeWriteBuilder(path, info.schema())
 }
 
 private[v2] class EdgeScanBuilder(path: String) extends ScanBuilder
@@ -178,6 +187,93 @@ private[v2] class EdgeMicroBatchStream(path: String, cols: Array[String],
 }
 
 private[v2] case class EdgeFilePartition(file: String) extends InputPartition
+
+/** Write path — the V2 batch commit protocol over the same text format.
+  * Each task streams rows into a STAGED file (`_staging/…-<task>.txt`,
+  * unique per task attempt); the driver's commit() renames only the
+  * staged files named in the tasks' commit messages into the shard dir,
+  * so a retried/zombie attempt's output is never visible (rename is the
+  * atomic publish, the staging dir is cleaned either way) — the same
+  * WAL-then-publish discipline as [[graft.fast.FastGraphState]]'s sink.
+  * Truncate (SaveMode.Overwrite) deletes prior shards inside commit(),
+  * after every new shard staged successfully — never before. */
+private[v2] class EdgeWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.fieldNames.sameElements(Array("src", "dst", "w")),
+    s"edge write schema must be (src, dst, w), got ${schema.fieldNames.mkString(",")}")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new EdgeBatchWrite(path, doTruncate)
+    }
+}
+
+private[v2] case class EdgeCommitMessage(staged: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new EdgeWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.mkdirs(dir)
+    if (truncate)
+      fs.listStatus(dir).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach { case EdgeCommitMessage(staged, finalName) =>
+      fs.rename(new Path(staged), new Path(dir, finalName))
+    }
+    fs.delete(new Path(dir, "_staging"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.delete(new Path(dir, "_staging"), true)
+  }
+}
+
+private[v2] class EdgeWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EdgeDataWriter(path, partitionId, taskId)
+}
+
+private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val finalName = f"part-$partitionId%05d.txt"
+  private val stagedPath =
+    new Path(new Path(path, "_staging"), f"$finalName-attempt-$taskId")
+  private val fs = FileSystem.get(stagedPath.toUri, new Configuration())
+  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+    fs.create(stagedPath, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit =
+    out.println(s"${row.getLong(0)} ${row.getLong(1)} ${row.getLong(2)}")
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    EdgeCommitMessage(stagedPath.toString, finalName)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(stagedPath, false)
+  }
+
+  override def close(): Unit = out.close()
+}
 
 private[v2] class EdgeReaderFactory(cols: Array[String],
                                     pushed: Array[Filter])

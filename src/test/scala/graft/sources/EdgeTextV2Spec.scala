@@ -44,9 +44,11 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     val path = writeShards()
     val q = v2(path).where(col("src") >= 4L && col("w") === 1L)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(src,4)"),
+    assert(plan.contains("GreaterThanOrEqual(src,4)"),
       s"src filter must reach the scan:\n$plan")
     assert(plan.contains("EqualTo(w,1)"), s"w filter must reach the scan:\n$plan")
+    assert(!plan.contains("Filter ("), // pushed exactly: no residual Filter node
+      s"pushed predicates must not replan as a post-scan Filter:\n$plan")
     val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((4L, 5L), (6L, 4L), (7L, 9L), (10L, 11L), (11L, 12L)))
   }
@@ -73,6 +75,26 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
       assert(rows.count(_ == ((100L, 200L, 1L))) == 1)
       assert(rows.count(_ == ((1L, 2L, 1L))) == 1, "early shard must not re-emit")
     } finally q.stop()
+  }
+
+  test("write path: staged-then-renamed shards round-trip; overwrite truncates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edges_v2_write").toFile.getAbsolutePath
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 5L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    edges.write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("append").save()
+    assert(!new java.io.File(dir, "_staging").exists(), "staging must be cleaned")
+    val back = v2(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set((1L, 2L, 1L), (2L, 3L, 5L), (3L, 1L, 1L)))
+    // overwrite replaces prior shards atomically at commit
+    Seq((9L, 9L, 2L)).toDF("src", "dst", "w")
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("overwrite").save()
+    val after = v2(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == Set((9L, 9L, 2L)))
   }
 
   test("projection prunes the read schema; one partition per shard file") {
