@@ -1202,6 +1202,37 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // the connector as a STREAMING sink: edges replayed through
+    // writeStream land as epoch-committed shards (replayed epochs are
+    // no-ops — exactly-once at shard granularity, spec-pinned), then the
+    // published shards are read back and aggregated against the same
+    // recomputed oracle — a dropped or doubled epoch breaks the hash
+    "edge_sink_v2_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2ws"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${base}_ckpt"), true)
+      val rows = SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val q = src.toDF().toDF("src", "dst", "w")
+        .writeStream.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).option("checkpointLocation", s"${base}_ckpt")
+        .outputMode("append").start()
+      try
+        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
+          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .where(col("src") >= 100L && col("src") < 1500L)
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
+    }),
+
     // streaming twin through the connector's MicroBatchStream: file-count
     // offsets replay each shard exactly once (spec-pinned), the pushed
     // range filter evaluates inside every micro-batch's readers, and the
@@ -1581,6 +1612,10 @@ object TrainingQueries {
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
     "edge_sink_v2" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_sink_v2_stream" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),

@@ -57,7 +57,8 @@ private[v2] class EdgeTable(path: String) extends Table
   override def schema(): StructType = EdgeTextV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeScanBuilder(path)
   override def newWriteBuilder(
@@ -210,10 +211,54 @@ private[v2] class EdgeWriteBuilder(path: String, schema: StructType)
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new EdgeBatchWrite(path, doTruncate)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new EdgeStreamingWrite(path)
     }
 }
 
-private[v2] case class EdgeCommitMessage(staged: String, finalName: String)
+/** Streaming sink form: epoch-committed shards. Each epoch's tasks stage
+  * `part-<epoch>-<partition>.txt` files; the driver commit renames them
+  * into place. EXACTLY-ONCE at shard granularity under epoch replay: a
+  * recovered query re-executes the last epoch, and commit() sees the
+  * final shard already published and drops the replayed staging file
+  * instead of renaming — the same replayed-id no-op rule as
+  * [[graft.incr.GraphState]]'s counting sink. */
+private[sources] class EdgeStreamingWrite(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new EdgeStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.mkdirs(dir)
+    messages.foreach { case EdgeCommitMessage(staged, finalName) =>
+      val target = new Path(dir, finalName)
+      if (fs.exists(target)) fs.delete(new Path(staged), false) // replayed epoch
+      else fs.rename(new Path(staged), target)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case EdgeCommitMessage(staged, _) =>
+      val fs = FileSystem.get(new Path(staged).toUri, new Configuration())
+      fs.delete(new Path(staged), false)
+    }
+}
+
+private[v2] class EdgeStreamingWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EdgeDataWriter(path, partitionId, taskId,
+      f"part-$epochId%05d-$partitionId%05d.txt")
+}
+
+private[sources] case class EdgeCommitMessage(staged: String, finalName: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
@@ -247,12 +292,12 @@ private[v2] class EdgeWriterFactory(path: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new EdgeDataWriter(path, partitionId, taskId)
+    new EdgeDataWriter(path, partitionId, taskId, f"part-$partitionId%05d.txt")
 }
 
-private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long)
+private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
+                                 finalName: String)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val finalName = f"part-$partitionId%05d.txt"
   private val stagedPath =
     new Path(new Path(path, "_staging"), f"$finalName-attempt-$taskId")
   private val fs = FileSystem.get(stagedPath.toUri, new Configuration())

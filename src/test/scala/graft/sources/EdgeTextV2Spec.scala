@@ -97,6 +97,42 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     assert(after == Set((9L, 9L, 2L)))
   }
 
+  test("streaming sink: epoch-committed shards; replayed epoch is a no-op") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_edges_v2_ssink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_edges_v2_ckpt").toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = src.toDF().toDF("src", "dst", "w")
+      .writeStream.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData((1L, 2L, 1L), (2L, 3L, 5L)); q.processAllAvailable()
+      src.addData((3L, 1L, 1L)); q.processAllAvailable()
+    } finally q.stop()
+    val back = v2(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set((1L, 2L, 1L), (2L, 3L, 5L), (3L, 1L, 1L)))
+
+    // epoch replay after recovery: re-committing the same epoch with a
+    // freshly staged duplicate must NOT double the shard
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+    val published = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).sorted
+    val replayedName = published.head
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/_staging/$replayedName-replay")
+    val w = fs.create(staged, true)
+    w.write("999 999 999\n".getBytes("UTF-8")); w.close()
+    new graft.sources.v2.EdgeStreamingWrite(dir).commit(0L,
+      Array(graft.sources.v2.EdgeCommitMessage(staged.toString, replayedName)))
+    val after = v2(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == back, "replayed epoch must not change published shards")
+    assert(!fs.exists(staged), "replayed staging file must be dropped")
+  }
+
   test("projection prunes the read schema; one partition per shard file") {
     val path = writeShards()
     val q = v2(path).select("src")
