@@ -522,6 +522,13 @@ object SparkEntry {
     // static-index streamed-queries serving mode (reference q3-lean /
     // static_graph): a query subset of edges extended against the full
     // static index on the fast engine
+    // the WCO triangle as a FIRST-CLASS Catalyst operator: a custom
+    // LogicalPlan node planned by an injected strategy into a physical
+    // exec that routes the child's rows through the GenericJoin pipeline
+    // (graft.plans.Wco) — the (c)-tier extension path, composing with
+    // Catalyst above and below the node. Same oracle as wco_triangle.
+    "wco_triangle_plan" -> ((s, dir) =>
+      graft.plans.Wco.triangles(edges(s, dir))),
     "wco_static_triangles" -> ((s, dir) => {
       val e = edges(s, dir)
       graft.fast.FastBatch.queryStatic(e.where(col("src") < 50), e, Planner.triangle)
@@ -1122,6 +1129,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
+    "wco_triangle_plan" -> motifOracle(Planner.triangle),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
     "cc_incremental" -> ccOracle,
