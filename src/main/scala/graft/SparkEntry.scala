@@ -529,6 +529,22 @@ object SparkEntry {
     // Catalyst above and below the node. Same oracle as wco_triangle.
     "wco_triangle_plan" -> ((s, dir) =>
       graft.plans.Wco.triangles(edges(s, dir))),
+    // plain SQL in, WCO plan out: the TriangleJoinRewrite optimizer rule
+    // recognizes the canonical distinct self-join and swaps in the custom
+    // node — the require() makes a silent pattern miss FAIL the gate
+    // instead of quietly falling back to binary joins
+    "wco_triangle_sql" -> ((s, dir) => {
+      graft.plans.Wco.registerSqlRewrite(s)
+      edges(s, dir).createOrReplaceTempView("graft_edges_sql")
+      val df = s.sql(
+        "SELECT e0.src AS x0, e0.dst AS x1, e1.dst AS x2 " +
+          "FROM graft_edges_sql e0 JOIN graft_edges_sql e1 ON e1.src = e0.src " +
+          "JOIN graft_edges_sql e2 ON e2.src = e0.dst AND e2.dst = e1.dst")
+      require(df.queryExecution.optimizedPlan.collectFirst {
+        case t: graft.plans.TriangleEnumerate => t }.nonEmpty,
+        "triangle SQL rewrite did not fire")
+      df
+    }),
     "wco_static_triangles" -> ((s, dir) => {
       val e = edges(s, dir)
       graft.fast.FastBatch.queryStatic(e.where(col("src") < 50), e, Planner.triangle)
@@ -1130,6 +1146,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "wco_triangle_plan" -> motifOracle(Planner.triangle),
+    "wco_triangle_sql" ->
+      (edgesCte + " SELECT e0.src AS x0, e0.dst AS x1, e1.dst AS x2 " +
+        "FROM edges e0 JOIN edges e1 ON e1.src = e0.src " +
+        "JOIN edges e2 ON e2.src = e0.dst AND e2.dst = e1.dst"),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
     "cc_incremental" -> ccOracle,

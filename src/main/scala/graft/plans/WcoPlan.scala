@@ -86,6 +86,90 @@ final case class TriangleEnumerateExec(output: Seq[Attribute],
   }
 }
 
+/** Optimizer rule: plain SQL users get the WCO plan for free. Rewrites
+  * the canonical left-deep triangle self-join
+  *
+  *   SELECT … FROM E e0 JOIN E e1 ON e1.src = e0.src
+  *                      JOIN E e2 ON e2.src = e0.dst AND e2.dst = e1.dst
+  *
+  * into `Project(TriangleEnumerate(E))` — eliminating the Θ(Σ deg²) open
+  * wedge intermediate every binary join order materializes. Matching is
+  * deliberately CONSERVATIVE (a miss costs only the rewrite, never
+  * correctness): all three legs must be the SAME set-valued relation
+  * (`sameResult`, and the leg must end in Distinct / a distinct-shaped
+  * Aggregate — the join emits one row per binding only on set semantics,
+  * which is also what makes the enumerate's consolidated Z-set equal),
+  * both columns LONG, and the join conditions exactly the triangle's
+  * three attribute equalities. The replacement Project re-aliases the
+  * node's (x0, x1, x2) onto the ORIGINAL join output expr-ids, so
+  * everything above the join is untouched. */
+object TriangleJoinRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, ExprId, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, Project}
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+  private def eqPair(e: Expression): Option[Set[ExprId]] = e match {
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      Some(Set(a.exprId, b.exprId))
+    case _ => None
+  }
+  /** Set-valued leg: emits each (src, dst) at most once. */
+  private def isSetValued(p: LogicalPlan): Boolean = p match {
+    case Distinct(_) => true
+    case Aggregate(g, a, _, _) =>
+      a.forall(_.isInstanceOf[AttributeReference]) &&
+        a.map(_.asInstanceOf[AttributeReference].exprId).toSet ==
+          g.collect { case ar: AttributeReference => ar.exprId }.toSet &&
+        g.forall(_.isInstanceOf[AttributeReference])
+    case _ => false
+  }
+
+  /** Inner join, seen through a column-pruning (attribute-only) Project —
+    * the optimizer inserts one between the joins; it cannot change which
+    * leg attributes the conditions reference. */
+  private object InnerJoinThroughProject {
+    def unapply(p: LogicalPlan): Option[(LogicalPlan, LogicalPlan, Expression)] = p match {
+      case Join(l, r, Inner, Some(c), _) => Some((l, r, c))
+      case Project(pl, Join(l, r, Inner, Some(c), _))
+          if pl.forall(_.isInstanceOf[AttributeReference]) => Some((l, r, c))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(InnerJoinThroughProject(l0, l1, c1), l2, Inner, Some(c2), _)
+        if l0.output.length == 2 && l0.output.forall(_.dataType == LongType) &&
+          isSetValued(l0) && l0.sameResult(l1) && l0.sameResult(l2) => {
+      val Seq(a0, b0) = l0.output
+      val Seq(a1, b1) = l1.output
+      val Seq(a2, b2) = l2.output
+      val cs = conjuncts(c1) ++ conjuncts(c2)
+      val pairs = cs.flatMap(eqPair)
+      val want = Seq(
+        Set(a1.exprId, a0.exprId), // e1.src = e0.src   (x0)
+        Set(a2.exprId, b0.exprId), // e2.src = e0.dst   (x1)
+        Set(b2.exprId, b1.exprId)) // e2.dst = e1.dst   (x2)
+      if (pairs.length == cs.length && pairs.toSet == want.toSet) {
+        val tri = TriangleEnumerate(l0)
+        val Seq(x0, x1, x2, _) = tri.output
+        val out: Seq[NamedExpression] = Seq(
+          Alias(x0, a0.name)(exprId = a0.exprId),
+          Alias(x1, b0.name)(exprId = b0.exprId),
+          Alias(x0, a1.name)(exprId = a1.exprId),
+          Alias(x2, b1.name)(exprId = b1.exprId),
+          Alias(x1, a2.name)(exprId = a2.exprId),
+          Alias(x2, b2.name)(exprId = b2.exprId))
+        Project(out, tri)
+      } else j // condition shape is not the triangle's: keep the join
+    }
+  }
+}
+
 /** Session-facing entry points. */
 object Wco {
 
@@ -94,6 +178,16 @@ object Wco {
     val exp = GraftSqlBridge.experimental(spark)
     if (!exp.extraStrategies.exists(_.isInstanceOf[GraftStrategy]))
       exp.extraStrategies = exp.extraStrategies :+ new GraftStrategy
+  }
+
+  /** Registers the strategy AND the SQL-rewrite rule (idempotent) — after
+    * this, the canonical triangle self-join in ANY query on the session
+    * plans through the WCO operator. */
+  def registerSqlRewrite(spark: SparkSession): Unit = {
+    register(spark)
+    val exp = GraftSqlBridge.experimental(spark)
+    if (!exp.extraOptimizations.contains(TriangleJoinRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ TriangleJoinRewrite
   }
 
   /** Triangle enumeration as a logical-plan citizen: builds the custom
