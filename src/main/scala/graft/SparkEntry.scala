@@ -141,7 +141,8 @@ object SparkEntry {
       src: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       out: DataFrame, rows: Seq[T], sentinels: Seq[T],
       outputMode: String, prefix: String,
-      lateBatch: Seq[T] = Nil): DataFrame = {
+      lateBatch: Seq[T] = Nil,
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     val name = s"${prefix}_${cepStreamCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
@@ -153,6 +154,7 @@ object SparkEntry {
       // everything it is late relative to (per-row sentinels would cost one
       // micro-batch per late row)
       if (lateBatch.nonEmpty) { src.addData(lateBatch.toIndexedSeq); q.processAllAvailable() }
+      check(q) // e.g. the RocksDB non-vacuity gate, while progress is live
     } finally q.stop()
     s.table(name)
   }
@@ -167,7 +169,8 @@ object SparkEntry {
       srcA: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
       srcB: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B],
       out: DataFrame, rowsA: Seq[A], rowsB: Seq[B], prefix: String,
-      sentinels: Seq[(A, B)] = Nil): DataFrame = {
+      sentinels: Seq[(A, B)] = Nil,
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     val name = s"${prefix}_${cepStreamCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -185,6 +188,7 @@ object SparkEntry {
       for ((sa, sb) <- sentinels) {
         srcA.addData(sa); srcB.addData(sb); q.processAllAvailable()
       }
+      check(q)
     } finally q.stop()
     s.table(name)
   }
@@ -324,7 +328,72 @@ object SparkEntry {
     * window/deadline and EventTimeTimeout flushes quiescent keys. The
     * result must hash-match the same DuckDB oracle as the batch forms —
     * `flatMapGroupsWithState` end to end in the driver harness. */
-  private def cepStream(s: SparkSession, dir: String, absence: Boolean): DataFrame = {
+  /** NATIVE Structured Streaming stream-stream interval join (the
+    * `stream_stream_join*` entries): every click joined to the same user's
+    * error events in the preceding 24 h — two watermarked memory sources
+    * through Spark's own streaming join operator (state retention derived
+    * from the time-range condition), append mode, against a plain
+    * inequality-join oracle. The 25 h watermark delay keeps boundary-tied
+    * state alive across the chunked replay without changing any emitted
+    * row (inner joins emit on arrival; the watermark only bounds state
+    * cleanup). */
+  private def streamStreamJoinInner(s: SparkSession, dir: String,
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    val all = wEvents(s, dir)
+    val clicks = all.filter(_.event_type == "click").toIndexedSeq
+    val errs = all.filter(_.event_type == "error").toIndexedSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val srcC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val srcE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val c = srcC.toDS().withWatermark("ts", "25 hours")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val e = srcE.toDS().withWatermark("ts", "25 hours")
+      .select(col("user_id").as("e_uid"), col("ts").as("e_ts"),
+        col("event_id").as("err_id"))
+    val joined = c.join(e, col("c_uid") === col("e_uid") &&
+      col("e_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS") &&
+      col("e_ts") <= col("c_ts"))
+    streamReplay2(s, srcC, srcE, joined, clicks, errs, "graft_ssj",
+        check = check)
+      .select(col("click_id"), col("err_id"), col("c_uid").as("user_id"),
+        unix_micros(col("c_ts")).as("click_ts_us"),
+        unix_micros(col("e_ts")).as("err_ts_us"))
+  }
+
+  /** STREAMING exact turn dedup (the `dedup_turns_stream*` entries):
+    * dropDuplicatesWithinWatermark with PLANTED duplicate deliveries —
+    * every event_id % 7 == 3 row arrives twice in the same micro-batch and
+    * every event_id % 11 == 5 row is re-delivered in a final late batch
+    * after everything else; the appended sink must still equal the batch
+    * distinct. The 90 d watermark (> the 30 d data span) is what BOUNDS
+    * the dedup state at scale. `check` runs against the live query before
+    * stop (the RocksDB twin's non-vacuity gate). */
+  private def dedupTurnsStream(s: SparkSession, dir: String,
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = wEvents(s, dir)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val out = src.toDS().toDF()
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val rows = evs.iterator.flatMap(e =>
+      if (e.event_id % 7 == 3) Iterator(e, e) else Iterator(e)).toIndexedSeq
+    val lateDups = evs.filter(_.event_id % 11 == 5).toIndexedSeq
+    if (evs.isEmpty)
+      s.emptyDataset[(Long, Long, String, Long)]
+        .toDF("event_id", "user_id", "event_type", "ts_us")
+    else
+      streamReplay(s, src, out, rows, Nil, "append", "graft_ddw",
+        lateBatch = lateDups, check = check)
+  }
+
+  private def cepStream(s: SparkSession, dir: String, absence: Boolean,
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     import s.implicits._
     import graft.streaming.Patterns
     val evs = cepEventsMs(s, dir).as[Patterns.Ev].collect()
@@ -357,7 +426,7 @@ object SparkEntry {
     val t = streamReplay(s, src, out, evs.toIndexedSeq,
         Seq(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"),
           Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel")),
-        "append", "graft_cep_stream")
+        "append", "graft_cep_stream", check = check)
       .where(col("key") =!= -1L)
     if (absence)
       t.select(col("key"), col("startTs").cast("timestamp_ntz").as("start_ts"),
@@ -644,6 +713,13 @@ object SparkEntry {
     // cepStream) against the same lead()/min-over-window DuckDB oracles
     "cep_pattern_seq_stream" -> ((s, dir) => cepStream(s, dir, absence = false)),
     "cep_absence_stream" -> ((s, dir) => cepStream(s, dir, absence = true)),
+    // the CEP sequence kernel with its flatMapGroupsWithState buffers in
+    // RocksDB (custom GroupState is the state shape that grows largest per
+    // key at 10^12-turn scale); non-vacuity gated like the dedup twin
+    "cep_pattern_seq_rocksdb" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        cepStream(s, dir, absence = false,
+          check = graft.streaming.StateBackend.requireRocksDBServed))),
 
     // ---- NATIVE Structured Streaming stream-stream interval join: every
     // click joined to the same user's error events in the preceding 24 h —
@@ -653,28 +729,14 @@ object SparkEntry {
     // watermark delay keeps boundary-tied state alive across the chunked
     // replay without changing any emitted row (inner joins emit on
     // arrival; the watermark only bounds state cleanup).
-    "stream_stream_join" -> ((s, dir) => {
-      import s.implicits._
-      val all = wEvents(s, dir)
-      val clicks = all.filter(_.event_type == "click").toIndexedSeq
-      val errs = all.filter(_.event_type == "error").toIndexedSeq
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val srcC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
-      val srcE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
-      val c = srcC.toDS().withWatermark("ts", "25 hours")
-        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
-          col("event_id").as("click_id"))
-      val e = srcE.toDS().withWatermark("ts", "25 hours")
-        .select(col("user_id").as("e_uid"), col("ts").as("e_ts"),
-          col("event_id").as("err_id"))
-      val joined = c.join(e, col("c_uid") === col("e_uid") &&
-        col("e_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS") &&
-        col("e_ts") <= col("c_ts"))
-      streamReplay2(s, srcC, srcE, joined, clicks, errs, "graft_ssj")
-        .select(col("click_id"), col("err_id"), col("c_uid").as("user_id"),
-          unix_micros(col("c_ts")).as("click_ts_us"),
-          unix_micros(col("e_ts")).as("err_ts_us"))
-    }),
+    "stream_stream_join" -> ((s, dir) => streamStreamJoinInner(s, dir)),
+    // the native streaming interval join with its symmetric per-side state
+    // buffers in RocksDB — the third distinct state-store shape (join state
+    // with watermark-derived retention), non-vacuity gated
+    "stream_stream_join_rocksdb" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        streamStreamJoinInner(s, dir,
+          graft.streaming.StateBackend.requireRocksDBServed))),
     // LEFT OUTER form of the same interval join: clicks with NO error in
     // their preceding 24 h must still emit, null-extended — the row Spark
     // can only produce once the error-side watermark proves no match can
@@ -810,26 +872,16 @@ object SparkEntry {
     // BOUNDS the dedup state at scale — state for keys older than the
     // watermark is dropped, which is exactly the at-least-once→exactly-once
     // window a 10^12-turn redelivery source actually needs
-    "dedup_turns_stream" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val evs = wEvents(s, dir)
-      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
-      val out = src.toDS().toDF()
-        .withWatermark("ts", "90 days")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-      val rows = evs.iterator.flatMap(e =>
-        if (e.event_id % 7 == 3) Iterator(e, e) else Iterator(e)).toIndexedSeq
-      val lateDups = evs.filter(_.event_id % 11 == 5).toIndexedSeq
-      if (evs.isEmpty)
-        s.emptyDataset[(Long, Long, String, Long)]
-          .toDF("event_id", "user_id", "event_type", "ts_us")
-      else
-        streamReplay(s, src, out, rows, Nil, "append", "graft_ddw",
-          lateBatch = lateDups)
-    }),
+    "dedup_turns_stream" -> ((s, dir) => dedupTurnsStream(s, dir)),
+    // the SAME dedup stream with its watermark state served by RocksDB —
+    // the disk-backed backend the 10^12-turn state volume actually needs
+    // (see graft.streaming.StateBackend); the entry require()s RocksDB
+    // custom metrics in the query progress, so a silently-ignored conf
+    // fails the run instead of re-gating the default provider
+    "dedup_turns_stream_rocksdb" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        dedupTurnsStream(s, dir,
+          graft.streaming.StateBackend.requireRocksDBServed))),
 
     // ---- as-of join (temporal): for every click, the latest view at or
     // before it per user — ONE keyed sort + running last(ignoreNulls), no
@@ -1143,7 +1195,8 @@ object SparkEntry {
       "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v) " +
       "SELECT n AS node, min(l) AS component FROM lab GROUP BY n"
 
-  def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] = {
+    val m = TrainingQueries.oracleSql ++ Map(
     "wco_triangle" -> motifOracle(Planner.triangle),
     "wco_triangle_plan" -> motifOracle(Planner.triangle),
     "wco_triangle_sql" ->
@@ -1381,5 +1434,12 @@ object SparkEntry {
         "coalesce(text, '') || ' it''s 2026, v' || CAST(doc_id AS VARCHAR) || '!', " +
         "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')) " +
         "AS BIGINT) AS n_tokens FROM documents")
-  )
+    )
+    // the RocksDB-backed entries assert identical semantics under a
+    // different state backend, so they share their twins' oracles verbatim
+    m ++ Map(
+      "dedup_turns_stream_rocksdb" -> m("dedup_turns_stream"),
+      "cep_pattern_seq_rocksdb" -> m("cep_pattern_seq_stream"),
+      "stream_stream_join_rocksdb" -> m("stream_stream_join"))
+  }
 }
