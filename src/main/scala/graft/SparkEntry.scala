@@ -393,7 +393,8 @@ object SparkEntry {
   }
 
   private def cepStream(s: SparkSession, dir: String, absence: Boolean,
-      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => (),
+      tws: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.streaming.Patterns
     val evs = cepEventsMs(s, dir).as[Patterns.Ev].collect()
@@ -418,6 +419,9 @@ object SparkEntry {
     val in = src.toDS().withWatermark("ts", "1 millisecond")
     val out =
       if (absence) Patterns.detectAbsenceStream(in, "signup", "purchase", cepDayMs).toDF()
+      else if (tws)
+        graft.streaming.PatternsTws.detectStream(
+          in, Seq("view", "click", "purchase"), cepDayMs).toDF()
       else Patterns.detectStream(in, Seq("view", "click", "purchase"), cepDayMs).toDF()
     // two sentinels: the first advances the watermark beyond every real
     // deadline, the second forces one more micro-batch so EventTimeTimeout
@@ -720,6 +724,17 @@ object SparkEntry {
       graft.streaming.StateBackend.withRocksDB(s)(
         cepStream(s, dir, absence = false,
           check = graft.streaming.StateBackend.requireRocksDBServed))),
+    // the transformWithState kernel (arbitrary-stateful-processing v2):
+    // SAME emitted rows, but per-key state decomposed into TWS column
+    // families — O(1) ListState appends + O(1) MapState dedup per event
+    // instead of the fMGWS full-blob rewrite (PatternsTws scaladoc); the
+    // scale form of the CEP surface. Requires RocksDB (multi-column-family
+    // state), which PatternsTwsSpec pins as a hard failure otherwise.
+    "cep_pattern_seq_tws" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        cepStream(s, dir, absence = false,
+          check = graft.streaming.StateBackend.requireRocksDBServed,
+          tws = true))),
 
     // ---- NATIVE Structured Streaming stream-stream interval join: every
     // click joined to the same user's error events in the preceding 24 h —
@@ -1440,6 +1455,7 @@ object SparkEntry {
     m ++ Map(
       "dedup_turns_stream_rocksdb" -> m("dedup_turns_stream"),
       "cep_pattern_seq_rocksdb" -> m("cep_pattern_seq_stream"),
+      "cep_pattern_seq_tws" -> m("cep_pattern_seq_stream"),
       "stream_stream_join_rocksdb" -> m("stream_stream_join"))
   }
 }

@@ -148,7 +148,7 @@ object Patterns {
 
   /** Matches over a FINAL per-key ordered sequence whose end timestamp is in
     * [fromMs, untilMs) — the shared kernel of the streaming emitter. */
-  private def matchesIn(ordered: IndexedSeq[(Long, Long, String)], steps: Seq[String],
+  private[streaming] def matchesIn(ordered: IndexedSeq[(Long, Long, String)], steps: Seq[String],
                         maxSpanMs: Long, fromMs: Long, untilMs: Long,
                         key: Long): List[PatMatch] = {
     val k = steps.size

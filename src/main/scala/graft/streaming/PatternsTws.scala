@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** CEP sequence detection on Spark 4's arbitrary-stateful-processing v2
+  * (`transformWithState`) — the state-scalable twin of
+  * [[Patterns.detectStream]], emitting the SAME rows for the same input
+  * stream + watermark (shared emission kernel [[Patterns.matchesIn]], same
+  * watermark-finalization contract, pinned in PatternsTwsSpec and gated
+  * against the same DuckDB oracle by the `cep_pattern_seq_tws` entry).
+  *
+  * Why a second implementation exists — the fMGWS form's per-key state is
+  * ONE serialized blob: every arriving event deserializes, rewrites and
+  * re-serializes the key's ENTIRE buffer, O(|buffer|) writes per event.
+  * At 10^12-turn scale with long-lived keys that is the dominating cost.
+  * This form decomposes the state into TWS column families so the hot path
+  * is incremental:
+  *   - `buf`  ListState[(tsMs, evId, tag)] — O(1) APPEND per event; the
+  *     full list is rewritten only when the watermark actually evicts
+  *     entries (amortized, not per-event);
+  *   - `seen` MapState[evId, Boolean] — O(1) duplicate-delivery test per
+  *     event instead of materializing the whole buffer's id set;
+  *   - `emittedThrough` ValueState[Long] — the exactly-once emission mark.
+  * TWS requires the RocksDB state store provider (multiple column
+  * families), so this operator composes with
+  * [[StateBackend.withRocksDB]] — which is the backend the scale argument
+  * assumes anyway. Reference analog: the reference's per-key extents are
+  * likewise append-organized sorted runs merged on advance, not rewritten
+  * per tuple (`/root/reference/src/index.rs:154-186`).
+  *
+  * Ordering note: appends arrive unsorted across micro-batches, so the
+  * emission path sorts the buffer per invocation — same O(n log n) as the
+  * fMGWS merge, but paid on READ (bounded by the retained window) while
+  * WRITES stay O(1) per event. The watermark sentinel and ≥1 ms delay
+  * caveats of [[Patterns]] apply unchanged ([[TimerValues
+  * .getCurrentWatermarkInMs]] is 0 before the first commit, and Spark's
+  * pre-operator late filter drops rows at-or-before the watermark).
+  */
+object PatternsTws {
+  import Patterns.{Ev, PatMatch}
+
+  final class SeqProcessor(steps: Seq[String], maxSpanMs: Long)
+      extends StatefulProcessor[Long, Ev, PatMatch] {
+    @transient private var buf: ListState[(Long, Long, String)] = _
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var emitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)]("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
+        TTLConfig.NONE)
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      emitted = getHandle.getValueState[Long]("emittedThrough",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def watermarkMs(tv: TimerValues): Long = {
+      val w = tv.getCurrentWatermarkInMs()
+      if (w > 0) w else Long.MinValue
+    }
+
+    /** Shared finalize path (new-data and timer invocations): emit matches
+      * whose window the watermark closed since the last emission mark,
+      * evict buffer entries that can no longer begin an open match
+      * (REWRITING the list only when something actually evicts), re-arm a
+      * timer just past the watermark while anything is pending. */
+    private def emitAndEvict(key: Long, wm: Long): List[PatMatch] = {
+      val emittedThrough = if (emitted.exists()) emitted.get() else Long.MinValue
+      val merged = buf.get().toIndexedSeq.sortBy(t => (t._1, t._2))
+      val out = Patterns.matchesIn(merged, steps, maxSpanMs,
+        emittedThrough, wm, key)
+      val evictBefore = if (wm == Long.MinValue) Long.MinValue else wm - maxSpanMs
+      val kept = merged.filter(_._1 >= evictBefore)
+      if (kept.isEmpty) {
+        // nothing pending: drop all column families (later events arrive at
+        // ts >= wm, so a fresh emission mark cannot duplicate finalized rows)
+        buf.clear(); seen.clear(); emitted.clear()
+      } else {
+        if (kept.length != merged.length) {
+          buf.put(kept.toArray)
+          merged.iterator.takeWhile(_._1 < evictBefore)
+            .foreach(t => seen.removeKey(t._2))
+        }
+        emitted.update(math.max(emittedThrough, wm))
+        getHandle.registerTimer(math.max(wm, 0L) + 1L)
+      }
+      out
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[PatMatch] = {
+      val wm = watermarkMs(timerValues)
+      var appended = false
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        // late-beyond-watermark rows are already dropped by Spark's
+        // pre-operator filter; the guard stays for defense in depth
+        if (t >= wm && !seen.containsKey(e.evId)) {
+          buf.appendValue((t, e.evId, e.tag))
+          seen.updateValue(e.evId, true)
+          appended = true
+        }
+      }
+      // suppress the no-op path cheaply: with neither new events nor an
+      // advanced watermark there is nothing to emit or evict
+      if (!appended && !buf.exists()) Iterator.empty
+      else emitAndEvict(key, wm).iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[PatMatch] =
+      if (!buf.exists()) Iterator.empty
+      else emitAndEvict(key, watermarkMs(timerValues)).iterator
+  }
+
+  /** The streaming operator: same contract as [[Patterns.detectStream]]
+    * (ts-watermarked input required, append output), on the TWS runtime.
+    * Must run with the RocksDB state store provider
+    * ([[StateBackend.withRocksDB]]); Spark rejects the default provider
+    * for multi-column-family state. */
+  def detectStream(events: Dataset[Ev], steps: Seq[String],
+                   maxSpanMs: Long): Dataset[PatMatch] = {
+    require(steps.nonEmpty)
+    Patterns.requireNonZeroWatermarkDelay(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new SeqProcessor(steps, maxSpanMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
