@@ -417,12 +417,18 @@ object SparkEntry {
     // boundary a→b→c match lost its middle event). 1 ms of delay keeps
     // every in-order row while changing no emitted result.
     val in = src.toDS().withWatermark("ts", "1 millisecond")
-    val out =
-      if (absence) Patterns.detectAbsenceStream(in, "signup", "purchase", cepDayMs).toDF()
-      else if (tws)
+    val out = (absence, tws) match {
+      case (true, false) =>
+        Patterns.detectAbsenceStream(in, "signup", "purchase", cepDayMs).toDF()
+      case (true, true) =>
+        graft.streaming.PatternsTws.detectAbsenceStream(
+          in, "signup", "purchase", cepDayMs).toDF()
+      case (false, true) =>
         graft.streaming.PatternsTws.detectStream(
           in, Seq("view", "click", "purchase"), cepDayMs).toDF()
-      else Patterns.detectStream(in, Seq("view", "click", "purchase"), cepDayMs).toDF()
+      case (false, false) =>
+        Patterns.detectStream(in, Seq("view", "click", "purchase"), cepDayMs).toDF()
+    }
     // two sentinels: the first advances the watermark beyond every real
     // deadline, the second forces one more micro-batch so EventTimeTimeout
     // invocations run under that watermark
@@ -733,6 +739,12 @@ object SparkEntry {
     "cep_pattern_seq_tws" -> ((s, dir) =>
       graft.streaming.StateBackend.withRocksDB(s)(
         cepStream(s, dir, absence = false,
+          check = graft.streaming.StateBackend.requireRocksDBServed,
+          tws = true))),
+    // absence twin on the same TWS scaffolding (shared absencesIn kernel)
+    "cep_absence_tws" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        cepStream(s, dir, absence = true,
           check = graft.streaming.StateBackend.requireRocksDBServed,
           tws = true))),
 
@@ -1456,6 +1468,7 @@ object SparkEntry {
       "dedup_turns_stream_rocksdb" -> m("dedup_turns_stream"),
       "cep_pattern_seq_rocksdb" -> m("cep_pattern_seq_stream"),
       "cep_pattern_seq_tws" -> m("cep_pattern_seq_stream"),
+      "cep_absence_tws" -> m("cep_absence_stream"),
       "stream_stream_join_rocksdb" -> m("stream_stream_join"))
   }
 }

@@ -236,13 +236,27 @@ object Patterns {
       key: Long, rows: Iterator[Ev], state: GroupState[PatState]): Iterator[Absence] = {
     val (wm, old, merged) = absorb(rows, state)
     // finalize `a` events whose deadline fell in [emittedThrough, wm)
+    val out = absencesIn(merged, a, b, withinMs, old.emittedThroughMs, wm, key)
+    // a `b` at ts matters to `a`s with deadline >= wm, i.e. a.ts >=
+    // wm - within and b.ts >= a.ts → retain `within` (same bound
+    // finalizes the a's)
+    commit(state, wm, withinMs, merged, old.emittedThroughMs)
+    out.iterator
+  }
+
+  /** Absences over a FINAL per-key ordered sequence whose DEADLINE
+    * (a.ts + within) is in [fromMs, untilMs) — the shared kernel of the
+    * fMGWS and transformWithState absence emitters. */
+  private[streaming] def absencesIn(merged: IndexedSeq[(Long, Long, String)],
+      a: String, b: String, withinMs: Long, fromMs: Long, untilMs: Long,
+      key: Long): List[Absence] = {
     val out = scala.collection.mutable.ListBuffer.empty[Absence]
     var i = 0
     while (i < merged.length) {
       val (ts, id, tag) = merged(i)
       if (tag == a) {
         val deadline = ts + withinMs
-        if (deadline >= old.emittedThroughMs && deadline < wm) {
+        if (deadline >= fromMs && deadline < untilMs) {
           var j = i + 1
           var seenB = false
           while (!seenB && j < merged.length && merged(j)._1 <= deadline) {
@@ -254,11 +268,7 @@ object Patterns {
       }
       i += 1
     }
-    // a `b` at ts matters to `a`s with deadline >= wm, i.e. a.ts >=
-    // wm - within and b.ts >= a.ts → retain `within` (same bound
-    // finalizes the a's)
-    commit(state, wm, withinMs, merged, old.emittedThroughMs)
-    out.iterator
+    out.toList
   }
 
   def detectAbsenceStream(events: Dataset[Ev], a: String, b: String,

@@ -5,12 +5,15 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
   OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-/** CEP sequence detection on Spark 4's arbitrary-stateful-processing v2
-  * (`transformWithState`) — the state-scalable twin of
-  * [[Patterns.detectStream]], emitting the SAME rows for the same input
-  * stream + watermark (shared emission kernel [[Patterns.matchesIn]], same
+/** CEP sequence AND absence detection on Spark 4's
+  * arbitrary-stateful-processing v2 (`transformWithState`) — the
+  * state-scalable twins of [[Patterns.detectStream]] /
+  * [[Patterns.detectAbsenceStream]], emitting the SAME rows for the same
+  * input stream + watermark (shared emission kernels
+  * [[Patterns.matchesIn]] / [[Patterns.absencesIn]], same
   * watermark-finalization contract, pinned in PatternsTwsSpec and gated
-  * against the same DuckDB oracle by the `cep_pattern_seq_tws` entry).
+  * against the same DuckDB oracles by the `cep_pattern_seq_tws` /
+  * `cep_absence_tws` entries).
   *
   * Why a second implementation exists — the fMGWS form's per-key state is
   * ONE serialized blob: every arriving event deserializes, rewrites and
@@ -40,10 +43,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
   * pre-operator late filter drops rows at-or-before the watermark).
   */
 object PatternsTws {
-  import Patterns.{Ev, PatMatch}
+  import Patterns.{Absence, Ev, PatMatch}
 
-  final class SeqProcessor(steps: Seq[String], maxSpanMs: Long)
-      extends StatefulProcessor[Long, Ev, PatMatch] {
+  /** Shared TWS scaffolding for both detectors: the three column families,
+    * the absorb/finalize/evict cycle and the timer re-arm. Subclasses
+    * provide only the finalize scan over the ordered buffer (the same
+    * kernels the fMGWS forms use) and the retention bound. */
+  sealed abstract class BufferedKeyProcessor[O](retainMs: Long)
+      extends StatefulProcessor[Long, Ev, O] {
+    /** Rows finalized by the watermark: emission window [fromMs, untilMs). */
+    protected def finalized(merged: IndexedSeq[(Long, Long, String)],
+        fromMs: Long, untilMs: Long, key: Long): List[O]
+
     @transient private var buf: ListState[(Long, Long, String)] = _
     @transient private var seen: MapState[Long, Boolean] = _
     @transient private var emitted: ValueState[Long] = _
@@ -68,12 +79,11 @@ object PatternsTws {
       * evict buffer entries that can no longer begin an open match
       * (REWRITING the list only when something actually evicts), re-arm a
       * timer just past the watermark while anything is pending. */
-    private def emitAndEvict(key: Long, wm: Long): List[PatMatch] = {
+    private def emitAndEvict(key: Long, wm: Long): List[O] = {
       val emittedThrough = if (emitted.exists()) emitted.get() else Long.MinValue
       val merged = buf.get().toIndexedSeq.sortBy(t => (t._1, t._2))
-      val out = Patterns.matchesIn(merged, steps, maxSpanMs,
-        emittedThrough, wm, key)
-      val evictBefore = if (wm == Long.MinValue) Long.MinValue else wm - maxSpanMs
+      val out = finalized(merged, emittedThrough, wm, key)
+      val evictBefore = if (wm == Long.MinValue) Long.MinValue else wm - retainMs
       val kept = merged.filter(_._1 >= evictBefore)
       if (kept.isEmpty) {
         // nothing pending: drop all column families (later events arrive at
@@ -92,7 +102,7 @@ object PatternsTws {
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
-        timerValues: TimerValues): Iterator[PatMatch] = {
+        timerValues: TimerValues): Iterator[O] = {
       val wm = watermarkMs(timerValues)
       var appended = false
       rows.foreach { e =>
@@ -112,9 +122,26 @@ object PatternsTws {
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[PatMatch] =
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[O] =
       if (!buf.exists()) Iterator.empty
       else emitAndEvict(key, watermarkMs(timerValues)).iterator
+  }
+
+  final class SeqProcessor(steps: Seq[String], maxSpanMs: Long)
+      extends BufferedKeyProcessor[PatMatch](maxSpanMs) {
+    protected def finalized(merged: IndexedSeq[(Long, Long, String)],
+        fromMs: Long, untilMs: Long, key: Long): List[PatMatch] =
+      Patterns.matchesIn(merged, steps, maxSpanMs, fromMs, untilMs, key)
+  }
+
+  /** Absence detection: a `b` at ts matters to `a`s with deadline >= wm,
+    * i.e. a.ts >= wm - within — retention `withinMs`, same bound as the
+    * fMGWS form. */
+  final class AbsenceProcessor(a: String, b: String, withinMs: Long)
+      extends BufferedKeyProcessor[Absence](withinMs) {
+    protected def finalized(merged: IndexedSeq[(Long, Long, String)],
+        fromMs: Long, untilMs: Long, key: Long): List[Absence] =
+      Patterns.absencesIn(merged, a, b, withinMs, fromMs, untilMs, key)
   }
 
   /** The streaming operator: same contract as [[Patterns.detectStream]]
@@ -130,6 +157,19 @@ object PatternsTws {
     import spark.implicits._
     events.groupByKey(_.key)
       .transformWithState(new SeqProcessor(steps, maxSpanMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** TWS twin of [[Patterns.detectAbsenceStream]] — same emitted rows
+    * (shared [[Patterns.absencesIn]] kernel), incremental column-family
+    * state, RocksDB-only. */
+  def detectAbsenceStream(events: Dataset[Ev], a: String, b: String,
+                          withinMs: Long): Dataset[Absence] = {
+    Patterns.requireNonZeroWatermarkDelay(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new AbsenceProcessor(a, b, withinMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -68,6 +68,36 @@ class PatternsTwsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("TWS absence stream == batch absence form over final data (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = deterministicEvents(300, 4, 43L)
+    val (a, b, within) = ("view", "purchase", 90000L)
+    val got = StateBackend.withRocksDB(spark) {
+      val mem = MemoryStream[Ev]
+      val out = PatternsTws.detectAbsenceStream(
+        mem.toDF().withWatermark("ts", "30 seconds").as[Ev], a, b, within)
+      val q = out.writeStream.format("memory").queryName("cep_tws_abs")
+        .outputMode("append").start()
+      try {
+        val sorted = events.sortBy(e => (e.ts.getTime, e.evId))
+        for (chunk <- sorted.grouped(60)) { mem.addData(chunk: _*); q.processAllAvailable() }
+        val flushTs = sorted.last.ts.getTime + 10 * 60 * 1000L
+        mem.addData(ev(99L, flushTs, 100000L, "noop")); q.processAllAvailable()
+        mem.addData(ev(99L, flushTs + 120000L, 200000L, "noop")); q.processAllAvailable()
+        spark.table("cep_tws_abs").as[Patterns.Absence].collect()
+          .map(m => (m.key, m.startTs.getTime, m.startId)).toSeq
+      } finally q.stop()
+    }
+    assert(got.length == got.toSet.size, "exactly once")
+    val batch = Patterns.detectAbsenceBatch(
+        events.toDF("key", "ts", "ev_id", "tag"), a, b, within)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .toSet
+    assert(got.toSet == batch)
+    assert(got.nonEmpty)
+  }
+
   test("TWS duplicate delivery and beyond-watermark events are handled") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
