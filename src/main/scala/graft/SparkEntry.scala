@@ -362,6 +362,34 @@ object SparkEntry {
         unix_micros(col("e_ts")).as("err_ts_us"))
   }
 
+  /** State-introspection gate (`state_inspect_dedup`): streams the events
+    * table through dropDuplicatesWithinWatermark against a REAL checkpoint,
+    * then reads the operator's retained key set back OFFLINE through
+    * Spark's `statestore` data source ([[graft.streaming.StateInspect]]) —
+    * the audit path a production deployment uses to inspect a live job's
+    * state without stopping it. With the 90 d watermark over the 30 d data
+    * span nothing evicts, so the read-back keys must equal exactly the
+    * distinct event ids — which DuckDB can state directly. */
+  private def stateInspectDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = wEvents(s, dir)
+    if (evs.isEmpty) return s.emptyDataset[Long].toDF("event_id")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEv]
+    val cp = java.nio.file.Files.createTempDirectory("graft-si-cp")
+    val sink = java.nio.file.Files.createTempDirectory("graft-si-out")
+    val out = src.toDS().toDF()
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = out.writeStream.format("parquet").option("path", sink.toString)
+      .option("checkpointLocation", cp.toString).outputMode("append").start()
+    try {
+      for (chunk <- evs.grouped(math.max(1, evs.length / 4 + 1)))
+        { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    graft.streaming.StateInspect.dedupKeys(s, cp.toString, "event_id")
+  }
+
   /** STREAMING exact turn dedup (the `dedup_turns_stream*` entries):
     * dropDuplicatesWithinWatermark with PLANTED duplicate deliveries —
     * every event_id % 7 == 3 row arrives twice in the same micro-batch and
@@ -909,6 +937,9 @@ object SparkEntry {
       graft.streaming.StateBackend.withRocksDB(s)(
         dedupTurnsStream(s, dir,
           graft.streaming.StateBackend.requireRocksDBServed))),
+    // offline state audit: the dedup operator's checkpointed key set read
+    // back through the statestore data source must equal the distinct ids
+    "state_inspect_dedup" -> stateInspectDedup _,
 
     // ---- as-of join (temporal): for every click, the latest view at or
     // before it per user — ONE keyed sort + running last(ignoreNulls), no
@@ -1469,6 +1500,7 @@ object SparkEntry {
       "cep_pattern_seq_rocksdb" -> m("cep_pattern_seq_stream"),
       "cep_pattern_seq_tws" -> m("cep_pattern_seq_stream"),
       "cep_absence_tws" -> m("cep_absence_stream"),
+      "state_inspect_dedup" -> "SELECT event_id FROM events",
       "stream_stream_join_rocksdb" -> m("stream_stream_join"))
   }
 }
