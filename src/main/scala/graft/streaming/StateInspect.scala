@@ -36,6 +36,18 @@ object StateInspect {
     store(spark, checkpointDir)
       .select(keyFields.map(f => col(s"key.$f").as(f)): _*)
 
+  /** One transformWithState column family (`stateVarName`) of a TWS
+    * operator — e.g. the CEP kernel's `buf` ListState (one output row per
+    * list element), `seen` MapState or `emittedThrough` ValueState. The
+    * per-variable audit the blob-state fMGWS form cannot offer. */
+  def stateVar(spark: SparkSession, checkpointDir: String,
+               name: String): DataFrame =
+    store(spark, checkpointDir, Map("stateVarName" -> name))
+
+  /** Registered event-time timers of a TWS operator (key, expiration). */
+  def timers(spark: SparkSession, checkpointDir: String): DataFrame =
+    store(spark, checkpointDir, Map("readRegisteredTimers" -> "true"))
+
   /** Per-partition state-row counts for one store — the skew audit: a
     * hot-key pile-up shows up as a heavy partition here long before it
     * fails a stage. */

@@ -67,4 +67,39 @@ class StateInspectSpec extends AnyFunSuite
     val hist = StateInspect.partitionHistogram(spark, cp)
     assert(hist.agg(sum("count")).head().getLong(0) == 100L)
   }
+
+  test("TWS column families and timers are auditable from the checkpoint") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp = tmpDir("tws-cp")
+    val outDir = tmpDir("tws-out")
+    // 2 keys × an open a→b→c prefix whose tail stays pending (span large,
+    // watermark held back by design), so buf/seen/timers are all non-empty
+    val evs = (for {
+      key <- 0L until 2L
+      i <- 0 until 9
+    } yield Patterns.Ev(key, new Timestamp(1700000000000L + i * 1000L),
+      key * 100 + i, Seq("a", "b", "c")(i % 3)))
+    StateBackend.withRocksDB(spark) {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
+      val q = PatternsTws.detectStream(
+          src.toDS().withWatermark("ts", "1 millisecond"), Seq("a", "b", "c"), 60000L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+      try { src.addData(evs); q.processAllAvailable() } finally q.stop()
+    }
+
+    // buf ListState: one row per buffered event, key preserved
+    val buf = StateInspect.stateVar(spark, cp, "buf")
+    val bufRows = buf.select(col("key.value").as("key")).collect().map(_.getLong(0))
+    assert(bufRows.length > 0 && bufRows.toSet == Set(0L, 1L),
+      s"buf audit rows: ${bufRows.length}")
+    // seen MapState: exactly the buffered event ids (nothing evicted yet)
+    val seen = StateInspect.stateVar(spark, cp, "seen")
+    assert(seen.count() == buf.count(), "seen must mirror the buffer ids")
+    // each pending key re-armed exactly one event-time timer
+    val timers = StateInspect.timers(spark, cp)
+    assert(timers.select(col("key.value")).collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L))
+  }
 }
