@@ -362,6 +362,72 @@ object SparkEntry {
         unix_micros(col("e_ts")).as("err_ts_us"))
   }
 
+  /** Live-state migration gate (`cep_migrate_tws`): the fMGWS CEP kernel
+    * runs the FIRST half of the event stream against a real checkpoint and
+    * stops; its per-key state is exported offline
+    * ([[graft.streaming.StateInspect.fmgwsPatternState]]) and the TWS
+    * kernel boots from it ([[graft.streaming.PatternsTws.detectStreamFrom]])
+    * to process the SECOND half — no history reprocessing. The union of
+    * both generations' outputs must hash-match the same DuckDB oracle as
+    * `cep_pattern_seq_stream`: the hand-over is exactly-once (the exported
+    * emitted-through mark suppresses re-emission) and loses nothing
+    * (matches spanning the migration cut emit from the carried buffers). */
+  private def cepMigrateTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Patterns, PatternsTws, StateBackend, StateInspect}
+    val steps = Seq("view", "click", "purchase")
+    val evs = cepEventsMs(s, dir).as[Patterns.Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.evId))
+    val shape = (t: DataFrame) =>
+      t.where(col("key") =!= -1L)
+        .select(col("key"), col("startTs").cast("timestamp_ntz").as("start_ts"),
+          col("endTs").cast("timestamp_ntz").as("end_ts"),
+          col("startId").as("start_id"))
+    if (evs.isEmpty) return shape(s.emptyDataset[Patterns.PatMatch].toDF())
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+
+    val cp1 = java.nio.file.Files.createTempDirectory("graft-mig-cp1").toString
+    val o1 = java.nio.file.Files.createTempDirectory("graft-mig-o1").toString
+    val src1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
+    val q1 = Patterns.detectStream(
+        src1.toDS().withWatermark("ts", "1 millisecond"), steps, cepDayMs)
+      .writeStream.format("parquet").option("path", o1)
+      .option("checkpointLocation", cp1).outputMode("append").start()
+    try {
+      for (chunk <- h1.grouped(math.max(1, h1.length / 2 + 1)))
+        { src1.addData(chunk.toIndexedSeq); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    val exported = StateInspect.fmgwsPatternState(s, cp1)
+      .as[(Long, Seq[(Long, Long, String)], Long)]
+
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-mig-cp2").toString
+    val o2 = java.nio.file.Files.createTempDirectory("graft-mig-o2").toString
+    StateBackend.withRocksDB(s) {
+      val src2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
+      val q2 = PatternsTws.detectStreamFrom(
+          src2.toDS().withWatermark("ts", "1 millisecond"), steps, cepDayMs, exported)
+        .writeStream.format("parquet").option("path", o2)
+        .option("checkpointLocation", cp2).outputMode("append").start()
+      try {
+        for (chunk <- h2.grouped(math.max(1, h2.length / 2 + 1)))
+          { src2.addData(chunk.toIndexedSeq); q2.processAllAvailable() }
+        val far = evs.last.ts.getTime + 3L * cepDayMs
+        src2.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"))
+        q2.processAllAvailable()
+        src2.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel"))
+        q2.processAllAvailable()
+        graft.streaming.StateBackend.requireRocksDBServed(q2)
+      } finally q2.stop()
+    }
+    def readOut(p: String): DataFrame =
+      scala.util.Try(s.read.parquet(p)).toOption
+        .filter(_.schema.nonEmpty)
+        .getOrElse(s.emptyDataset[Patterns.PatMatch].toDF())
+    shape(readOut(o1).unionByName(readOut(o2)))
+  }
+
   /** State-introspection gate (`state_inspect_dedup`): streams the events
     * table through dropDuplicatesWithinWatermark against a REAL checkpoint,
     * then reads the operator's retained key set back OFFLINE through
@@ -775,6 +841,9 @@ object SparkEntry {
         cepStream(s, dir, absence = true,
           check = graft.streaming.StateBackend.requireRocksDBServed,
           tws = true))),
+    // live-state migration fMGWS → TWS mid-stream, union gated against the
+    // SAME oracle (exactly-once hand-over, zero history reprocessing)
+    "cep_migrate_tws" -> cepMigrateTws _,
 
     // ---- NATIVE Structured Streaming stream-stream interval join: every
     // click joined to the same user's error events in the preceding 24 h —
@@ -1500,6 +1569,7 @@ object SparkEntry {
       "cep_pattern_seq_rocksdb" -> m("cep_pattern_seq_stream"),
       "cep_pattern_seq_tws" -> m("cep_pattern_seq_stream"),
       "cep_absence_tws" -> m("cep_absence_stream"),
+      "cep_migrate_tws" -> m("cep_pattern_seq_stream"),
       "state_inspect_dedup" -> "SELECT event_id FROM events",
       "stream_stream_join_rocksdb" -> m("stream_stream_join"))
   }

@@ -3,7 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** CEP sequence AND absence detection on Spark 4's
   * arbitrary-stateful-processing v2 (`transformWithState`) — the
@@ -58,12 +59,21 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
 object PatternsTws {
   import Patterns.{Absence, Ev, PatMatch}
 
+  /** Exported per-key state for live migration FROM the fMGWS kernel:
+    * exactly what [[StateInspect.fmgwsPatternState]] reads out of a
+    * running deployment's checkpoint. */
+  final case class PatInit(events: Seq[(Long, Long, String)],
+                           emittedThroughMs: Long)
+
   /** Shared TWS scaffolding for both detectors: the three column families,
     * the absorb/finalize/evict cycle and the timer re-arm. Subclasses
     * provide only the finalize scan over the ordered buffer (the same
-    * kernels the fMGWS forms use) and the retention bound. */
+    * kernels the fMGWS forms use) and the retention bound. Extends the
+    * WithInitialState variant so the same processor serves both a cold
+    * start (plain transformWithState — initial state never fires) and a
+    * migration boot ([[detectStreamFrom]]). */
   sealed abstract class BufferedKeyProcessor[O](retainMs: Long)
-      extends StatefulProcessor[Long, Ev, O] {
+      extends StatefulProcessorWithInitialState[Long, Ev, O, PatInit] {
     /** Rows finalized by the watermark: emission window [fromMs, untilMs). */
     protected def finalized(merged: IndexedSeq[(Long, Long, String)],
         fromMs: Long, untilMs: Long, key: Long): List[O]
@@ -138,6 +148,25 @@ object PatternsTws {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[O] =
       if (!buf.exists()) Iterator.empty
       else emitAndEvict(key, watermarkMs(timerValues)).iterator
+
+    /** Migration boot: seed the column families from an exported fMGWS
+      * state row. The emitted-through mark is what makes the hand-over
+      * exactly-once — matches the old deployment already finalized sit
+      * strictly below it and cannot re-emit even though the NEW query's
+      * watermark restarts from scratch. A timer is armed so a key that
+      * stays quiescent after migration still finalizes its pending
+      * buffer when other keys advance the watermark. */
+    override def handleInitialState(key: Long, init: PatInit,
+        timerValues: TimerValues): Unit = {
+      if (init.events.nonEmpty) {
+        buf.appendList(init.events.toArray)
+        init.events.foreach(e => seen.updateValue(e._2, true))
+        getHandle.registerTimer(
+          math.max(timerValues.getCurrentWatermarkInMs(), 0L) + 1L)
+      }
+      if (init.emittedThroughMs != Long.MinValue)
+        emitted.update(init.emittedThroughMs)
+    }
   }
 
   final class SeqProcessor(steps: Seq[String], maxSpanMs: Long)
@@ -171,6 +200,27 @@ object PatternsTws {
     events.groupByKey(_.key)
       .transformWithState(new SeqProcessor(steps, maxSpanMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** MIGRATION boot of the sequence detector: continues a stopped fMGWS
+    * deployment from its exported state ([[StateInspect.fmgwsPatternState]]
+    * → `initial` as (key, events, emittedThroughMs) rows) WITHOUT
+    * reprocessing history — pre-stop output ∪ this query's output equals
+    * the batch form over the full stream, exactly once (StateMigrateSpec).
+    * RocksDB-only, like every TWS operator here. */
+  def detectStreamFrom(events: Dataset[Ev], steps: Seq[String],
+                       maxSpanMs: Long,
+                       initial: Dataset[(Long, Seq[(Long, Long, String)], Long)])
+      : Dataset[PatMatch] = {
+    require(steps.nonEmpty)
+    Patterns.requireNonZeroWatermarkDelay(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val init = initial.map(t => (t._1, PatInit(t._2, t._3)))
+      .groupByKey(_._1).mapValues(_._2)
+    events.groupByKey(_.key)
+      .transformWithState(new SeqProcessor(steps, maxSpanMs),
+        TimeMode.EventTime(), OutputMode.Append(), init)
   }
 
   /** TWS twin of [[Patterns.detectAbsenceStream]] — same emitted rows

@@ -48,6 +48,17 @@ object StateInspect {
   def timers(spark: SparkSession, checkpointDir: String): DataFrame =
     store(spark, checkpointDir, Map("readRegisteredTimers" -> "true"))
 
+  /** The fMGWS CEP kernel's per-key state read back from a checkpoint as
+    * (key, events[(tsMs, evId, tag)], emittedThroughMs) — the export half
+    * of live-state migration: feed this to
+    * [[PatternsTws.detectStreamFrom]] as initial state and the TWS kernel
+    * continues where the fMGWS deployment stopped, reprocessing nothing. */
+  def fmgwsPatternState(spark: SparkSession, checkpointDir: String): DataFrame =
+    store(spark, checkpointDir)
+      .select(col("key.value").as("key"),
+        col("value.groupState.events").as("events"),
+        col("value.groupState.emittedThroughMs").as("emittedThroughMs"))
+
   /** Per-partition state-row counts for one store — the skew audit: a
     * hot-key pile-up shows up as a heavy partition here long before it
     * fails a stage. */
