@@ -90,6 +90,78 @@ class RocksDBStateSpec extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("results are identical when state far exceeds the RocksDB memory cap") {
+    // the true 10^12-turn regime: working set >> block cache. Bounded
+    // memory mode caps block cache + memtables across ALL stores in the
+    // executor; a tiny cap forces continuous spill-to-disk reads and the
+    // results must not change.
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val confs = Map(
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "4",
+      "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~64k keys × ~200 B values ≈ 13 MB of state against a 4 MB cap
+      val n = 65536
+      val rows = (0 until n).map(i =>
+        (i.toLong, new Timestamp(1700000000000L + i), "x" * 180))
+      val src = MemoryStream[(Long, Timestamp, String)]
+      val out = StateBackend.withRocksDB(spark) {
+        val stream = src.toDF().toDF("event_id", "ts", "pad")
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"))
+        val q = stream.writeStream.format("memory").queryName("rocks_capped")
+          .outputMode("append").start()
+        try {
+          // second delivery of every row exercises reads through the
+          // capped cache (each dup must FIND its key in out-of-cache state)
+          for (chunk <- (rows ++ rows).grouped(16384))
+            { src.addData(chunk); q.processAllAvailable() }
+          StateBackend.requireRocksDBServed(q)
+        } finally q.stop()
+        spark.table("rocks_capped").as[Long].collect()
+      }
+      assert(out.length == n, s"expected $n deduped ids, got ${out.length}")
+      assert(out.toSet == (0L until n.toLong).toSet)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(x => spark.conf.set(k, x))
+    }
+  }
+
+  test("state change feed replays the dedup working set's construction") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp = tmpDir("feed")
+    val outDir = tmpDir("feed-out")
+    val src = MemoryStream[(Long, Timestamp)]
+    val q = src.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    val rows = (0L until 60L).map(i => (i, new Timestamp(1700000000000L + i * 1000L)))
+    try {
+      for (chunk <- rows.grouped(20)) { src.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    // the cross-batch CDC of the state itself: every key appears exactly
+    // once as an update, in the batch that first delivered it
+    val feed = spark.read.format("statestore")
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+      .load(cp)
+    assert(feed.schema.fieldNames.contains("change_type"))
+    val ups = feed.where(col("change_type") === "update")
+      .select(col("batch_id"), col("key.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ups.length == 60, s"got ${ups.length} updates")
+    assert(ups.map(_._2).toSet == (0L until 60L).toSet)
+    // batch attribution matches the delivery schedule (20 keys per batch)
+    assert(ups.groupBy(_._1).view.mapValues(_.length).toMap.values.toSet == Set(20))
+  }
+
   test("CEP stream resumes from a RocksDB changelog checkpoint") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
