@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -27,7 +27,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     IsNotNull on src/dst/w evaluate inside the partition reader,
   *     before rows reach Spark — the scan output is already filtered
   *     (pushed filters are reported exact, so Catalyst plans no residual
-  *     Filter for them).
+  *     Filter for them);
+  *   - SNAPSHOT / TIME-TRAVEL reads over the streaming sink's
+  *     epoch-committed shard history (the engine's Iceberg-table
+  *     stand-in): `.option("asOfEpoch", e)` plans ONLY the shards
+  *     committed at epochs <= e (epoch-less batch-committed shards are
+  *     the base snapshot and are always included). Because an epoch's
+  *     shards are published atomically by a driver-side rename and never
+  *     rewritten, an as-of read is a consistent snapshot — no reader
+  *     ever observes a half-committed epoch, exactly Iceberg's
+  *     snapshot-isolation contract re-expressed on shard files;
+  *   - an `_epoch` METADATA COLUMN (`SupportsMetadataColumns`, the
+  *     DSv2 analog of Iceberg's `_file`/`_spec_id`): hidden from `*`,
+  *     resolvable by name, evaluated per-shard in the reader (constant
+  *     per partition, zero per-row parse cost) — `GROUP BY _epoch` is
+  *     the commit-history audit query;
+  *   - [[EdgeTextV2.snapshots]] — the snapshots metadata listing
+  *     (epoch, n_shards, bytes), Iceberg's `.snapshots` table analog.
   *
   * Usage: `spark.read.format("graft.sources.v2.EdgeTextV2")
   * .option("path", dir).load()`. */
@@ -47,10 +63,43 @@ object EdgeTextV2 {
     StructField("src", LongType, nullable = true),
     StructField("dst", LongType, nullable = true),
     StructField("w", LongType, nullable = true)))
+
+  /** Shard name for the metadata column and time travel: streaming-sink
+    * shards are `part-<epoch>-<partition>.txt`; batch shards
+    * (`part-<partition>.txt`) carry no epoch → None (base snapshot). */
+  private[v2] val EpochShard = """part-(\d+)-\d+\.txt""".r
+  private[v2] def epochOf(fileName: String): Option[Long] = fileName match {
+    case EpochShard(e) => Some(e.toLong)
+    case _ => None
+  }
+  /** `_epoch` value a reader emits: batch-committed base shards read as
+    * -1 so they order before every streaming epoch. */
+  private[v2] def epochValue(file: String): Long =
+    epochOf(new Path(file).getName).getOrElse(-1L)
+
+  /** The snapshots metadata listing — Iceberg's `.snapshots` table
+    * analog: one row per commit epoch with shard count and byte size
+    * (epoch -1 aggregates the batch-committed base shards, if any).
+    * Driver-side listing, same O(shards) cost as planning a read —
+    * at production scale this is the manifest scan every file source
+    * performs. */
+  def snapshots(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    val rows = fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .groupBy(s => epochOf(s.getPath.getName).getOrElse(-1L))
+      .map { case (e, ss) => (e, ss.length.toLong, ss.map(_.getLen).sum) }
+      .toSeq.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("epoch", "n_shards", "bytes")
+  }
 }
 
 private[v2] class EdgeTable(path: String) extends Table
     with SupportsRead
+    with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "option 'path' is required")
   override def name(): String = s"graft_edges($path)"
@@ -59,15 +108,31 @@ private[v2] class EdgeTable(path: String) extends Table
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(EpochMetadataColumn)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EdgeScanBuilder(path)
+    new EdgeScanBuilder(path,
+      Option(options.get("asofepoch")).map(_.trim.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new EdgeWriteBuilder(path, info.schema())
 }
 
-private[v2] class EdgeScanBuilder(path: String) extends ScanBuilder
+/** The `_epoch` metadata column (hidden from `*`, selectable by name) —
+  * which streaming-sink commit published the row's shard; -1 for
+  * batch-committed base shards. Per-shard constant: the reader stamps it
+  * from the file name once per partition, no per-row cost. */
+private[v2] object EpochMetadataColumn extends MetadataColumn {
+  override def name(): String = "_epoch"
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "commit epoch of the shard holding this row (-1 = batch-committed base)"
+}
+
+private[v2] class EdgeScanBuilder(path: String, asOfEpoch: Option[Long])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = EdgeTextV2.schema
@@ -83,7 +148,7 @@ private[v2] class EdgeScanBuilder(path: String) extends ScanBuilder
     case _ => false
   }
   private def isCol(a: String): Boolean =
-    a == "src" || a == "dst" || a == "w"
+    a == "src" || a == "dst" || a == "w" || a == "_epoch"
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, rest) = filters.partition(pushable)
@@ -95,26 +160,55 @@ private[v2] class EdgeScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EdgeScan(path, required, pushed)
+  override def build(): Scan = new EdgeScan(path, required, pushed, asOfEpoch)
 }
 
 private[v2] class EdgeScan(path: String, required: StructType,
-                           pushed: Array[Filter]) extends Scan with Batch {
+                           pushed: Array[Filter],
+                           asOfEpoch: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_edges path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+    s"graft_edges path=$path" +
+      asOfEpoch.fold("")(e => s", AsOfEpoch: $e") +
+      s", PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
-  /** One partition per shard file — the multi-file parallelism axis. */
+  /** One partition per shard file — the multi-file parallelism axis.
+    * Under `asOfEpoch`, shards committed at later epochs are never even
+    * planned (snapshot pruning at the manifest, not a row filter); pushed
+    * `_epoch` predicates prune the same way — the `_epoch` value is a
+    * per-shard constant, so a shard whose epoch fails the predicates can
+    * be dropped before a single byte is read (Iceberg's partition
+    * pruning, re-expressed on the shard manifest). Row-level `_epoch`
+    * evaluation in the reader stays as the correctness backstop. */
   override def planInputPartitions(): Array[InputPartition] =
-    EdgeScan.listShards(path).map(f => EdgeFilePartition(f): InputPartition)
+    EdgeScan.listShards(path)
+      .filter(f => asOfEpoch.forall(a =>
+        EdgeTextV2.epochOf(new Path(f).getName).forall(_ <= a)))
+      .filter(f => epochAdmits(EdgeTextV2.epochValue(f)))
+      .map(f => EdgeFilePartition(f): InputPartition)
+
+  /** Evaluates only the `_epoch`-attributed pushed predicates against a
+    * shard's constant epoch; every other predicate admits the shard. */
+  private def epochAdmits(epoch: Long): Boolean = pushed.forall {
+    case EqualTo("_epoch", v: Number) => epoch == v.longValue()
+    case GreaterThan("_epoch", v: Number) => epoch > v.longValue()
+    case GreaterThanOrEqual("_epoch", v: Number) => epoch >= v.longValue()
+    case LessThan("_epoch", v: Number) => epoch < v.longValue()
+    case LessThanOrEqual("_epoch", v: Number) => epoch <= v.longValue()
+    case _ => true
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeReaderFactory(required.fieldNames, pushed)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOfEpoch.isEmpty,
+      "asOfEpoch is a batch snapshot read; a stream tails the live shard " +
+        "history (its offsets already replay each epoch exactly once)")
     new EdgeMicroBatchStream(path, required.fieldNames, pushed)
+  }
 }
 
 private[v2] object EdgeScan {
@@ -340,9 +434,13 @@ private[v2] class EdgeFileReader(file: String, cols: Array[String],
     FileSystem.get(p.toUri, new Configuration()).open(p),
     java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _
+  // per-shard constant, parsed once — the `_epoch` metadata column
+  private val epoch = EdgeTextV2.epochValue(file)
 
   private def field(name: String, src: Long, dst: Long, w: Long): Long =
-    name match { case "src" => src; case "dst" => dst; case _ => w }
+    name match {
+      case "src" => src; case "dst" => dst; case "_epoch" => epoch; case _ => w
+    }
 
   private def accept(src: Long, dst: Long, w: Long): Boolean =
     pushed.forall {

@@ -133,6 +133,55 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     assert(!fs.exists(staged), "replayed staging file must be dropped")
   }
 
+  test("time travel (asOfEpoch), _epoch metadata column, snapshots listing") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_edges_v2_tt").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_edges_v2_tt_ckpt").toFile.getAbsolutePath
+    // base snapshot: one batch-committed shard (epoch -1)
+    Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("append").save()
+    // two streaming commit epochs on top
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = src.toDF().toDF("src", "dst", "w")
+      .writeStream.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData((10L, 11L, 1L)); q.processAllAvailable() // epoch 0
+      src.addData((20L, 21L, 1L)); q.processAllAvailable() // epoch 1
+    } finally q.stop()
+
+    assert(v2(dir).count() == 3, "live read sees base + both epochs")
+
+    // as-of snapshot: epoch-1 shards are not planned, not filtered
+    val asOf0 = spark.read.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("asOfEpoch", "0").load()
+    assert(asOf0.collect().map(_.getLong(0)).toSet == Set(1L, 10L))
+
+    // _epoch: hidden from *, selectable by name, per-shard constant
+    assert(!v2(dir).schema.fieldNames.contains("_epoch"))
+    val withE = v2(dir).select(col("src"), col("_epoch")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withE == Map(1L -> -1L, 10L -> 0L, 20L -> 1L))
+
+    // an _epoch predicate reaches the scan AND prunes shards at planning
+    val pruned = v2(dir).where(col("_epoch") === 1L).select("src")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(_epoch,1)"),
+      s"_epoch predicate must reach the scan:\n$plan")
+    assert(pruned.rdd.getNumPartitions == 1,
+      "shards of other epochs must be pruned before reading")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(20L))
+
+    // snapshots metadata listing — one row per commit epoch
+    val snaps = graft.sources.v2.EdgeTextV2.snapshots(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snaps.map(_._1) == Seq(-1L, 0L, 1L), s"epochs wrong: $snaps")
+    assert(snaps.forall(_._2 >= 1L), s"every epoch has >=1 shard: $snaps")
+  }
+
   test("projection prunes the read schema; one partition per shard file") {
     val path = writeShards()
     val q = v2(path).select("src")
