@@ -1233,6 +1233,43 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // TIME TRAVEL over the connector's epoch-committed shard history:
+    // the sorted edge list streams through the V2 sink in 4 deterministic
+    // chunks (one commit epoch each), then a snapshot read at
+    // asOfEpoch=1 plans ONLY the first two epochs' shards (later epochs
+    // are pruned at the manifest, never read) and groups by the hidden
+    // `_epoch` metadata column. The oracle replays the chunk assignment
+    // with row_number over the same (src, dst) order — a shard leaking
+    // across the snapshot boundary, a wrong epoch stamp, or a lost
+    // commit all break the hash.
+    "edge_v2_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2tt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${base}_ckpt"), true)
+      val rows = SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val q = src.toDF().toDF("src", "dst", "w")
+        .writeStream.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).option("checkpointLocation", s"${base}_ckpt")
+        .outputMode("append").start()
+      try
+        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
+          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base)
+        .option("asOfEpoch", "1").load()
+        .select(col("_epoch").as("epoch"), col("src"), col("dst"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
+          sum("dst").as("sum_dst"))
+    }),
+
     // streaming twin through the connector's MicroBatchStream: file-count
     // offsets replay each shard exactly once (spec-pinned), the pushed
     // range filter evaluates inside every micro-batch's readers, and the
@@ -1619,6 +1656,15 @@ object TrainingQueries {
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_v2_time_travel" ->
+      (SparkEntry.edgesCte +
+        ", ranked AS (SELECT src, dst, " +
+        "row_number() OVER (ORDER BY src, dst) - 1 AS rn FROM edges), " +
+        "sz AS (SELECT GREATEST(1, (count(*) // 4) + 1) AS c FROM edges) " +
+        "SELECT CAST(rn // (SELECT c FROM sz) AS BIGINT) AS epoch, " +
+        "count(*) AS n_edges, CAST(sum(src) AS BIGINT) AS sum_src, " +
+        "CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM ranked WHERE rn // (SELECT c FROM sz) <= 1 GROUP BY 1"),
     "sliding_distinct_hll" -> slidingDistinctOracle,
     "sliding_distinct_hll_stream" -> slidingDistinctOracle,
     "near_dup_verify" ->
