@@ -1270,6 +1270,41 @@ object TrainingQueries {
           sum("dst").as("sum_dst"))
     }),
 
+    // COMPACTION + SNAPSHOT EXPIRY on the same shard history: after four
+    // commit epochs, compact(upTo=1) folds epochs 0-1 distributed into a
+    // fresh base generation published by one atomic marker rename and
+    // expires the consumed shards. The read-back groups by `_epoch`, so
+    // the oracle (the same row_number chunk replay, with chunks <= 1
+    // collapsed to the base) catches a lost or doubled row in the
+    // rewrite, a leaked expired shard, or a wrong surviving epoch stamp.
+    "edge_v2_compact" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2cmp"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${base}_ckpt"), true)
+      val rows = SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val q = src.toDF().toDF("src", "dst", "w")
+        .writeStream.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).option("checkpointLocation", s"${base}_ckpt")
+        .outputMode("append").start()
+      try
+        for (chunk <- rows.grouped(math.max(1, rows.length / 4 + 1)))
+          { src.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      graft.sources.v2.EdgeTextV2.compact(s, base, upToEpoch = 1L)
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .select(col("_epoch").as("epoch"), col("src"), col("dst"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
+          sum("dst").as("sum_dst"))
+    }),
+
     // streaming twin through the connector's MicroBatchStream: file-count
     // offsets replay each shard exactly once (spec-pinned), the pushed
     // range filter evaluates inside every micro-batch's readers, and the
@@ -1665,6 +1700,16 @@ object TrainingQueries {
         "count(*) AS n_edges, CAST(sum(src) AS BIGINT) AS sum_src, " +
         "CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM ranked WHERE rn // (SELECT c FROM sz) <= 1 GROUP BY 1"),
+    "edge_v2_compact" ->
+      (SparkEntry.edgesCte +
+        ", ranked AS (SELECT src, dst, " +
+        "row_number() OVER (ORDER BY src, dst) - 1 AS rn FROM edges), " +
+        "sz AS (SELECT GREATEST(1, (count(*) // 4) + 1) AS c FROM edges) " +
+        "SELECT CAST(CASE WHEN rn // (SELECT c FROM sz) <= 1 THEN -1 " +
+        "ELSE rn // (SELECT c FROM sz) END AS BIGINT) AS epoch, " +
+        "count(*) AS n_edges, CAST(sum(src) AS BIGINT) AS sum_src, " +
+        "CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM ranked GROUP BY 1"),
     "sliding_distinct_hll" -> slidingDistinctOracle,
     "sliding_distinct_hll_stream" -> slidingDistinctOracle,
     "near_dup_verify" ->

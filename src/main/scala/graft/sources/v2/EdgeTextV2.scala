@@ -43,7 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     per partition, zero per-row parse cost) — `GROUP BY _epoch` is
   *     the commit-history audit query;
   *   - [[EdgeTextV2.snapshots]] — the snapshots metadata listing
-  *     (epoch, n_shards, bytes), Iceberg's `.snapshots` table analog.
+  *     (epoch, n_shards, bytes), Iceberg's `.snapshots` table analog;
+  *   - [[EdgeTextV2.compact]] — COMPACTION + SNAPSHOT EXPIRY (Iceberg's
+  *     rewrite_data_files/expire_snapshots; the storage-layer twin of
+  *     the engine's Index::merge_to): epochs <= upTo fold distributed
+  *     into a fresh base generation, published by ONE atomic marker
+  *     rename; every crash window leaves the table either fully old or
+  *     fully new, never doubled or halved.
   *
   * Usage: `spark.read.format("graft.sources.v2.EdgeTextV2")
   * .option("path", dir).load()`. */
@@ -79,21 +85,136 @@ object EdgeTextV2 {
 
   /** The snapshots metadata listing — Iceberg's `.snapshots` table
     * analog: one row per commit epoch with shard count and byte size
-    * (epoch -1 aggregates the batch-committed base shards, if any).
-    * Driver-side listing, same O(shards) cost as planning a read —
-    * at production scale this is the manifest scan every file source
-    * performs. */
+    * (epoch -1 aggregates the base shards: batch-committed files plus
+    * the live compaction generation, if any). Driver-side listing, same
+    * O(shards) cost as planning a read — at production scale this is the
+    * manifest scan every file source performs. */
   def snapshots(spark: org.apache.spark.sql.SparkSession, path: String)
       : org.apache.spark.sql.DataFrame = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
-    val rows = fs.listStatus(p)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .groupBy(s => epochOf(s.getPath.getName).getOrElse(-1L))
-      .map { case (e, ss) => (e, ss.length.toLong, ss.map(_.getLen).sum) }
-      .toSeq.sortBy(_._1)
+    val rows = EdgeScan.listShards(path)
+      .groupBy(f => epochOf(new Path(f).getName).getOrElse(-1L))
+      .map { case (e, fs) =>
+        val conf = new Configuration()
+        val bytes = fs.map { f =>
+          val p = new Path(f); FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
+        }.sum
+        (e, fs.length.toLong, bytes)
+      }.toSeq.sortBy(_._1)
     import spark.implicits._
     rows.toDF("epoch", "n_shards", "bytes")
+  }
+
+  // ---- compaction (Iceberg's rewrite_data_files + expire_snapshots,
+  // re-expressed on the shard history; the storage-layer twin of the
+  // engine's Index::merge_to, /root/reference/src/index.rs) -------------
+
+  /** Compacted data shards: `compact-<upTo>-<partition>.txt`. They read
+    * as the base snapshot (`_epoch` = -1) — history at or below `upTo`
+    * has been folded into them. */
+  private[v2] val CompactShard = """compact-(\d+)-\d+\.txt""".r
+  private[v2] def compactGenOf(fileName: String): Option[Long] = fileName match {
+    case CompactShard(c) => Some(c.toLong)
+    case _ => None
+  }
+  /** The atomic commit marker of a compaction generation: the single
+    * rename of `compact-<upTo>.commit` into the directory publishes the
+    * whole generation. Data files without their marker are invisible. */
+  private[v2] val CompactMarker = """compact-(\d+)\.commit""".r
+  private[v2] def markerName(upTo: Long): String = s"compact-$upTo.commit"
+
+  /** Highest committed compaction generation in `dir`, if any. */
+  private[v2] def committedUpTo(fs: FileSystem, dir: Path): Option[Long] = {
+    val gens = fs.listStatus(dir).iterator
+      .filter(_.isFile)
+      .flatMap(_.getPath.getName match {
+        case CompactMarker(c) => Some(c.toLong); case _ => None
+      }).toSeq
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  /** Fold every shard committed at epochs <= `upToEpoch` (including the
+    * batch-committed base and any previous compaction generation) into a
+    * fresh set of base shards — Iceberg's rewrite_data_files followed by
+    * expire_snapshots, on the text-shard history.
+    *
+    * Crash-safe publish protocol (single writer, like every maintenance
+    * op on a table without a catalog):
+    *   1. the merged rows are written DISTRIBUTED through the connector's
+    *      own batch writer into a scratch dir (per-task staged files,
+    *      driver-commit renames — no driver funnel);
+    *   2. the scratch shards are renamed into the live dir as
+    *      `compact-<upTo>-<p>.txt` — readers IGNORE them (no marker yet);
+    *   3. one rename publishes `compact-<upTo>.commit` — the atomic
+    *      commit point: from this instant readers plan the new generation
+    *      and exclude everything it consumed;
+    *   4. consumed shards (epochs <= upTo, older compact generations and
+    *      their markers) are deleted — best-effort expiry; a crash here
+    *      leaves them on disk but INVISIBLE (step 3's rule), and the next
+    *      compaction retries the cleanup.
+    * A crash before step 3 leaves the table byte-identical to before.
+    *
+    * History at or below `upToEpoch` is expired: `asOfEpoch` below it
+    * fails ("snapshot expired"), exactly Iceberg's contract. Not safe
+    * under a concurrently RUNNING micro-batch stream of the same dir
+    * (file-count offsets assume an append-only listing) — quiesce
+    * streams first, as Iceberg requires for rewrites. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              upToEpoch: Long): Unit = {
+    require(upToEpoch >= 0, s"upToEpoch must be >= 0, got $upToEpoch")
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val committed = committedUpTo(fs, dir)
+    committed.foreach(c => require(upToEpoch >= c,
+      s"history at or below $c is already compacted (snapshot expired)"))
+    if (committed.contains(upToEpoch)) return // idempotent re-run
+    // a compaction of this generation that crashed before its marker
+    // leaves uncommitted compact-<upTo> data files; clear them so the
+    // step-2 renames cannot collide (rename never overwrites)
+    fs.listStatus(dir).filter(_.isFile).foreach { s =>
+      if (compactGenOf(s.getPath.getName).contains(upToEpoch))
+        fs.delete(s.getPath, false)
+    }
+
+    // 1. distributed rewrite of the consumed rows into a scratch dir
+    val scratch = new Path(dir, s"_compact-$upToEpoch-scratch")
+    fs.delete(scratch, true)
+    val merged = spark.read.format("graft.sources.v2.EdgeTextV2")
+      .option("path", path).load()
+    // plan only the consumed shards: the scan prunes on the pushed
+    // _epoch predicate, so unconsumed epochs are never read
+    import org.apache.spark.sql.functions.col
+    merged.where(col("_epoch") <= upToEpoch)
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", scratch.toString).mode("overwrite").save()
+
+    // 2. adopt the scratch shards as the (not yet live) new generation
+    val staged = fs.listStatus(scratch)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath).sortBy(_.getName)
+    staged.zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f, new Path(dir, f"compact-$upToEpoch-$i%05d.txt"))
+    }
+
+    // 3. the atomic commit point
+    val markerTmp = new Path(scratch, markerName(upToEpoch))
+    fs.create(markerTmp, true).close()
+    fs.rename(markerTmp, new Path(dir, markerName(upToEpoch)))
+
+    // 4. expire everything the committed generation makes invisible:
+    // epochs <= upTo, plain base shards, superseded compact data and
+    // markers. Computed from a fresh raw listing, so a retry (or the
+    // NEXT compaction) also sweeps leftovers of a crashed cleanup.
+    fs.listStatus(dir).filter(_.isFile).foreach { s =>
+      val n = s.getPath.getName
+      val invisible = n match {
+        case CompactMarker(c) => c.toLong < upToEpoch
+        case CompactShard(c) => c.toLong < upToEpoch
+        case _ if n.startsWith("_") => false // foreign metadata, not ours
+        case _ => epochOf(n).forall(_ <= upToEpoch)
+      }
+      if (invisible) fs.delete(s.getPath, false)
+    }
+    fs.delete(scratch, true)
   }
 }
 
@@ -181,12 +302,21 @@ private[v2] class EdgeScan(path: String, required: StructType,
     * be dropped before a single byte is read (Iceberg's partition
     * pruning, re-expressed on the shard manifest). Row-level `_epoch`
     * evaluation in the reader stays as the correctness backstop. */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    asOfEpoch.foreach { a =>
+      val p = new Path(path)
+      val fs = FileSystem.get(p.toUri, new Configuration())
+      if (fs.getFileStatus(p).isDirectory)
+        EdgeTextV2.committedUpTo(fs, p).foreach(c => require(a >= c,
+          s"snapshot at epoch $a expired: history at or below $c was " +
+            "compacted (Iceberg's expired-snapshot contract)"))
+    }
     EdgeScan.listShards(path)
       .filter(f => asOfEpoch.forall(a =>
         EdgeTextV2.epochOf(new Path(f).getName).forall(_ <= a)))
       .filter(f => epochAdmits(EdgeTextV2.epochValue(f)))
       .map(f => EdgeFilePartition(f): InputPartition)
+  }
 
   /** Evaluates only the `_epoch`-attributed pushed predicates against a
     * shard's constant epoch; every other predicate admits the shard. */
@@ -212,15 +342,35 @@ private[v2] class EdgeScan(path: String, required: StructType,
 }
 
 private[v2] object EdgeScan {
-  /** Stable (sorted) shard listing shared by the batch planner and the
-    * streaming offset tracker. */
+  /** Stable (sorted) shard listing shared by the batch planner, the
+    * streaming offset tracker, the snapshots listing and compaction.
+    * Resolves the live compaction generation: with a committed marker at
+    * gen c the valid set is {compact-c data shards} ∪ {epoch shards with
+    * epoch > c} — everything else (consumed bases, expired epochs,
+    * superseded or UNCOMMITTED compact data) is invisible, which is what
+    * makes the marker rename the atomic commit point. */
   def listShards(path: String): Array[String] = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-        .map(_.getPath.toString).sorted
-    else Array(p.toString)
+    if (!fs.getFileStatus(p).isDirectory) return Array(p.toString)
+    val files = fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+    val valid = EdgeTextV2.committedUpTo(fs, p) match {
+      case None => files.filter { f =>
+        // no committed compaction: hide crashed compactions' uncommitted
+        // data files (and there are no markers, by definition)
+        EdgeTextV2.compactGenOf(f.getName).isEmpty
+      }
+      case Some(c) => files.filter { f =>
+        val n = f.getName
+        EdgeTextV2.compactGenOf(n) match {
+          case Some(g) => g == c // only the live generation's data
+          case None => EdgeTextV2.epochOf(n).exists(_ > c) // unexpired epochs
+        }
+      }
+    }
+    valid.map(_.toString).sorted
   }
 }
 

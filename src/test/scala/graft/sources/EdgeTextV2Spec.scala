@@ -182,6 +182,77 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     assert(snaps.forall(_._2 >= 1L), s"every epoch has >=1 shard: $snaps")
   }
 
+  test("compaction: fold epochs into a new base; atomic marker; expiry") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_edges_v2_cmp").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_edges_v2_cmp_ckpt").toFile.getAbsolutePath
+    Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("append").save()
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = src.toDF().toDF("src", "dst", "w")
+      .writeStream.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData((10L, 11L, 1L)); q.processAllAvailable() // epoch 0
+      src.addData((20L, 21L, 1L)); q.processAllAvailable() // epoch 1
+      src.addData((30L, 31L, 1L)); q.processAllAvailable() // epoch 2
+    } finally q.stop()
+    def all() = v2(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = all()
+    assert(before.size == 4)
+
+    // crash window A: a compaction that died BEFORE its marker leaves
+    // uncommitted data files — they must be invisible
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/compact-1-00000.txt")
+    val w0 = fs.create(orphan, true)
+    w0.write("777 777 777\n".getBytes("UTF-8")); w0.close()
+    assert(all() == before, "uncommitted compact data must be invisible")
+
+    // real compaction of epochs <= 1 (the retry path also clears orphan)
+    graft.sources.v2.EdgeTextV2.compact(spark, dir, upToEpoch = 1L)
+    assert(all() == before, "compaction must preserve the row multiset")
+    val epochs = v2(dir).select(col("src"), col("_epoch")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(epochs == Map(1L -> -1L, 10L -> -1L, 20L -> -1L, 30L -> 2L),
+      s"compacted history must read as base: $epochs")
+    val snaps = graft.sources.v2.EdgeTextV2.snapshots(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(snaps == Seq(-1L, 2L), s"snapshots after compaction: $snaps")
+
+    // crash window B: marker committed, a consumed shard's delete lost —
+    // recreate a stale base shard; it must stay invisible
+    val stale = new org.apache.hadoop.fs.Path(s"$dir/part-99999.txt")
+    val w1 = fs.create(stale, true)
+    w1.write("888 888 888\n".getBytes("UTF-8")); w1.close()
+    assert(all() == before, "shards consumed by a committed compaction stay invisible")
+    fs.delete(stale, false)
+
+    // expired snapshots are unreadable; the boundary epoch still is
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.v2.EdgeTextV2")
+        .option("path", dir).option("asOfEpoch", "0").load().collect()
+    }
+    assert(ex.getMessage.contains("expired"), s"got: ${ex.getMessage}")
+    val asOf1 = spark.read.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("asOfEpoch", "1").load()
+    assert(asOf1.collect().map(_.getLong(0)).toSet == Set(1L, 10L, 20L))
+
+    // idempotent re-run, then a later generation consumes everything
+    graft.sources.v2.EdgeTextV2.compact(spark, dir, upToEpoch = 1L)
+    assert(all() == before)
+    graft.sources.v2.EdgeTextV2.compact(spark, dir, upToEpoch = 2L)
+    assert(all() == before)
+    val snaps2 = graft.sources.v2.EdgeTextV2.snapshots(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(snaps2 == Seq(-1L), s"single base generation after full compaction: $snaps2")
+  }
+
   test("projection prunes the read schema; one partition per shard file") {
     val path = writeShards()
     val q = v2(path).select("src")
