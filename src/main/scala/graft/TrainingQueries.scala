@@ -1185,6 +1185,29 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // DATA SKIPPING over the connector's per-shard stats trailers
+    // (Iceberg's per-file column bounds): the edges land range-layouted
+    // on src, so every shard's trailer carries a tight src interval and
+    // the pushed range predicate DROPS all non-overlapping shards at
+    // planning (spec-pinned partition counts). The read back aggregates
+    // against the same recomputed oracle — a shard wrongly skipped (rows
+    // lost) or a bound wrongly widened (dup rows survive elsewhere)
+    // breaks the hash. The 100-TB shape: layout-clustered columns turn a
+    // selective scan into an O(matching shards) read, no row-level work
+    // for the rest — the connector-side twin of parquet min/max skipping.
+    "edge_v2_stats_prune" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2sp"
+      SparkEntry.edges(s, dir)
+        .withColumn("w", lit(1L))
+        .repartitionByRange(8, col("src"))
+        .write.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).mode("overwrite").save()
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .where(col("src") >= 100L && col("src") < 1500L)
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
+    }),
+
     // the connector's WRITE path: edges round-trip through the V2 batch
     // commit protocol (per-task staged files renamed into place only at
     // driver commit — a zombie attempt's output is never visible), then
@@ -1684,6 +1707,10 @@ object TrainingQueries {
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
     "edge_sink_v2" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_v2_stats_prune" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),

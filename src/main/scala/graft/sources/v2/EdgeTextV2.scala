@@ -49,7 +49,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the engine's Index::merge_to): epochs <= upTo fold distributed
   *     into a fresh base generation, published by ONE atomic marker
   *     rename; every crash window leaves the table either fully old or
-  *     fully new, never doubled or halved.
+  *     fully new, never doubled or halved;
+  *   - PER-SHARD COLUMN STATS + DATA SKIPPING (Iceberg's per-file
+  *     lower/upper bounds in the manifest): every shard the connector
+  *     writes carries a [[EdgeTextV2.ShardStats]] trailer — a final
+  *     `# graft-stats v1 …` comment line with min/max of src/dst/w and
+  *     the row count. Planning with a pushed range/equality predicate
+  *     tail-reads candidates' trailers and DROPS shards the bounds prove
+  *     empty before a data byte is read. Riding INSIDE the shard makes
+  *     the stats atomically consistent with the data through every
+  *     rename (epoch publish, compaction adoption, truncate) with zero
+  *     extra commit choreography; shards without a trailer (legacy or
+  *     hand-written) are simply never skipped, and every reader skips
+  *     the line as an ordinary comment;
+  *   - SCAN-REPORTED STATISTICS (`SupportsReportStatistics`): the scan
+  *     reports the byte size of the PLANNED (epoch- and stats-pruned)
+  *     shard set, plus the exact row count when every planned shard has
+  *     a trailer — so Catalyst auto-broadcasts a small (or heavily
+  *     pruned) edge table instead of defaulting to Long.MaxValue and
+  *     sort-merge-joining it.
   *
   * Usage: `spark.read.format("graft.sources.v2.EdgeTextV2")
   * .option("path", dir).load()`. */
@@ -69,6 +87,78 @@ object EdgeTextV2 {
     StructField("src", LongType, nullable = true),
     StructField("dst", LongType, nullable = true),
     StructField("w", LongType, nullable = true)))
+
+  /** Per-shard column statistics — Iceberg's per-file lower/upper bounds
+    * and record count, carried as a final comment line INSIDE the shard
+    * (`# graft-stats v1 count=N src=a..b dst=a..b w=a..b`). The trailer
+    * is written by the task that wrote the rows, so it can never be
+    * stale, orphaned, or attributed to the wrong file — it survives the
+    * staging rename, epoch publish, compaction adoption and truncate
+    * untouched, and every reader (this connector, EdgeTextSource, the
+    * reference's own parser) skips it as a comment. */
+  final case class ShardStats(count: Long, minSrc: Long, maxSrc: Long,
+                              minDst: Long, maxDst: Long,
+                              minW: Long, maxW: Long) {
+    def line: String =
+      s"# graft-stats v1 count=$count src=$minSrc..$maxSrc " +
+        s"dst=$minDst..$maxDst w=$minW..$maxW"
+    private def lo(col: String): Long =
+      col match { case "src" => minSrc; case "dst" => minDst; case _ => minW }
+    private def hi(col: String): Long =
+      col match { case "src" => maxSrc; case "dst" => maxDst; case _ => maxW }
+    /** Can any row of a shard with these bounds satisfy every pushed
+      * predicate? Bounds prove absence only — a non-stat column or an
+      * unhandled shape always admits. `_epoch` is handled by the
+      * planner's epoch pruning, not here. */
+    def admits(pushed: Array[Filter]): Boolean =
+      count > 0 && pushed.forall {
+        case EqualTo(a, v: Number) if statCol(a) =>
+          lo(a) <= v.longValue() && v.longValue() <= hi(a)
+        case GreaterThan(a, v: Number) if statCol(a) => hi(a) > v.longValue()
+        case GreaterThanOrEqual(a, v: Number) if statCol(a) => hi(a) >= v.longValue()
+        case LessThan(a, v: Number) if statCol(a) => lo(a) < v.longValue()
+        case LessThanOrEqual(a, v: Number) if statCol(a) => lo(a) <= v.longValue()
+        case _ => true
+      }
+  }
+  private[v2] def statCol(a: String): Boolean =
+    a == "src" || a == "dst" || a == "w"
+  /** Does this pushed set contain anything shard stats could refute?
+    * Gates the per-shard trailer read — a scan with no stat-column
+    * predicates never pays the tail-read I/O. */
+  private[v2] def statsUsable(pushed: Array[Filter]): Boolean =
+    pushed.exists {
+      case EqualTo(a, _: Number) => statCol(a)
+      case GreaterThan(a, _: Number) => statCol(a)
+      case GreaterThanOrEqual(a, _: Number) => statCol(a)
+      case LessThan(a, _: Number) => statCol(a)
+      case LessThanOrEqual(a, _: Number) => statCol(a)
+      case _ => false
+    }
+  private[v2] val StatsLine =
+    ("""#\s*graft-stats v1 count=(\d+) src=(-?\d+)\.\.(-?\d+) """ +
+      """dst=(-?\d+)\.\.(-?\d+) w=(-?\d+)\.\.(-?\d+)\s*""").r
+  /** Reads a shard's stats trailer, if present: seek to the tail, take
+    * the last non-blank line, parse. One short positioned read per
+    * shard at PLANNING time — the same cost class as Iceberg's manifest
+    * read, paid only when a stat-column predicate was pushed. */
+  private[v2] def readStats(file: String): Option[ShardStats] = {
+    val p = new Path(file)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    val len = fs.getFileStatus(p).getLen
+    if (len == 0) return None
+    val window = math.min(len, 512L).toInt
+    val buf = new Array[Byte](window)
+    val in = fs.open(p)
+    try in.readFully(len - window, buf) finally in.close()
+    val tail = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    tail.split('\n').reverseIterator.map(_.trim).find(_.nonEmpty).flatMap {
+      case StatsLine(c, s0, s1, d0, d1, w0, w1) =>
+        Some(ShardStats(c.toLong, s0.toLong, s1.toLong,
+          d0.toLong, d1.toLong, w0.toLong, w1.toLong))
+      case _ => None
+    }
+  }
 
   /** Shard name for the metadata column and time travel: streaming-sink
     * shards are `part-<epoch>-<partition>.txt`; batch shards
@@ -286,7 +376,8 @@ private[v2] class EdgeScanBuilder(path: String, asOfEpoch: Option[Long])
 
 private[v2] class EdgeScan(path: String, required: StructType,
                            pushed: Array[Filter],
-                           asOfEpoch: Option[Long]) extends Scan with Batch {
+                           asOfEpoch: Option[Long])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -294,14 +385,33 @@ private[v2] class EdgeScan(path: String, required: StructType,
       asOfEpoch.fold("")(e => s", AsOfEpoch: $e") +
       s", PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
+  /** The planned shard set with its per-shard stats: epoch pruning
+    * (snapshot/`_epoch` predicates against the per-shard constant) then
+    * stats pruning (pushed range/equality predicates against the
+    * shard's min/max trailer — read only when such a predicate exists;
+    * a trailer-less shard is never skipped). Shared by partition
+    * planning and reported statistics, so Catalyst's size estimate
+    * reflects exactly the files the scan will read. */
+  private lazy val planned: Array[(String, Option[EdgeTextV2.ShardStats])] = {
+    val needStats = EdgeTextV2.statsUsable(pushed)
+    EdgeScan.listShards(path)
+      .filter(f => asOfEpoch.forall(a =>
+        EdgeTextV2.epochOf(new Path(f).getName).forall(_ <= a)))
+      .filter(f => epochAdmits(EdgeTextV2.epochValue(f)))
+      .map(f => (f, if (needStats) EdgeTextV2.readStats(f) else None))
+      .filter { case (_, st) => st.forall(_.admits(pushed)) }
+  }
+
   /** One partition per shard file — the multi-file parallelism axis.
     * Under `asOfEpoch`, shards committed at later epochs are never even
     * planned (snapshot pruning at the manifest, not a row filter); pushed
     * `_epoch` predicates prune the same way — the `_epoch` value is a
     * per-shard constant, so a shard whose epoch fails the predicates can
     * be dropped before a single byte is read (Iceberg's partition
-    * pruning, re-expressed on the shard manifest). Row-level `_epoch`
-    * evaluation in the reader stays as the correctness backstop. */
+    * pruning, re-expressed on the shard manifest); pushed src/dst/w
+    * bounds drop shards whose stats trailer proves them empty (Iceberg's
+    * per-file data skipping). Row-level evaluation in the reader stays
+    * as the correctness backstop for every pruned shard's survivors. */
   override def planInputPartitions(): Array[InputPartition] = {
     asOfEpoch.foreach { a =>
       val p = new Path(path)
@@ -311,11 +421,29 @@ private[v2] class EdgeScan(path: String, required: StructType,
           s"snapshot at epoch $a expired: history at or below $c was " +
             "compacted (Iceberg's expired-snapshot contract)"))
     }
-    EdgeScan.listShards(path)
-      .filter(f => asOfEpoch.forall(a =>
-        EdgeTextV2.epochOf(new Path(f).getName).forall(_ <= a)))
-      .filter(f => epochAdmits(EdgeTextV2.epochValue(f)))
-      .map(f => EdgeFilePartition(f): InputPartition)
+    planned.map { case (f, _) => EdgeFilePartition(f): InputPartition }
+  }
+
+  /** Post-pruning scan statistics: byte size of the planned shards, and
+    * the exact pre-filter row count when every planned shard carries a
+    * stats trailer. Without this a DSv2 relation defaults to
+    * Long.MaxValue and a small (or snapshot-pruned) edge table can never
+    * win a broadcast join. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val conf = new Configuration()
+    private lazy val bytes: Long = planned.map { case (f, _) =>
+      val p = new Path(f)
+      FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
+    }.sum
+    private lazy val rows: java.util.OptionalLong = {
+      val sts = planned.map(_._2)
+      if (sts.nonEmpty && sts.forall(_.isDefined))
+        java.util.OptionalLong.of(sts.map(_.get.count).sum)
+      else java.util.OptionalLong.empty()
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, bytes))
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   /** Evaluates only the `_epoch`-attributed pushed predicates against a
@@ -417,10 +545,16 @@ private[v2] class EdgeMicroBatchStream(path: String, cols: Array[String],
   override def deserializeOffset(json: String): Offset =
     FileCountOffset(json.trim.toInt)
 
+  /** The offset range indexes the sorted listing; stats skipping AFTER
+    * the slice cannot shift offsets — a skipped shard is simply a file
+    * the readers would have filtered to zero rows anyway. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileCountOffset].n
     val e = end.asInstanceOf[FileCountOffset].n
+    val needStats = EdgeTextV2.statsUsable(pushed)
     EdgeScan.listShards(path).slice(s, e)
+      .filter(f => !needStats ||
+        EdgeTextV2.readStats(f).forall(_.admits(pushed)))
       .map(f => EdgeFilePartition(f): InputPartition)
   }
 
@@ -509,8 +643,17 @@ private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
+  // Unique per-job token in batch shard names: two APPEND jobs writing
+  // the same partition ids must both survive (Iceberg's append contract;
+  // with a fixed `part-<pid>.txt` the second commit's rename silently
+  // replaced the first's shard on local FS). The leading letter keeps the
+  // name out of the streaming-epoch pattern, so batch shards still read
+  // as the base snapshot.
+  private val jobToken =
+    "j" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EdgeWriterFactory(path)
+    new EdgeWriterFactory(path, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -532,11 +675,12 @@ private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
   }
 }
 
-private[v2] class EdgeWriterFactory(path: String)
+private[v2] class EdgeWriterFactory(path: String, jobToken: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new EdgeDataWriter(path, partitionId, taskId, f"part-$partitionId%05d.txt")
+    new EdgeDataWriter(path, partitionId, taskId,
+      f"part-$jobToken-$partitionId%05d.txt")
 }
 
 private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
@@ -547,11 +691,29 @@ private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
   private val fs = FileSystem.get(stagedPath.toUri, new Configuration())
   private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
     fs.create(stagedPath, true), java.nio.charset.StandardCharsets.UTF_8))
+  // per-file column stats, folded as rows stream through (Iceberg's
+  // per-file bounds, computed by the only party that sees every row)
+  private var n = 0L
+  private var sLo, dLo, wLo = Long.MaxValue
+  private var sHi, dHi, wHi = Long.MinValue
 
-  override def write(row: InternalRow): Unit =
-    out.println(s"${row.getLong(0)} ${row.getLong(1)} ${row.getLong(2)}")
+  override def write(row: InternalRow): Unit = {
+    val src = row.getLong(0); val dst = row.getLong(1); val w = row.getLong(2)
+    n += 1
+    if (src < sLo) sLo = src; if (src > sHi) sHi = src
+    if (dst < dLo) dLo = dst; if (dst > dHi) dHi = dst
+    if (w < wLo) wLo = w; if (w > wHi) wHi = w
+    out.println(s"$src $dst $w")
+  }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    // the stats trailer rides in the shard itself: atomically consistent
+    // with the rows through every downstream rename (readers skip it as a
+    // comment). count=0 marks a provably empty shard — planners drop it.
+    val stats =
+      if (n == 0) EdgeTextV2.ShardStats(0, 0, 0, 0, 0, 0, 0)
+      else EdgeTextV2.ShardStats(n, sLo, sHi, dLo, dHi, wLo, wHi)
+    out.println(stats.line)
     out.close()
     EdgeCommitMessage(stagedPath.toString, finalName)
   }

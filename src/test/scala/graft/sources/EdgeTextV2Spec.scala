@@ -253,6 +253,120 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     assert(snaps2 == Seq(-1L), s"single base generation after full compaction: $snaps2")
   }
 
+  test("stats trailer: non-matching shards are skipped at planning; " +
+    "legacy shards never are; compaction preserves skipping") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edges_v2_stats").toFile.getAbsolutePath
+    // three connector-written shards with disjoint src ranges
+    Seq.tabulate(30)(i => (i.toLong, (i + 1000).toLong, 1L))
+      .toDF("src", "dst", "w")
+      .repartitionByRange(3, col("src"))
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("append").save()
+    val unfiltered = v2(dir)
+    val total = unfiltered.rdd.getNumPartitions
+    assert(total == 3, s"expected 3 range shards, got $total")
+
+    // a pushed src bound provably excludes two of the three shards:
+    // they are dropped at planning, before any data byte is read
+    val hi = v2(dir).where(col("src") >= 25L)
+    assert(hi.rdd.getNumPartitions == 1,
+      "stats-pruned scan must plan only the matching shard")
+    assert(hi.collect().map(_.getLong(0)).sorted.toSeq == (25L to 29L).toSeq)
+    // bounds that exclude every shard plan an empty scan
+    assert(v2(dir).where(col("src") > 999L).count() == 0)
+    assert(v2(dir).where(col("src") > 999L).rdd.getNumPartitions == 0)
+    // a predicate on a non-stat column cannot skip anything
+    assert(v2(dir).select(col("src"), col("_epoch"))
+      .where(col("_epoch") === -1L).rdd.getNumPartitions == 3)
+
+    // a hand-written (trailer-less) shard is never skipped — its rows
+    // still surface through the reader's row-level filter backstop
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-zz.txt"), "UTF-8")
+    try { w.println("50 60"); w.println("3 4") } finally w.close()
+    val mixed = v2(dir).where(col("src") >= 25L)
+    assert(mixed.rdd.getNumPartitions == 2,
+      "legacy shard must stay planned alongside the one matching stats shard")
+    assert(mixed.collect().map(_.getLong(0)).sorted.toSeq ==
+      ((25L to 29L) :+ 50L).toSeq)
+
+    // compaction rewrites through the connector's own writer, so the new
+    // generation carries fresh trailers and skipping still works
+    graft.sources.v2.EdgeTextV2.compact(spark, dir, upToEpoch = 0L)
+    val afterCompact = v2(dir).where(col("src") === 50L)
+    assert(afterCompact.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((50L, 60L)))
+    assert(afterCompact.rdd.getNumPartitions < v2(dir).rdd.getNumPartitions,
+      "post-compaction shards must again be stats-skippable")
+  }
+
+  test("two batch appends with colliding partition ids both survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edges_v2_app").toFile.getAbsolutePath
+    Seq((1L, 2L, 1L)).toDF("src", "dst", "w").coalesce(1)
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("append").save()
+    Seq((3L, 4L, 1L)).toDF("src", "dst", "w").coalesce(1)
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).mode("append").save()
+    val back = v2(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set((1L, 2L, 1L), (3L, 4L, 1L)),
+      "second append must not replace the first append's shard")
+    // both read as the base snapshot (no accidental epoch parse)
+    assert(v2(dir).select(col("_epoch")).collect().map(_.getLong(0)).toSet == Set(-1L))
+  }
+
+  test("scan reports post-pruning statistics; pruned snapshot reads shrink") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_edges_v2_st").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_edges_v2_st_ckpt").toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = src.toDF().toDF("src", "dst", "w")
+      .writeStream.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData((1L, 2L, 1L), (2L, 3L, 1L)); q.processAllAvailable() // epoch 0
+      src.addData((10L, 11L, 1L)); q.processAllAvailable()             // epoch 1
+    } finally q.stop()
+
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          (r.stats.sizeInBytes, r.stats.rowCount)
+      }.head
+
+    val (fullBytes, _) = scanStats(v2(dir))
+    assert(fullBytes > 0 && fullBytes < Long.MaxValue,
+      s"scan must report real bytes, got $fullBytes")
+    // epoch pruning shrinks the REPORTED size, not just the read
+    val (prunedBytes, _) = scanStats(v2(dir).where(col("_epoch") === 1L))
+    assert(prunedBytes < fullBytes,
+      s"epoch-pruned scan must report fewer bytes: $prunedBytes vs $fullBytes")
+    // when every planned shard has a trailer, the exact row count surfaces
+    val (_, rowCount) = scanStats(v2(dir).where(col("src") >= 10L))
+    assert(rowCount.contains(BigInt(1)),
+      s"stats-planned scan must report the trailer row count, got $rowCount")
+
+    // end to end: the small connector table wins a broadcast join on
+    // REPORTED stats (a DSv2 relation without them defaults to
+    // Long.MaxValue and can never be the broadcast side)
+    // the other side's estimate must EXCEED the broadcast threshold, so
+    // the only broadcastable side is the connector's — the plan (never
+    // executed) can only pick BroadcastHashJoin via the reported stats
+    val big = spark.range(0, 10000000L).select(col("id").as("src"))
+    val joined = big.join(v2(dir), "src")
+    val static = joined.queryExecution.sparkPlan
+    val broadcastSides = static.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        b.buildSide.toString
+    }
+    assert(broadcastSides.nonEmpty,
+      s"small edge table must auto-broadcast on reported stats:\n$static")
+  }
+
   test("projection prunes the read schema; one partition per shard file") {
     val path = writeShards()
     val q = v2(path).select("src")
