@@ -371,8 +371,18 @@ object SparkEntry {
     * both generations' outputs must hash-match the same DuckDB oracle as
     * `cep_pattern_seq_stream`: the hand-over is exactly-once (the exported
     * emitted-through mark suppresses re-emission) and loses nothing
-    * (matches spanning the migration cut emit from the carried buffers). */
-  private def cepMigrateTws(s: SparkSession, dir: String): DataFrame = {
+    * (matches spanning the migration cut emit from the carried buffers).
+    *
+    * `gen2Partitions` (the `cep_migrate_repartition` gate) additionally
+    * REPARTITIONS the state across the hand-over: generation 2 starts at
+    * a different spark.sql.shuffle.partitions than generation 1's
+    * checkpoint — the operation Spark forbids on a restart of the SAME
+    * checkpoint, and the reason the export/boot path is how a 10^12-turn
+    * deployment outgrows its original state layout. The entry verifies
+    * the new checkpoint's state-metadata actually landed at the requested
+    * count, then gates the same output oracle. */
+  private def cepMigrateTws(s: SparkSession, dir: String,
+                            gen2Partitions: Option[Int] = None): DataFrame = {
     import s.implicits._
     import graft.streaming.{Patterns, PatternsTws, StateBackend, StateInspect}
     val steps = Seq("view", "click", "purchase")
@@ -405,21 +415,39 @@ object SparkEntry {
     val cp2 = java.nio.file.Files.createTempDirectory("graft-mig-cp2").toString
     val o2 = java.nio.file.Files.createTempDirectory("graft-mig-o2").toString
     StateBackend.withRocksDB(s) {
-      val src2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
-      val q2 = PatternsTws.detectStreamFrom(
-          src2.toDS().withWatermark("ts", "1 millisecond"), steps, cepDayMs, exported)
-        .writeStream.format("parquet").option("path", o2)
-        .option("checkpointLocation", cp2).outputMode("append").start()
+      val beforeParts = s.conf.get("spark.sql.shuffle.partitions")
+      gen2Partitions.foreach(p =>
+        s.conf.set("spark.sql.shuffle.partitions", p.toString))
       try {
-        for (chunk <- h2.grouped(math.max(1, h2.length / 2 + 1)))
-          { src2.addData(chunk.toIndexedSeq); q2.processAllAvailable() }
-        val far = evs.last.ts.getTime + 3L * cepDayMs
-        src2.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"))
-        q2.processAllAvailable()
-        src2.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel"))
-        q2.processAllAvailable()
-        graft.streaming.StateBackend.requireRocksDBServed(q2)
-      } finally q2.stop()
+        val src2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Patterns.Ev]
+        val q2 = PatternsTws.detectStreamFrom(
+            src2.toDS().withWatermark("ts", "1 millisecond"), steps, cepDayMs, exported)
+          .writeStream.format("parquet").option("path", o2)
+          .option("checkpointLocation", cp2).outputMode("append").start()
+        try {
+          for (chunk <- h2.grouped(math.max(1, h2.length / 2 + 1)))
+            { src2.addData(chunk.toIndexedSeq); q2.processAllAvailable() }
+          val far = evs.last.ts.getTime + 3L * cepDayMs
+          src2.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far), -1L, "zz_sentinel"))
+          q2.processAllAvailable()
+          src2.addData(Patterns.Ev(-1L, new java.sql.Timestamp(far + 1000L), -2L, "zz_sentinel"))
+          q2.processAllAvailable()
+          graft.streaming.StateBackend.requireRocksDBServed(q2)
+        } finally q2.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", beforeParts)
+    }
+    gen2Partitions.foreach { p =>
+      // non-vacuity: the repartition actually happened — gen 1's count
+      // would only appear here if the initial-state shuffle silently
+      // inherited the old layout
+      val landed = StateInspect.metadata(s, cp2)
+        .select("numPartitions").collect().map(_.getInt(0)).distinct.toSeq
+      require(landed == Seq(p),
+        s"gen-2 state expected at $p partitions, found $landed")
+      val gen1 = StateInspect.metadata(s, cp1)
+        .select("numPartitions").collect().map(_.getInt(0)).distinct.toSeq
+      require(gen1 != landed,
+        s"repartition gate is vacuous: both generations at $landed")
     }
     def readOut(p: String): DataFrame =
       scala.util.Try(s.read.parquet(p)).toOption
@@ -843,7 +871,16 @@ object SparkEntry {
           tws = true))),
     // live-state migration fMGWS → TWS mid-stream, union gated against the
     // SAME oracle (exactly-once hand-over, zero history reprocessing)
-    "cep_migrate_tws" -> cepMigrateTws _,
+    "cep_migrate_tws" -> ((s, dir) => cepMigrateTws(s, dir)),
+    // the migration path as the STATE-REPARTITION escape hatch: gen 2
+    // boots the exported state at 12 shuffle partitions where gen 1's
+    // checkpoint sat at the session default — verified against the new
+    // checkpoint's state-metadata, same output oracle. Spark refuses
+    // this on a restart of the same checkpoint; export/boot is how a
+    // deployment outgrows its original state layout without replaying
+    // history.
+    "cep_migrate_repartition" -> ((s, dir) =>
+      cepMigrateTws(s, dir, gen2Partitions = Some(12))),
 
     // ---- NATIVE Structured Streaming stream-stream interval join: every
     // click joined to the same user's error events in the preceding 24 h —
@@ -1570,6 +1607,7 @@ object SparkEntry {
       "cep_pattern_seq_tws" -> m("cep_pattern_seq_stream"),
       "cep_absence_tws" -> m("cep_absence_stream"),
       "cep_migrate_tws" -> m("cep_pattern_seq_stream"),
+      "cep_migrate_repartition" -> m("cep_pattern_seq_stream"),
       "state_inspect_dedup" -> "SELECT event_id FROM events",
       "stream_stream_join_rocksdb" -> m("stream_stream_join"))
   }

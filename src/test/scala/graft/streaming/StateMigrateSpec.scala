@@ -107,4 +107,87 @@ class StateMigrateSpec extends AnyFunSuite
       "fixture must contain matches spanning the migration cut")
     assert(got.nonEmpty)
   }
+
+  test("migration REPARTITIONS state: gen-2 boots the exported state at a " +
+    "different shuffle-partition count") {
+    // Spark welds a stateful checkpoint to the partition count it started
+    // with — a restart cannot change spark.sql.shuffle.partitions. At
+    // 10^12 turns outgrowing the original count is inevitable, and the
+    // export/boot path is the escape hatch: the exported state is an
+    // ordinary Dataset, so the new generation's initial-state shuffle
+    // re-keys it into ANY partitioning. Pin: gen 1 runs at the session's
+    // 4 partitions, gen 2 at 9; state-metadata confirms both checkpoints'
+    // layouts and the union of outputs still equals the batch form.
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("a", "b", "c")
+    val span = 10000L
+    val evs = (for {
+      key <- 0L until 6L
+      i <- 0 until 12
+    } yield Ev(key, new Timestamp(1700000000000L + i * 1000L),
+      key * 1000 + i, steps(i % 3))).sortBy(e => (e.ts.getTime, e.evId))
+    // cut MID-TRIPLE (every key holds a pending a→b buffer) so matches
+    // genuinely span the repartition hand-over
+    val (firstHalf, secondHalf) = evs.splitAt(30)
+
+    val cp1 = tmpDir("rp-cp1"); val out1 = tmpDir("rp-out1")
+    val src1 = MemoryStream[Ev]
+    val q1 = Patterns.detectStream(
+        src1.toDS().withWatermark("ts", "1 millisecond"), steps, span)
+      .writeStream.format("parquet").option("path", out1)
+      .option("checkpointLocation", cp1).outputMode("append").start()
+    try {
+      for (chunk <- firstHalf.grouped(12)) { src1.addData(chunk); q1.processAllAvailable() }
+    } finally q1.stop()
+    val gen1Parts = StateInspect.metadata(spark, cp1)
+      .select("numPartitions").collect().map(_.getInt(0)).distinct.toSeq
+    assert(gen1Parts == Seq(4), s"gen-1 state must sit at 4 partitions: $gen1Parts")
+
+    val exported = StateInspect.fmgwsPatternState(spark, cp1)
+      .as[(Long, Seq[(Long, Long, String)], Long)]
+    assert(exported.count() > 0)
+
+    val out2 = tmpDir("rp-out2"); val cp2 = tmpDir("rp-cp2")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    StateBackend.withRocksDB(spark) {
+      spark.conf.set("spark.sql.shuffle.partitions", "9")
+      try {
+        val src2 = MemoryStream[Ev]
+        val q2 = PatternsTws.detectStreamFrom(
+            src2.toDS().withWatermark("ts", "1 millisecond"), steps, span, exported)
+          .writeStream.format("parquet").option("path", out2)
+          .option("checkpointLocation", cp2).outputMode("append").start()
+        try {
+          for (chunk <- secondHalf.grouped(12)) { src2.addData(chunk); q2.processAllAvailable() }
+          val far = evs.last.ts.getTime + 3 * span + 1000000L
+          src2.addData(Ev(-1L, new Timestamp(far), -1L, "z")); q2.processAllAvailable()
+          src2.addData(Ev(-1L, new Timestamp(far + 1000L), -2L, "z")); q2.processAllAvailable()
+        } finally q2.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    val gen2Parts = StateInspect.metadata(spark, cp2)
+      .select("numPartitions").collect().map(_.getInt(0)).distinct.toSeq
+    assert(gen2Parts == Seq(9),
+      s"gen-2 state must land at the NEW partition count: $gen2Parts")
+
+    val got = (spark.read.parquet(out1).collect() ++
+        spark.read.parquet(out2).collect())
+      .map(r => (r.getLong(r.fieldIndex("key")),
+        r.getTimestamp(r.fieldIndex("startTs")).getTime,
+        r.getTimestamp(r.fieldIndex("endTs")).getTime,
+        r.getLong(r.fieldIndex("startId"))))
+      .filter(_._1 != -1L).toSeq
+    assert(got.length == got.toSet.size, "no re-emission across the repartition")
+    val batch = Patterns.detectBatch(
+        evs.toDF().select(col("key"), col("ts"), col("evId").as("ev_id"),
+          col("tag")), steps, span)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got.toSet == batch,
+      s"union mismatch across repartition: got ${got.size}, batch ${batch.size}")
+    val cut = firstHalf.last.ts.getTime
+    assert(batch.exists(m => m._2 <= cut && m._3 > cut),
+      "fixture must contain matches spanning the repartition cut")
+  }
 }
