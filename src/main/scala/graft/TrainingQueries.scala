@@ -1186,22 +1186,23 @@ object TrainingQueries {
     }),
 
     // DATA SKIPPING over the connector's per-shard stats trailers
-    // (Iceberg's per-file column bounds): the edges land range-layouted
-    // on src, so every shard's trailer carries a tight src interval and
-    // the pushed range predicate DROPS all non-overlapping shards at
-    // planning (spec-pinned partition counts). The read back aggregates
-    // against the same recomputed oracle — a shard wrongly skipped (rows
-    // lost) or a bound wrongly widened (dup rows survive elsewhere)
-    // breaks the hash. The 100-TB shape: layout-clustered columns turn a
-    // selective scan into an O(matching shards) read, no row-level work
-    // for the rest — the connector-side twin of parquet min/max skipping.
+    // (Iceberg's per-file column bounds): the WRITE declares
+    // `layout=src` so the connector itself plans the range exchange +
+    // sort (RequiresDistributionAndOrdering — Iceberg's write
+    // distribution property), every shard's trailer carries a tight src
+    // interval, and the pushed range predicate DROPS all non-overlapping
+    // shards at planning (spec-pinned partition counts). The read back
+    // aggregates against the same recomputed oracle — a shard wrongly
+    // skipped (rows lost) or a bound wrongly widened (dup rows survive
+    // elsewhere) breaks the hash. The 100-TB shape: layout-clustered
+    // columns turn a selective scan into an O(matching shards) read, no
+    // row-level work for the rest — parquet min/max skipping, connector-side.
     "edge_v2_stats_prune" -> ((s, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2sp"
       SparkEntry.edges(s, dir)
         .withColumn("w", lit(1L))
-        .repartitionByRange(8, col("src"))
         .write.format("graft.sources.v2.EdgeTextV2")
-        .option("path", base).mode("overwrite").save()
+        .option("path", base).option("layout", "src").mode("overwrite").save()
       s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
         .where(col("src") >= 100L && col("src") < 1500L)
         .groupBy("src")

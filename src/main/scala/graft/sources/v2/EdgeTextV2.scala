@@ -141,8 +141,10 @@ object EdgeTextV2 {
   /** Reads a shard's stats trailer, if present: seek to the tail, take
     * the last non-blank line, parse. One short positioned read per
     * shard at PLANNING time — the same cost class as Iceberg's manifest
-    * read, paid only when a stat-column predicate was pushed. */
-  private[v2] def readStats(file: String): Option[ShardStats] = {
+    * read, paid only when a stat-column predicate was pushed. Public as
+    * the table's stats-audit surface (the per-file half of what
+    * [[snapshots]] lists per epoch). */
+  def readStats(file: String): Option[ShardStats] = {
     val p = new Path(file)
     val fs = FileSystem.get(p.toUri, new Configuration())
     val len = fs.getFileStatus(p).getLen
@@ -327,7 +329,9 @@ private[v2] class EdgeTable(path: String) extends Table
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new EdgeWriteBuilder(path, info.schema())
+    new EdgeWriteBuilder(path, info.schema(),
+      Option(info.options.get("layout")),
+      Option(info.options.get("layoutPartitions")).map(_.toInt).getOrElse(0))
 }
 
 /** The `_epoch` metadata column (hidden from `*`, selectable by name) —
@@ -576,22 +580,58 @@ private[v2] case class EdgeFilePartition(file: String) extends InputPartition
   * WAL-then-publish discipline as [[graft.fast.FastGraphState]]'s sink.
   * Truncate (SaveMode.Overwrite) deletes prior shards inside commit(),
   * after every new shard staged successfully — never before. */
-private[v2] class EdgeWriteBuilder(path: String, schema: StructType)
+private[v2] class EdgeWriteBuilder(path: String, schema: StructType,
+                                   layout: Option[String],
+                                   layoutPartitions: Int = 0)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   require(schema.fieldNames.sameElements(Array("src", "dst", "w")),
     s"edge write schema must be (src, dst, w), got ${schema.fieldNames.mkString(",")}")
+  layout.foreach(l => require(
+    l.split(',').map(_.trim).forall(EdgeTextV2.statCol),
+    s"layout columns must be among src,dst,w: got '$l'"))
   private var doTruncate = false
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
+  /** `.option("layout", "src")` (or "src,dst") — LAYOUT-ON-WRITE, the
+    * connector-side analog of Iceberg's write distribution/ordering
+    * table property: the Write declares an ordered distribution on the
+    * named columns and Spark plans the range exchange + sort itself, so
+    * every shard lands with a TIGHT, pairwise-disjoint stats-trailer
+    * interval and selective reads skip all but the matching shards. The
+    * caller never hand-repartitions; without the option the write keeps
+    * the upstream partitioning (no extra exchange). */
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.Write {
-      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new EdgeBatchWrite(path, doTruncate)
-      override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new EdgeStreamingWrite(path)
+    layout match {
+      case None =>
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new EdgeBatchWrite(path, doTruncate)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new EdgeStreamingWrite(path)
+        }
+      case Some(l) =>
+        import org.apache.spark.sql.connector.{distributions => dist}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+        val orders: Array[SortOrder] = l.split(',').map(_.trim).map(c =>
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution(): dist.Distribution =
+            dist.Distributions.ordered(orders)
+          // 0 = Spark/AQE sizes the exchange (production default);
+          // `layoutPartitions` pins an exact shard count when the
+          // caller needs a deterministic layout
+          override def requiredNumPartitions(): Int = layoutPartitions
+          override def requiredOrdering(): Array[SortOrder] = orders
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new EdgeBatchWrite(path, doTruncate)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new EdgeStreamingWrite(path)
+        }
     }
 }
 

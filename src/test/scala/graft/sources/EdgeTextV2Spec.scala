@@ -300,6 +300,47 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
       "post-compaction shards must again be stats-skippable")
   }
 
+  test("layout-on-write: the Write's required distribution range-clusters " +
+    "shards, so stats skipping needs no caller repartition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edges_v2_lay").toFile.getAbsolutePath
+    // deliberately scrambled input partitioning: the connector itself
+    // must declare the ordered distribution for the shards to be tight
+    Seq.tabulate(40)(i => ((i * 17 % 40).toLong, (i + 1000).toLong, 1L))
+      .toDF("src", "dst", "w")
+      .repartition(4) // hash-scatter, ranges fully overlap without layout
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("layout", "src")
+      .option("layoutPartitions", "4").mode("append").save()
+    // every shard's stats interval is pairwise disjoint on src
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+    val bounds = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .flatMap(s => graft.sources.v2.EdgeTextV2.readStats(s.getPath.toString))
+      .filter(_.count > 0)
+      .map(st => (st.minSrc, st.maxSrc)).sortBy(_._1)
+    assert(bounds.length > 1, s"layout write must produce multiple shards: ${bounds.toSeq}")
+    bounds.sliding(2).foreach { case Array((_, aHi), (bLo, _)) =>
+      assert(aHi < bLo, s"shard src ranges must be disjoint: ${bounds.toSeq}")
+    case _ => () }
+    // and a selective read therefore plans a strict subset of the shards
+    val sel = v2(dir).where(col("src") === 0L)
+    assert(sel.rdd.getNumPartitions < bounds.length,
+      "range-layouted shards must be stats-skippable")
+    assert(sel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1000L)))
+    // rows survive the connector-planned exchange + sort intact
+    assert(v2(dir).count() == 40)
+    // a layout column outside the schema is rejected up front
+    val ex = intercept[Exception] {
+      Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+        .write.format("graft.sources.v2.EdgeTextV2")
+        .option("path", dir).option("layout", "nope").mode("append").save()
+    }
+    assert(ex.getMessage.contains("layout columns"), ex.getMessage)
+  }
+
   test("two batch appends with colliding partition ids both survive") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_edges_v2_app").toFile.getAbsolutePath
