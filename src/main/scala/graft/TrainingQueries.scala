@@ -1209,6 +1209,38 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // the TABLE CATALOG (DSv2 TableCatalog over the edge format): pure
+    // SQL end to end — CREATE NAMESPACE/TABLE against the catalog,
+    // INSERT INTO ... SELECT through the connector's staged-rename
+    // commit, SELECT with the range predicate pushed into the shard
+    // readers — against the same recomputed oracle. At 100 TB this is
+    // the multi-team surface: tables addressed by name, not by path,
+    // with the catalog holding zero driver state (O(1) directory
+    // metadata per op).
+    "edge_v2_sql_catalog" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_edges_cat_wh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.v2.EdgeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      try {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("CREATE TABLE graft_cat.db.edges (src BIGINT, dst BIGINT, w BIGINT)")
+        SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+          .createOrReplaceTempView("graft_cat_src")
+        s.sql("INSERT INTO graft_cat.db.edges SELECT src, dst, w FROM graft_cat_src")
+        s.sql("""SELECT src, count(*) AS deg, sum(dst) AS sum_dst
+                 FROM graft_cat.db.edges
+                 WHERE src >= 100 AND src < 1500 GROUP BY src""")
+          .localCheckpoint(true) // materialize before the catalog conf is unset
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft_cat")
+        s.conf.unset("spark.sql.catalog.graft_cat.warehouse")
+      }
+    }),
+
     // the connector's WRITE path: edges round-trip through the V2 batch
     // commit protocol (per-task staged files renamed into place only at
     // driver commit — a zombie attempt's output is never visible), then
@@ -1712,6 +1744,10 @@ object TrainingQueries {
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
     "edge_v2_stats_prune" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_v2_sql_catalog" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),

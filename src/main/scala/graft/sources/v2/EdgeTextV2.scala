@@ -310,12 +310,16 @@ object EdgeTextV2 {
   }
 }
 
-private[v2] class EdgeTable(path: String) extends Table
+/** `asOf`: a catalog-resolved snapshot pin (SQL `VERSION AS OF`), taking
+  * precedence over the read option; a pinned table is read-only. */
+private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
+    extends Table
     with SupportsRead
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "option 'path' is required")
-  override def name(): String = s"graft_edges($path)"
+  override def name(): String =
+    s"graft_edges($path)" + asOf.fold("")(e => s"@$e")
   override def schema(): StructType = EdgeTextV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -325,13 +329,16 @@ private[v2] class EdgeTable(path: String) extends Table
     Array(EpochMetadataColumn)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeScanBuilder(path,
-      Option(options.get("asofepoch")).map(_.trim.toLong))
+      asOf.orElse(Option(options.get("asofepoch")).map(_.trim.toLong)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      s"table $name is a VERSION AS OF snapshot and cannot be written")
     new EdgeWriteBuilder(path, info.schema(),
       Option(info.options.get("layout")),
       Option(info.options.get("layoutPartitions")).map(_.toInt).getOrElse(0))
+  }
 }
 
 /** The `_epoch` metadata column (hidden from `*`, selectable by name) —
