@@ -5,7 +5,7 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,8 +70,16 @@ class EdgeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val d = dirOf(ident)
-    if (!fs.exists(d)) throw new NoSuchTableException(ident)
-    new EdgeTable(d.toString)
+    if (fs.exists(d)) return new EdgeTable(d.toString)
+    // Iceberg-style METADATA TABLE: `<table>.snapshots` resolves (when no
+    // real table shadows the name) to the commit history — one row per
+    // epoch, computed from the same driver-side listing a read plans with
+    if (ident.name() == "snapshots" && ident.namespace().nonEmpty) {
+      val tableDir = dirOf(ident.namespace())
+      if (fs.exists(tableDir) && fs.getFileStatus(tableDir).isDirectory)
+        return new SnapshotsTable(tableDir.toString)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL `VERSION AS OF <epoch>` — the catalog-level snapshot read. */
@@ -160,4 +168,49 @@ class EdgeCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(d, true)
   }
+}
+
+/** The `.snapshots` metadata table (Iceberg's `table.snapshots` analog):
+  * one row per commit epoch with shard count and byte size. The listing
+  * is the same O(shards) driver-side manifest scan a read plans with, and
+  * the result is a handful of rows — served as a [[org.apache.spark.sql
+  * .connector.read.LocalScan]], no executor tasks at all. */
+private[v2] class SnapshotsTable(tableDir: String) extends Table
+    with SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  private val snapSchema = StructType(Seq(
+    StructField("epoch", LongType, nullable = false),
+    StructField("n_shards", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  override def name(): String = s"graft_edges($tableDir).snapshots"
+  override def schema(): StructType = snapSchema
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = snapSchema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          val conf = new Configuration()
+          EdgeScan.listShards(tableDir)
+            .groupBy(f => EdgeTextV2.epochValue(f))
+            .toSeq.sortBy(_._1)
+            .map { case (e, files) =>
+              val bytes = files.map { f =>
+                val p = new Path(f)
+                FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
+              }.sum
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](e, files.length.toLong, bytes))
+                : org.apache.spark.sql.catalyst.InternalRow
+            }.toArray
+        }
+        override def description(): String = s"graft_snapshots($tableDir)"
+      }
+    }
 }

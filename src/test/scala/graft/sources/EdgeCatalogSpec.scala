@@ -102,6 +102,21 @@ class EdgeCatalogSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(ts.getMessage.contains("VERSION AS OF") ||
         ts.getMessage.contains("TIMESTAMP"), ts.getMessage)
+
+      // the `.snapshots` metadata table: one row per commit epoch, SQL-
+      // addressable (Iceberg's table.snapshots analog), driver-local scan
+      val snaps = spark.sql(s"SELECT epoch, n_shards FROM $cat.db.ev.snapshots ORDER BY epoch")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(snaps.map(_._1).toSeq == Seq(-1L, 0L, 1L), s"snapshots: ${snaps.toSeq}")
+      assert(snaps.forall(_._2 >= 1L))
+
+      // streaming read THROUGH the catalog name (micro-batch file replay)
+      val qname = s"graft_cat_stream_${System.nanoTime()}"
+      val sq2 = spark.readStream.table(s"$cat.db.ev")
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try sq2.processAllAvailable() finally sq2.stop()
+      assert(spark.table(qname).count() == 3L,
+        "readStream.table must replay every committed shard exactly once")
     }
   }
 }
