@@ -1241,6 +1241,36 @@ object TrainingQueries {
       }
     }),
 
+    // SQL DELETE on the catalog table (copy-on-write rewrite published as
+    // a marker-committed generation): the entry deletes the COMPLEMENT of
+    // the oracle's range and then aggregates with NO filter — so the hash
+    // equals the oracle iff the delete dropped exactly the complement
+    // rows and kept exactly the range: an under-delete leaks extra
+    // groups, an over-delete loses rows inside the range.
+    "edge_v2_sql_delete" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_edges_del_wh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set("spark.sql.catalog.graft_catd",
+        classOf[graft.sources.v2.EdgeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_catd.warehouse", wh)
+      try {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_catd.db")
+        s.sql("CREATE TABLE graft_catd.db.edges (src BIGINT, dst BIGINT, w BIGINT)")
+        SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+          .createOrReplaceTempView("graft_catd_src")
+        s.sql("INSERT INTO graft_catd.db.edges SELECT src, dst, w FROM graft_catd_src")
+        s.sql("DELETE FROM graft_catd.db.edges WHERE src < 100 OR src >= 1500")
+        s.sql("""SELECT src, count(*) AS deg, sum(dst) AS sum_dst
+                 FROM graft_catd.db.edges GROUP BY src""")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft_catd")
+        s.conf.unset("spark.sql.catalog.graft_catd.warehouse")
+      }
+    }),
+
     // the connector's WRITE path: edges round-trip through the V2 batch
     // commit protocol (per-task staged files renamed into place only at
     // driver commit — a zombie attempt's output is never visible), then
@@ -1748,6 +1778,10 @@ object TrainingQueries {
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
     "edge_v2_sql_catalog" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
+        "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_v2_sql_delete" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),

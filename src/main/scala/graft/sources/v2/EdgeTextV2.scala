@@ -259,6 +259,36 @@ object EdgeTextV2 {
     committed.foreach(c => require(upToEpoch >= c,
       s"history at or below $c is already compacted (snapshot expired)"))
     if (committed.contains(upToEpoch)) return // idempotent re-run
+    rewriteGeneration(spark, path, upToEpoch, keep = None)
+  }
+
+  /** COPY-ON-WRITE DELETE (SQL `DELETE FROM`, Iceberg's copy-on-write
+    * row-delete regime): every live row failing `keep` is dropped by a
+    * DISTRIBUTED rewrite of the live data into a fresh generation,
+    * published by the same single marker rename as compaction — every
+    * crash window leaves the table fully pre- or fully post-delete.
+    * The generation consumes ALL live epochs (a delete applies to the
+    * whole table), so prior snapshots are expired — the trade this
+    * name-welded format makes vs Iceberg's manifest indirection, stated
+    * rather than hidden. Same single-writer/quiesced-stream contract as
+    * compact. */
+  private[v2] def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              keep: org.apache.spark.sql.Column): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    if (!fs.exists(dir)) return
+    val maxLive = EdgeScan.listShards(path)
+      .flatMap(f => epochOf(new Path(f).getName)).foldLeft(-1L)(math.max)
+    val gen = math.max(committedUpTo(fs, dir).getOrElse(-1L), maxLive) + 1
+    rewriteGeneration(spark, path, gen, keep = Some(keep))
+  }
+
+  private def rewriteGeneration(spark: org.apache.spark.sql.SparkSession,
+                                path: String, upToEpoch: Long,
+                                keep: Option[org.apache.spark.sql.Column]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
     // a compaction of this generation that crashed before its marker
     // leaves uncommitted compact-<upTo> data files; clear them so the
     // step-2 renames cannot collide (rename never overwrites)
@@ -275,7 +305,7 @@ object EdgeTextV2 {
     // plan only the consumed shards: the scan prunes on the pushed
     // _epoch predicate, so unconsumed epochs are never read
     import org.apache.spark.sql.functions.col
-    merged.where(col("_epoch") <= upToEpoch)
+    keep.foldLeft(merged.where(col("_epoch") <= upToEpoch))(_.where(_))
       .write.format("graft.sources.v2.EdgeTextV2")
       .option("path", scratch.toString).mode("overwrite").save()
 
@@ -316,6 +346,7 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
     extends Table
     with SupportsRead
     with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "option 'path' is required")
   override def name(): String =
@@ -330,6 +361,25 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeScanBuilder(path,
       asOf.orElse(Option(options.get("asofepoch")).map(_.trim.toLong)))
+
+  /** SQL `DELETE FROM`: accepted only when every predicate translates to
+    * a pushable src/dst/w filter (otherwise Spark reports the delete as
+    * unsupported instead of silently dropping the wrong rows). The
+    * delete itself is a distributed copy-on-write rewrite published as a
+    * new marker-committed generation — see [[EdgeTextV2.deleteWhere]]. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => EdgeTable.toColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"table ${name()} is a VERSION AS OF snapshot and cannot be written")
+    import org.apache.spark.sql.functions.not
+    val drop = filters.flatMap(EdgeTable.toColumn(_).toSeq)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    EdgeTextV2.deleteWhere(org.apache.spark.sql.SparkSession.active,
+      path, keep = not(drop))
+  }
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -338,6 +388,32 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
     new EdgeWriteBuilder(path, info.schema(),
       Option(info.options.get("layout")),
       Option(info.options.get("layoutPartitions")).map(_.toInt).getOrElse(0))
+  }
+}
+
+private[v2] object EdgeTable {
+  import org.apache.spark.sql.{functions => F}
+  /** DELETE-predicate translation: the same numeric src/dst/w shapes the
+    * scan pushes, as Columns over the rewrite frame; None = untranslatable
+    * → canDeleteWhere refuses the whole delete. */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v: Number) if EdgeTextV2.statCol(a) =>
+      Some(F.col(a) === v.longValue())
+    case GreaterThan(a, v: Number) if EdgeTextV2.statCol(a) =>
+      Some(F.col(a) > v.longValue())
+    case GreaterThanOrEqual(a, v: Number) if EdgeTextV2.statCol(a) =>
+      Some(F.col(a) >= v.longValue())
+    case LessThan(a, v: Number) if EdgeTextV2.statCol(a) =>
+      Some(F.col(a) < v.longValue())
+    case LessThanOrEqual(a, v: Number) if EdgeTextV2.statCol(a) =>
+      Some(F.col(a) <= v.longValue())
+    case IsNotNull(a) if EdgeTextV2.statCol(a) => Some(F.lit(true))
+    case And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
   }
 }
 

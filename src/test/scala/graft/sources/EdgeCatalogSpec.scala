@@ -59,6 +59,53 @@ class EdgeCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL DELETE: copy-on-write rewrite, marker-committed, exact rows") {
+    withCatalog { cat =>
+      import spark.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.del (src BIGINT, dst BIGINT, w BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.del VALUES (1, 2, 1), (5, 6, 1), (9, 9, 2)")
+      // plus one streaming epoch so the delete consumes real history
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val ckpt = Files.createTempDirectory("graft_cat_del_ckpt").toFile.getAbsolutePath
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val q = src.toDF().toDF("src", "dst", "w")
+        .writeStream.format("graft.sources.v2.EdgeTextV2")
+        .option("path", s"$wh/db/del").option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { src.addData((5L, 50L, 1L)); q.processAllAvailable() } finally q.stop()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.del").collect().head.getLong(0) == 4L)
+
+      spark.sql(s"DELETE FROM $cat.db.del WHERE src = 5")
+      val left = spark.sql(s"SELECT src, dst, w FROM $cat.db.del").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(left == Set((1L, 2L, 1L), (9L, 9L, 2L)),
+        s"both src=5 rows (base AND epoch shard) must be gone: $left")
+
+      // the rewrite published a fresh generation: single base snapshot,
+      // with fresh stats trailers (skipping still works post-delete)
+      val snaps = spark.sql(s"SELECT epoch FROM $cat.db.del.snapshots")
+        .collect().map(_.getLong(0)).toSeq
+      assert(snaps == Seq(-1L), s"delete must fold history into a base: $snaps")
+      val sel = spark.sql(s"SELECT src FROM $cat.db.del WHERE src >= 9")
+      assert(sel.collect().map(_.getLong(0)).toSeq == Seq(9L))
+
+      // a second delete is a new generation (no idempotence collision)
+      spark.sql(s"DELETE FROM $cat.db.del WHERE w >= 2")
+      assert(spark.sql(s"SELECT src FROM $cat.db.del").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+
+      // an untranslatable predicate is refused, not wrongly applied
+      val ex = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.db.del WHERE src + dst = 3")
+      }
+      assert(ex.getMessage.toLowerCase.contains("delete"), ex.getMessage)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.del")
+        .collect().head.getLong(0) == 1L, "refused delete must change nothing")
+    }
+  }
+
   test("VERSION AS OF resolves an epoch-pinned snapshot; writes refused") {
     withCatalog { cat =>
       import spark.implicits._
