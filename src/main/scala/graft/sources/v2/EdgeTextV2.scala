@@ -108,18 +108,22 @@ object EdgeTextV2 {
       col match { case "src" => maxSrc; case "dst" => maxDst; case _ => maxW }
     /** Can any row of a shard with these bounds satisfy every pushed
       * predicate? Bounds prove absence only — a non-stat column or an
-      * unhandled shape always admits. `_epoch` is handled by the
-      * planner's epoch pruning, not here. */
+      * unhandled shape always admits (`Not` included: bounds cannot
+      * refute a negation without per-value knowledge). `_epoch` is
+      * handled by the planner's epoch pruning, not here. */
     def admits(pushed: Array[Filter]): Boolean =
-      count > 0 && pushed.forall {
-        case EqualTo(a, v: Number) if statCol(a) =>
-          lo(a) <= v.longValue() && v.longValue() <= hi(a)
-        case GreaterThan(a, v: Number) if statCol(a) => hi(a) > v.longValue()
-        case GreaterThanOrEqual(a, v: Number) if statCol(a) => hi(a) >= v.longValue()
-        case LessThan(a, v: Number) if statCol(a) => lo(a) < v.longValue()
-        case LessThanOrEqual(a, v: Number) if statCol(a) => lo(a) <= v.longValue()
-        case _ => true
-      }
+      count > 0 && pushed.forall(admitsOne)
+    private def admitsOne(f: Filter): Boolean = f match {
+      case EqualTo(a, v: Number) if statCol(a) =>
+        lo(a) <= v.longValue() && v.longValue() <= hi(a)
+      case GreaterThan(a, v: Number) if statCol(a) => hi(a) > v.longValue()
+      case GreaterThanOrEqual(a, v: Number) if statCol(a) => hi(a) >= v.longValue()
+      case LessThan(a, v: Number) if statCol(a) => lo(a) < v.longValue()
+      case LessThanOrEqual(a, v: Number) if statCol(a) => lo(a) <= v.longValue()
+      case And(l, r) => admitsOne(l) && admitsOne(r)
+      case Or(l, r) => admitsOne(l) || admitsOne(r)
+      case _ => true
+    }
   }
   private[v2] def statCol(a: String): Boolean =
     a == "src" || a == "dst" || a == "w"
@@ -127,14 +131,19 @@ object EdgeTextV2 {
     * Gates the per-shard trailer read — a scan with no stat-column
     * predicates never pays the tail-read I/O. */
   private[v2] def statsUsable(pushed: Array[Filter]): Boolean =
-    pushed.exists {
-      case EqualTo(a, _: Number) => statCol(a)
-      case GreaterThan(a, _: Number) => statCol(a)
-      case GreaterThanOrEqual(a, _: Number) => statCol(a)
-      case LessThan(a, _: Number) => statCol(a)
-      case LessThanOrEqual(a, _: Number) => statCol(a)
-      case _ => false
-    }
+    pushed.exists(statsUsableOne)
+  private def statsUsableOne(f: Filter): Boolean = f match {
+    case EqualTo(a, _: Number) => statCol(a)
+    case GreaterThan(a, _: Number) => statCol(a)
+    case GreaterThanOrEqual(a, _: Number) => statCol(a)
+    case LessThan(a, _: Number) => statCol(a)
+    case LessThanOrEqual(a, _: Number) => statCol(a)
+    // And/Or can refute when EITHER branch can (Or refutes only if both
+    // branches do, but one usable branch is enough to justify the read)
+    case And(l, r) => statsUsableOne(l) || statsUsableOne(r)
+    case Or(l, r) => statsUsableOne(l) || statsUsableOne(r)
+    case _ => false
+  }
   private[v2] val StatsLine =
     ("""#\s*graft-stats v1 count=(\d+) src=(-?\d+)\.\.(-?\d+) """ +
       """dst=(-?\d+)\.\.(-?\d+) w=(-?\d+)\.\.(-?\d+)\s*""").r
@@ -443,6 +452,13 @@ private[v2] class EdgeScanBuilder(path: String, asOfEpoch: Option[Long])
     case LessThan(a, _: Number) => isCol(a)
     case LessThanOrEqual(a, _: Number) => isCol(a)
     case IsNotNull(a) => isCol(a) // vacuously true: columns are non-null
+    // compound shapes push whole: Catalyst splits top-level ANDs itself,
+    // so what arrives here is the OR (and NOT) structure a disjunctive
+    // scan (`src = 5 OR dst < 3`) needs evaluated inside the readers —
+    // and, for OR-of-ranges, refuted by shard stats at planning
+    case And(l, r) => pushable(l) && pushable(r)
+    case Or(l, r) => pushable(l) && pushable(r)
+    case Not(c) => pushable(c)
     case _ => false
   }
   private def isCol(a: String): Boolean =
@@ -878,13 +894,18 @@ private[v2] class EdgeFileReader(file: String, cols: Array[String],
     }
 
   private def accept(src: Long, dst: Long, w: Long): Boolean =
-    pushed.forall {
+    pushed.forall(eval(_, src, dst, w))
+  private def eval(f: Filter, src: Long, dst: Long, w: Long): Boolean =
+    f match {
       case EqualTo(a, v: Number) => field(a, src, dst, w) == v.longValue()
       case GreaterThan(a, v: Number) => field(a, src, dst, w) > v.longValue()
       case GreaterThanOrEqual(a, v: Number) => field(a, src, dst, w) >= v.longValue()
       case LessThan(a, v: Number) => field(a, src, dst, w) < v.longValue()
       case LessThanOrEqual(a, v: Number) => field(a, src, dst, w) <= v.longValue()
       case IsNotNull(_) => true
+      case And(l, r) => eval(l, src, dst, w) && eval(r, src, dst, w)
+      case Or(l, r) => eval(l, src, dst, w) || eval(r, src, dst, w)
+      case Not(c) => !eval(c, src, dst, w)
       case _ => true // pushable() never admits anything else
     }
 

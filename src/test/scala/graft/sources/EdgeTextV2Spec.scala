@@ -53,6 +53,37 @@ class EdgeTextV2Spec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((4L, 5L), (6L, 4L), (7L, 9L), (10L, 11L), (11L, 12L)))
   }
 
+  test("compound predicates (OR/AND/NOT) push whole and evaluate in the reader") {
+    val path = writeShards()
+    val q = v2(path).where((col("src") === 1L || col("dst") === 4L) && !(col("w") === 5L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Or(EqualTo(src,1),EqualTo(dst,4))"),
+      s"OR must reach the scan:\n$plan")
+    assert(!plan.contains("Filter ("),
+      s"compound pushed predicates must leave no residual Filter:\n$plan")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (6L, 4L)))
+  }
+
+  test("OR-of-ranges is refuted by shard stats at planning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edges_v2_or").toFile.getAbsolutePath
+    Seq.tabulate(30)(i => (i.toLong, (i + 1000).toLong, 1L))
+      .toDF("src", "dst", "w")
+      .write.format("graft.sources.v2.EdgeTextV2")
+      .option("path", dir).option("layout", "src")
+      .option("layoutPartitions", "3").mode("append").save()
+    // both disjuncts land in the LAST shard: the other two are skipped
+    val q = v2(dir).where(col("src") === 22L || col("src") >= 28L)
+    assert(q.rdd.getNumPartitions == 1,
+      "stats must refute the whole disjunction for non-matching shards")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(22L, 28L, 29L))
+    // a disjunct matching an earlier shard keeps that shard planned
+    val q2 = v2(dir).where(col("src") === 2L || col("src") >= 28L)
+    assert(q2.rdd.getNumPartitions == 2)
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 28L, 29L))
+  }
+
   test("micro-batch stream: file-count offsets replay each shard exactly once") {
     val path = writeShards()
     val name = "edge_v2_stream_sink"
