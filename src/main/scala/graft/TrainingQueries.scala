@@ -1209,6 +1209,50 @@ object TrainingQueries {
         .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
     }),
 
+    // METADATA-ONLY AGGREGATE through the V2 connector
+    // (SupportsPushDownAggregates — Iceberg's answer-from-manifest):
+    // COUNT/MIN/MAX are computed from the per-shard stats trailers at
+    // planning time; no data byte is read, no row task runs
+    // (EdgeV2PushdownSpec pins the plan shape and the decline paths:
+    // any row-level predicate or trailer-less shard falls back to the
+    // exact row scan). The oracle recomputes the same aggregates from
+    // lineitem, so a stale, wrong, or missing trailer breaks the hash —
+    // the stats surface itself is what's gated here.
+    "edge_v2_agg_pushdown" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2agg"
+      SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+        .write.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).option("layout", "src").mode("overwrite").save()
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .agg(count(lit(1)).as("n_edges"),
+          min("src").as("min_src"), max("src").as("max_src"),
+          min("dst").as("min_dst"), max("dst").as("max_dst"))
+    }),
+
+    // RUNTIME (DPP) shard pruning end to end (SupportsRuntimeFiltering —
+    // Iceberg's dynamic file pruning): the broadcast join on src hands
+    // the scan the dim side's key set at EXECUTION time, and shards
+    // whose stats bounds exclude every key are dropped before a byte is
+    // read (EdgeV2PushdownSpec counts the planned partitions; pruning
+    // stays a pure optimization — admitted rows are still joined). The
+    // oracle replays the same dim join in SQL.
+    "edge_v2_runtime_prune" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2rt"
+      SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+        .write.format("graft.sources.v2.EdgeTextV2")
+        .option("path", base).option("layout", "src")
+        .option("layoutPartitions", "8").mode("overwrite").save()
+      val dimDir = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v2rt_dim"
+      SparkEntry.edges(s, dir).select("src").distinct()
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir)
+        .where(col("src") >= 100L && col("src") < 300L)
+      s.read.format("graft.sources.v2.EdgeTextV2").option("path", base).load()
+        .join(broadcast(dim), "src")
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"), sum("dst").as("sum_dst"))
+    }),
+
     // the TABLE CATALOG (DSv2 TableCatalog over the edge format): pure
     // SQL end to end — CREATE NAMESPACE/TABLE against the catalog,
     // INSERT INTO ... SELECT through the connector's staged-rename
@@ -1777,6 +1821,17 @@ object TrainingQueries {
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_v2_agg_pushdown" ->
+      (SparkEntry.edgesCte +
+        " SELECT count(*) AS n_edges, min(src) AS min_src, " +
+        "max(src) AS max_src, min(dst) AS min_dst, max(dst) AS max_dst " +
+        "FROM edges"),
+    "edge_v2_runtime_prune" ->
+      (SparkEntry.edgesCte +
+        ", dim AS (SELECT DISTINCT src FROM edges " +
+        "WHERE src >= 100 AND src < 300) " +
+        "SELECT e.src, count(*) AS deg, CAST(sum(e.dst) AS BIGINT) AS sum_dst " +
+        "FROM edges e JOIN dim USING (src) GROUP BY 1"),
     "edge_v2_sql_catalog" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +

@@ -7,7 +7,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -102,9 +103,9 @@ object EdgeTextV2 {
     def line: String =
       s"# graft-stats v1 count=$count src=$minSrc..$maxSrc " +
         s"dst=$minDst..$maxDst w=$minW..$maxW"
-    private def lo(col: String): Long =
+    private[v2] def lo(col: String): Long =
       col match { case "src" => minSrc; case "dst" => minDst; case _ => minW }
-    private def hi(col: String): Long =
+    private[v2] def hi(col: String): Long =
       col match { case "src" => maxSrc; case "dst" => maxDst; case _ => maxW }
     /** Can any row of a shard with these bounds satisfy every pushed
       * predicate? Bounds prove absence only — a non-stat column or an
@@ -144,6 +145,38 @@ object EdgeTextV2 {
     case Or(l, r) => statsUsableOne(l) || statsUsableOne(r)
     case _ => false
   }
+  /** Evaluates only the `_epoch`-attributed pushed predicates against a
+    * shard's constant epoch; every other predicate admits the shard.
+    * Shared by the row scan's manifest pruning and the aggregate
+    * pushdown's shard selection (both must see the same snapshot). */
+  private[v2] def epochPredAdmits(pushed: Array[Filter], epoch: Long): Boolean =
+    pushed.forall {
+      case EqualTo("_epoch", v: Number) => epoch == v.longValue()
+      case GreaterThan("_epoch", v: Number) => epoch > v.longValue()
+      case GreaterThanOrEqual("_epoch", v: Number) => epoch >= v.longValue()
+      case LessThan("_epoch", v: Number) => epoch < v.longValue()
+      case LessThanOrEqual("_epoch", v: Number) => epoch <= v.longValue()
+      case _ => true
+    }
+
+  /** Can any row of a shard with these bounds satisfy a RUNTIME filter
+    * (DPP-injected `In`/`EqualTo` on a join key)? Conservative: an
+    * unhandled shape, a non-stat column, or an empty value set admits.
+    * Runtime pruning is an optimization only — un-pruned rows are still
+    * discarded by the join itself — so admitting too much is safe and
+    * admitting too little is the only bug this must avoid. */
+  private[v2] def runtimeAdmits(st: ShardStats, fs: Array[Filter]): Boolean =
+    st.count > 0 && fs.forall {
+      case In(a, vs) if statCol(a) =>
+        vs.exists {
+          case v: Number => st.lo(a) <= v.longValue() && v.longValue() <= st.hi(a)
+          case _ => true
+        }
+      case EqualTo(a, v: Number) if statCol(a) =>
+        st.lo(a) <= v.longValue() && v.longValue() <= st.hi(a)
+      case _ => true
+    }
+
   private[v2] val StatsLine =
     ("""#\s*graft-stats v1 count=(\d+) src=(-?\d+)\.\.(-?\d+) """ +
       """dst=(-?\d+)\.\.(-?\d+) w=(-?\d+)\.\.(-?\d+)\s*""").r
@@ -440,7 +473,8 @@ private[v2] object EpochMetadataColumn extends MetadataColumn {
 
 private[v2] class EdgeScanBuilder(path: String, asOfEpoch: Option[Long])
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = EdgeTextV2.schema
   private var pushed: Array[Filter] = Array.empty
@@ -474,18 +508,170 @@ private[v2] class EdgeScanBuilder(path: String, asOfEpoch: Option[Long])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EdgeScan(path, required, pushed, asOfEpoch)
+  // ---- aggregate pushdown: METADATA-ONLY scans (Iceberg's answer-from-
+  // manifest contract). COUNT(*)/COUNT(col)/MIN/MAX over src/dst/w —
+  // optionally GROUP BY _epoch — are answered ENTIRELY from the per-shard
+  // stats trailers: O(shards) positioned tail reads at planning time,
+  // zero data bytes, zero tasks over rows. Exactness is the gate:
+  // pushdown is declined unless (a) every pushed predicate is vacuous
+  // (IsNotNull on non-null columns) or prunes WHOLE shards exactly
+  // (_epoch comparisons — the same manifest pruning the row scan does),
+  // and (b) every surviving shard carries a trailer. A declined pushdown
+  // simply leaves Spark's ordinary aggregate over the row scan. --------
+
+  /** (epoch, stats) of every shard the aggregate would cover; None when
+    * any surviving shard lacks a trailer (exactness unprovable). */
+  private lazy val aggShards: Option[Array[(Long, EdgeTextV2.ShardStats)]] = {
+    val shards = EdgeScan.listShards(path)
+      .filter(f => asOfEpoch.forall(a =>
+        EdgeTextV2.epochOf(new Path(f).getName).forall(_ <= a)))
+      .filter(f => EdgeTextV2.epochPredAdmits(pushed, EdgeTextV2.epochValue(f)))
+      .map(f => (EdgeTextV2.epochValue(f), EdgeTextV2.readStats(f)))
+    if (shards.forall(_._2.isDefined))
+      Some(shards.map { case (e, s) => (e, s.get) })
+    else None
+  }
+
+  private def aggCol(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+  private def aggSupported(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    // COUNT(col) == COUNT(*) here: the reader never emits nulls
+    case c: Count => !c.isDistinct &&
+      aggCol(c.column).exists(c0 => EdgeTextV2.statCol(c0) || c0 == "_epoch")
+    case m: Min => aggCol(m.column).exists(EdgeTextV2.statCol)
+    case m: Max => aggCol(m.column).exists(EdgeTextV2.statCol)
+    case _ => false
+  }
+  private def filtersVacuous: Boolean = pushed.forall {
+    case IsNotNull(_) => true // vacuously true: columns are non-null
+    case EqualTo("_epoch", _: Number) => true
+    case GreaterThan("_epoch", _: Number) => true
+    case GreaterThanOrEqual("_epoch", _: Number) => true
+    case LessThan("_epoch", _: Number) => true
+    case LessThanOrEqual("_epoch", _: Number) => true
+    case _ => false // any row-level predicate makes trailer sums inexact
+  }
+  /** Some(true) = GROUP BY _epoch (per-shard constant → exact from the
+    * manifest), Some(false) = global, None = unsupported grouping. */
+  private def groupShape(agg: Aggregation): Option[Boolean] =
+    agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(g) if aggCol(g).contains("_epoch") => Some(true)
+      case _ => None
+    }
+  private def canPush(agg: Aggregation): Boolean =
+    filtersVacuous && groupShape(agg).isDefined &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(aggSupported) &&
+      aggShards.isDefined
+
+  private var aggResult: Option[(StructType, Array[Array[Any]])] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    val byEpoch = groupShape(agg).get
+    val funcs = agg.aggregateExpressions()
+    val groups: Seq[(Option[Long], Array[EdgeTextV2.ShardStats])] =
+      if (byEpoch)
+        aggShards.get.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (e, a) => (Some(e), a.map(_._2)) }
+          // GROUP BY emits no row for an epoch whose shards hold no rows
+          .filter { case (_, sts) => sts.exists(_.count > 0) }
+      else Seq((None, aggShards.get.map(_._2)))
+    def value(sts: Array[EdgeTextV2.ShardStats], f: AggregateFunc): Any = f match {
+      case _: CountStar => java.lang.Long.valueOf(sts.map(_.count).sum)
+      case _: Count => java.lang.Long.valueOf(sts.map(_.count).sum)
+      case m: Min =>
+        val ne = sts.filter(_.count > 0)
+        if (ne.isEmpty) null
+        else java.lang.Long.valueOf(ne.map(_.lo(aggCol(m.column).get)).min)
+      case m: Max =>
+        val ne = sts.filter(_.count > 0)
+        if (ne.isEmpty) null
+        else java.lang.Long.valueOf(ne.map(_.hi(aggCol(m.column).get)).max)
+      case _ => throw new IllegalStateException(s"unreachable: $f")
+    }
+    val rows: Array[Array[Any]] = groups.map { case (e, sts) =>
+      e.map(v => java.lang.Long.valueOf(v): Any).toArray ++ funcs.map(value(sts, _))
+    }.toArray
+    // complete pushdown binds scan output POSITIONALLY: group-by columns
+    // first, then one field per aggregate, types matching the catalyst
+    // aggregate's (COUNT → non-null bigint, MIN/MAX → nullable bigint)
+    val fields =
+      (if (byEpoch) Seq(StructField("_epoch", LongType, nullable = false))
+       else Nil) ++
+        funcs.zipWithIndex.map {
+          case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+        }
+    aggResult = Some((StructType(fields), rows))
+    true
+  }
+
+  // ---- LIMIT pushdown: each partition reader stops after `limit`
+  // emitted rows instead of draining its shard — reported PARTIAL, so
+  // Spark keeps its global Limit as the cross-partition cap. LIMIT 10
+  // over a 10K-shard table reads ≤10 rows per shard, not 10K files. ----
+  private var limit: Int = -1
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = aggResult match {
+    case Some((sch, rows)) => new EdgeAggScan(path, sch, rows, pushed)
+    case None => new EdgeScan(path, required, pushed, asOfEpoch, limit)
+  }
+}
+
+/** The metadata-only scan a pushed aggregate plans: its rows were
+  * computed from shard-stats trailers at planning time; execution is one
+  * partition replaying them — the data files are never opened. */
+private[v2] class EdgeAggScan(path: String, sch: StructType,
+                              rows: Array[Array[Any]], pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = sch
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_edges path=$path, METADATA-ONLY AGGREGATE rows=${rows.length}, " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EdgeAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    EdgeAggReaderFactory
+}
+
+private[v2] case class EdgeAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[v2] object EdgeAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[EdgeAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[v2] class EdgeScan(path: String, required: StructType,
                            pushed: Array[Filter],
-                           asOfEpoch: Option[Long])
-    extends Scan with Batch with SupportsReportStatistics {
+                           asOfEpoch: Option[Long],
+                           limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_edges path=$path" +
       asOfEpoch.fold("")(e => s", AsOfEpoch: $e") +
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
       s", PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   /** The planned shard set with its per-shard stats: epoch pruning
@@ -524,8 +710,30 @@ private[v2] class EdgeScan(path: String, required: StructType,
           s"snapshot at epoch $a expired: history at or below $c was " +
             "compacted (Iceberg's expired-snapshot contract)"))
     }
-    planned.map { case (f, _) => EdgeFilePartition(f): InputPartition }
+    val live =
+      if (runtime.isEmpty) planned
+      else planned.filter { case (f, st) =>
+        // trailers may not have been read at static-planning time (no
+        // stat-column predicate was pushed); one 512-byte tail read per
+        // surviving shard buys the runtime skip. A trailer-less shard
+        // is never skipped.
+        st.orElse(EdgeTextV2.readStats(f))
+          .forall(EdgeTextV2.runtimeAdmits(_, runtime))
+      }
+    live.map { case (f, _) => EdgeFilePartition(f): InputPartition }
   }
+
+  /** DPP / runtime group filtering (`SupportsRuntimeFiltering`): a
+    * broadcast join on src/dst hands the scan the build side's key set
+    * as an `In` filter at EXECUTION time; shards whose stats trailer
+    * proves no key can fall in their bounds are dropped before a data
+    * byte is read — Iceberg's dynamic file pruning on the shard
+    * manifest. Rows of admitted shards are NOT filtered here (the join
+    * itself discards them), so pruning stays a pure optimization. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("src"), Expressions.column("dst"))
+  override def filter(filters: Array[Filter]): Unit = runtime = filters
 
   /** Post-pruning scan statistics: byte size of the planned shards, and
     * the exact pre-filter row count when every planned shard carries a
@@ -549,19 +757,11 @@ private[v2] class EdgeScan(path: String, required: StructType,
     override def numRows(): java.util.OptionalLong = rows
   }
 
-  /** Evaluates only the `_epoch`-attributed pushed predicates against a
-    * shard's constant epoch; every other predicate admits the shard. */
-  private def epochAdmits(epoch: Long): Boolean = pushed.forall {
-    case EqualTo("_epoch", v: Number) => epoch == v.longValue()
-    case GreaterThan("_epoch", v: Number) => epoch > v.longValue()
-    case GreaterThanOrEqual("_epoch", v: Number) => epoch >= v.longValue()
-    case LessThan("_epoch", v: Number) => epoch < v.longValue()
-    case LessThanOrEqual("_epoch", v: Number) => epoch <= v.longValue()
-    case _ => true
-  }
+  private def epochAdmits(epoch: Long): Boolean =
+    EdgeTextV2.epochPredAdmits(pushed, epoch)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EdgeReaderFactory(required.fieldNames, pushed)
+    new EdgeReaderFactory(required.fieldNames, pushed, limit)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -866,19 +1066,24 @@ private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
 }
 
 private[v2] class EdgeReaderFactory(cols: Array[String],
-                                    pushed: Array[Filter])
+                                    pushed: Array[Filter],
+                                    limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EdgeFileReader(partition.asInstanceOf[EdgeFilePartition].file,
-      cols, pushed)
+      cols, pushed, limit)
 }
 
 /** Streams one shard file line by line: skip blanks/comments/malformed
   * rows (the reference's parse contract), evaluate the pushed predicates
-  * on the full (src, dst, w) record, then emit ONLY the pruned columns. */
+  * on the full (src, dst, w) record, then emit ONLY the pruned columns.
+  * A pushed LIMIT stops the read after that many emitted rows — the
+  * per-partition half of the limit; Spark's own (kept) Limit node is
+  * the global cap. */
 private[v2] class EdgeFileReader(file: String, cols: Array[String],
-                                 pushed: Array[Filter])
+                                 pushed: Array[Filter], limit: Int = -1)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0
 
   private val p = new Path(file)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -910,6 +1115,7 @@ private[v2] class EdgeFileReader(file: String, cols: Array[String],
     }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
     while (line != null) {
       val t = line.trim
@@ -923,6 +1129,7 @@ private[v2] class EdgeFileReader(file: String, cols: Array[String],
             if (accept(src, dst, w)) {
               row = new GenericInternalRow(
                 cols.map(field(_, src, dst, w).asInstanceOf[Any]))
+              emitted += 1
               return true
             }
           } catch { case _: NumberFormatException => () }
