@@ -1315,6 +1315,77 @@ object TrainingQueries {
       }
     }),
 
+    // SQL UPDATE on the catalog table (SupportsRowLevelOperations,
+    // group-based copy-on-write): Spark rewrites the command into a
+    // whole-table read + replacement write, and the connector publishes
+    // the rewritten rows as ONE marker-committed generation — the same
+    // atomic swap as DELETE FROM and compaction, so no reader ever sees
+    // a half-applied UPDATE. The entry updates w on a src range and then
+    // aggregates with NO filter: the hash matches the oracle iff exactly
+    // the range rows changed (an under-update keeps stale w, an
+    // over-update corrupts rows outside the range).
+    "edge_v2_sql_update" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_edges_upd_wh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set("spark.sql.catalog.graft_catu",
+        classOf[graft.sources.v2.EdgeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_catu.warehouse", wh)
+      try {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_catu.db")
+        s.sql("CREATE TABLE graft_catu.db.edges (src BIGINT, dst BIGINT, w BIGINT)")
+        SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+          .createOrReplaceTempView("graft_catu_src")
+        s.sql("INSERT INTO graft_catu.db.edges SELECT src, dst, w FROM graft_catu_src")
+        s.sql("UPDATE graft_catu.db.edges SET w = w + dst WHERE src < 800")
+        s.sql("""SELECT src, count(*) AS deg, sum(w) AS sum_w
+                 FROM graft_catu.db.edges GROUP BY src""")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft_catu")
+        s.conf.unset("spark.sql.catalog.graft_catu.warehouse")
+      }
+    }),
+
+    // SQL MERGE INTO on the catalog table — all three branches in one
+    // statement (matched-delete on even dst, matched-update, not-matched
+    // insert), rewritten by Spark into the same group-based copy-on-write
+    // generation publish. Target = edges with src >= 500, source = edges
+    // with src < 1000, so the oracle can reconstruct every branch from
+    // the src range alone: src < 500 inserted (w=100), 500 <= src < 1000
+    // matched (deleted when dst is even, else w = 1+10), src >= 1000
+    // untouched (w=1). The unfiltered aggregate hashes every branch.
+    "edge_v2_sql_merge" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_edges_mrg_wh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set("spark.sql.catalog.graft_catm",
+        classOf[graft.sources.v2.EdgeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_catm.warehouse", wh)
+      try {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_catm.db")
+        s.sql("CREATE TABLE graft_catm.db.edges (src BIGINT, dst BIGINT, w BIGINT)")
+        SparkEntry.edges(s, dir).createOrReplaceTempView("graft_catm_src")
+        s.sql("""INSERT INTO graft_catm.db.edges
+                 SELECT src, dst, 1 FROM graft_catm_src WHERE src >= 500""")
+        s.sql("""MERGE INTO graft_catm.db.edges t
+                 USING (SELECT src, dst FROM graft_catm_src WHERE src < 1000) s
+                 ON t.src = s.src AND t.dst = s.dst
+                 WHEN MATCHED AND t.dst % 2 = 0 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET w = t.w + 10
+                 WHEN NOT MATCHED THEN INSERT (src, dst, w)
+                   VALUES (s.src, s.dst, 100)""")
+        s.sql("""SELECT src, count(*) AS deg, sum(w) AS sum_w
+                 FROM graft_catm.db.edges GROUP BY src""")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft_catm")
+        s.conf.unset("spark.sql.catalog.graft_catm.warehouse")
+      }
+    }),
+
     // the connector's WRITE path: edges round-trip through the V2 batch
     // commit protocol (per-task staged files renamed into place only at
     // driver commit — a zombie attempt's output is never visible), then
@@ -1840,6 +1911,18 @@ object TrainingQueries {
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +
         "FROM edges WHERE src >= 100 AND src < 1500 GROUP BY 1"),
+    "edge_v2_sql_update" ->
+      (SparkEntry.edgesCte +
+        " SELECT src, count(*) AS deg, " +
+        "CAST(sum(CASE WHEN src < 800 THEN 1 + dst ELSE 1 END) AS BIGINT) AS sum_w " +
+        "FROM edges GROUP BY 1"),
+    "edge_v2_sql_merge" ->
+      (SparkEntry.edgesCte +
+        ", m AS (SELECT src, dst, CASE WHEN src < 500 THEN 100 " +
+        "WHEN src < 1000 THEN 11 ELSE 1 END AS w FROM edges " +
+        "WHERE NOT (src >= 500 AND src < 1000 AND dst % 2 = 0)) " +
+        "SELECT src, count(*) AS deg, CAST(sum(w) AS BIGINT) AS sum_w " +
+        "FROM m GROUP BY 1"),
     "edge_sink_v2_stream" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +

@@ -351,35 +351,61 @@ object EdgeTextV2 {
       .write.format("graft.sources.v2.EdgeTextV2")
       .option("path", scratch.toString).mode("overwrite").save()
 
-    // 2. adopt the scratch shards as the (not yet live) new generation
+    // 2.-4. adopt, marker-commit, expire
     val staged = fs.listStatus(scratch)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(_.getPath).sortBy(_.getName)
-    staged.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f, new Path(dir, f"compact-$upToEpoch-$i%05d.txt"))
+      .map(_.getPath).toSeq
+    adoptGeneration(fs, dir, upToEpoch, staged, tmpDir = scratch)
+    fs.delete(scratch, true)
+  }
+
+  /** Publishes `staged` files as generation `gen` (shared by compaction,
+    * DELETE FROM, and the row-level UPDATE/MERGE writes):
+    *
+    *   2. adopt the staged files as the (not yet live) new generation;
+    *   3. the atomic COMMIT POINT — one marker rename (a crash before it
+    *      leaves the table fully old, after it fully new);
+    *   4. expire everything the committed generation makes invisible:
+    *      epochs <= gen, plain base shards, superseded compact data and
+    *      markers. Computed from a fresh raw listing, so a retry (or the
+    *      NEXT generation) also sweeps leftovers of a crashed cleanup. */
+  private[v2] def adoptGeneration(fs: FileSystem, dir: Path, gen: Long,
+                                  staged: Seq[Path], tmpDir: Path): Unit = {
+    staged.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f, new Path(dir, f"compact-$gen-$i%05d.txt"))
     }
-
-    // 3. the atomic commit point
-    val markerTmp = new Path(scratch, markerName(upToEpoch))
+    val markerTmp = new Path(tmpDir, markerName(gen))
     fs.create(markerTmp, true).close()
-    fs.rename(markerTmp, new Path(dir, markerName(upToEpoch)))
-
-    // 4. expire everything the committed generation makes invisible:
-    // epochs <= upTo, plain base shards, superseded compact data and
-    // markers. Computed from a fresh raw listing, so a retry (or the
-    // NEXT compaction) also sweeps leftovers of a crashed cleanup.
+    fs.rename(markerTmp, new Path(dir, markerName(gen)))
     fs.listStatus(dir).filter(_.isFile).foreach { s =>
       val n = s.getPath.getName
       val invisible = n match {
-        case CompactMarker(c) => c.toLong < upToEpoch
-        case CompactShard(c) => c.toLong < upToEpoch
+        case CompactMarker(c) => c.toLong < gen
+        case CompactShard(c) => c.toLong < gen
         case _ if n.startsWith("_") => false // foreign metadata, not ours
-        case _ => epochOf(n).forall(_ <= upToEpoch)
+        case _ => epochOf(n).forall(_ <= gen)
       }
       if (invisible) fs.delete(s.getPath, false)
     }
-    fs.delete(scratch, true)
   }
+
+  /** The next unused generation number: one past every live epoch and
+    * every committed compaction generation. */
+  private[v2] def nextGeneration(path: String): Long = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val maxLive = EdgeScan.listShards(path)
+      .flatMap(f => epochOf(new Path(f).getName)).foldLeft(-1L)(math.max)
+    math.max(committedUpTo(fs, dir).getOrElse(-1L), maxLive) + 1
+  }
+
+  /** Clears data files of an UNCOMMITTED generation `gen` (a crashed
+    * earlier attempt), so adoption renames cannot collide. */
+  private[v2] def clearUncommittedGen(fs: FileSystem, dir: Path, gen: Long): Unit =
+    fs.listStatus(dir).filter(_.isFile).foreach { s =>
+      if (compactGenOf(s.getPath.getName).contains(gen))
+        fs.delete(s.getPath, false)
+    }
 }
 
 /** `asOf`: a catalog-resolved snapshot pin (SQL `VERSION AS OF`), taking
@@ -389,8 +415,23 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
     with SupportsRead
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "option 'path' is required")
+
+  /** SQL UPDATE / MERGE INTO (and DELETEs whose predicates don't
+    * translate to pushable filters): group-based copy-on-write rewrite
+    * published as a marker-committed generation —
+    * [[EdgeRowLevelOperation]]. Translatable DELETEs keep the cheaper
+    * metadata path ([[deleteWhere]]) via Spark's metadata-only-delete
+    * optimization. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"table ${name()} is a VERSION AS OF snapshot and cannot be written")
+    () => new EdgeRowLevelOperation(path, info.command)
+  }
   override def name(): String =
     s"graft_edges($path)" + asOf.fold("")(e => s"@$e")
   override def schema(): StructType = EdgeTextV2.schema
@@ -1014,16 +1055,120 @@ private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
   }
 }
 
-private[v2] class EdgeWriterFactory(path: String, jobToken: String)
+/** SQL UPDATE / MERGE INTO (and non-translatable DELETE) support —
+  * `SupportsRowLevelOperations`, GROUP-BASED (copy-on-write): Spark
+  * rewrites the command into a ReplaceData over this operation's scan,
+  * and the write publishes the rewritten rows as a marker-committed
+  * GENERATION — the same atomic swap DELETE FROM and compaction use, so
+  * every crash window leaves the table fully old or fully new.
+  *
+  * The scan deliberately supports NO pushdown and NO runtime filtering:
+  * the replacement must carry every unaffected row, so a pruned read
+  * would silently drop data from the new generation. (Iceberg prunes to
+  * affected FILES because its commit can replace a file subset; this
+  * format's generation commit replaces the whole table, so the read is
+  * whole-table too — correct first, with compaction-class cost.) */
+private[v2] class EdgeRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_edges COPY-ON-WRITE $cmd"
+  /** Requesting a metadata attribute routes the write through Spark's
+    * metadata-aware task, which applies the ROW PROJECTION before handing
+    * rows to the writer (the plain task passes the rewrite plan's raw
+    * output — `__row_operation` + columns — straight through, SPARK's
+    * no-metadata group-based path as of 4.1). `_epoch` is otherwise
+    * unused: the rewrite publishes a fresh generation, so per-row commit
+    * history is re-stamped by the new shards regardless. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_epoch"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new EdgeReplaceScan(path)
+    }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            // the rewritten plan's row layout is NOT the table schema
+            // (Spark may carry operation columns); bind src/dst/w by NAME
+            val sch = info.schema()
+            def idx(c: String): Int = {
+              val i = sch.fieldNames.indexOf(c)
+              require(i >= 0, s"row-level write schema $sch lacks '$c'")
+              i
+            }
+            new EdgeReplaceBatchWrite(path, idx("src"), idx("dst"), idx("w"))
+          }
+        }
+    }
+}
+
+/** Whole-table read backing a copy-on-write rewrite: every live shard,
+  * table columns + the requested `_epoch` metadata attribute, no pruning
+  * of any kind (see [[EdgeRowLevelOperation]]). */
+private[v2] class EdgeReplaceScan(path: String) extends Scan with Batch {
+  private val cols = EdgeTextV2.schema.fieldNames :+ "_epoch"
+  override def readSchema(): StructType = StructType(
+    EdgeTextV2.schema.fields :+ StructField("_epoch", LongType, nullable = false))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_edges path=$path, FULL ROW-LEVEL READ (copy-on-write)"
+  override def planInputPartitions(): Array[InputPartition] =
+    EdgeScan.listShards(path).map(f => EdgeFilePartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EdgeReaderFactory(cols, Array.empty)
+}
+
+/** Commit side of UPDATE/MERGE: tasks stage ordinary stats-trailed
+  * shards; the driver publishes them as the next generation via the
+  * single marker rename (old shards expire atomically with it). */
+private[v2] class EdgeReplaceBatchWrite(path: String,
+                                        si: Int, di: Int, wi: Int)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val jobToken =
+    "j" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new EdgeWriterFactory(path, jobToken, si, di, wi)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.mkdirs(dir)
+    val gen = EdgeTextV2.nextGeneration(path)
+    EdgeTextV2.clearUncommittedGen(fs, dir, gen)
+    val staged = messages.map {
+      case EdgeCommitMessage(s, _) => new Path(s)
+    }.toSeq
+    EdgeTextV2.adoptGeneration(fs, dir, gen, staged,
+      tmpDir = new Path(dir, "_staging"))
+    fs.delete(new Path(dir, "_staging"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.delete(new Path(dir, "_staging"), true)
+  }
+}
+
+private[v2] class EdgeWriterFactory(path: String, jobToken: String,
+                                    si: Int = 0, di: Int = 1, wi: Int = 2)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new EdgeDataWriter(path, partitionId, taskId,
-      f"part-$jobToken-$partitionId%05d.txt")
+      f"part-$jobToken-$partitionId%05d.txt", si, di, wi)
 }
 
 private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
-                                 finalName: String)
+                                 finalName: String,
+                                 si: Int = 0, di: Int = 1, wi: Int = 2)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val stagedPath =
     new Path(new Path(path, "_staging"), f"$finalName-attempt-$taskId")
@@ -1036,8 +1181,14 @@ private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
   private var sLo, dLo, wLo = Long.MaxValue
   private var sHi, dHi, wHi = Long.MinValue
 
+  /** Metadata-carrying form (row-level rewrites): the `_epoch` metadata
+    * row is ignored — the publish re-stamps history as a new generation. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
+
   override def write(row: InternalRow): Unit = {
-    val src = row.getLong(0); val dst = row.getLong(1); val w = row.getLong(2)
+    // si/di/wi: ordinal of src/dst/w in the incoming row — (0,1,2) for
+    // plain table-schema writes, bound by NAME for row-level rewrites
+    val src = row.getLong(si); val dst = row.getLong(di); val w = row.getLong(wi)
     n += 1
     if (src < sLo) sLo = src; if (src > sHi) sHi = src
     if (dst < dLo) dLo = dst; if (dst > dHi) dHi = dst

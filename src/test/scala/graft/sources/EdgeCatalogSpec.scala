@@ -96,13 +96,13 @@ class EdgeCatalogSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.sql(s"SELECT src FROM $cat.db.del").collect()
         .map(_.getLong(0)).toSeq == Seq(1L))
 
-      // an untranslatable predicate is refused, not wrongly applied
-      val ex = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.db.del WHERE src + dst = 3")
-      }
-      assert(ex.getMessage.toLowerCase.contains("delete"), ex.getMessage)
+      // an untranslatable predicate no longer errors: canDeleteWhere
+      // declines the metadata path and the row-level copy-on-write
+      // rewrite (SupportsRowLevelOperations) applies it exactly
+      spark.sql(s"DELETE FROM $cat.db.del WHERE src + dst = 3")
       assert(spark.sql(s"SELECT count(*) FROM $cat.db.del")
-        .collect().head.getLong(0) == 1L, "refused delete must change nothing")
+        .collect().head.getLong(0) == 0L,
+        "row-level fallback must delete the (1,2,1) row")
     }
   }
 
