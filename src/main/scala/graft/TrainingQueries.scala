@@ -1386,6 +1386,48 @@ object TrainingQueries {
       }
     }),
 
+    // STORAGE-PARTITIONED JOIN (Iceberg's SPJ, re-expressed on the
+    // shard-name-encoded bucket layout): two catalog tables written with
+    // `option("buckets","16,src")` report bucket(16, src) partitioning
+    // (resolved through the catalog's canonical floor-mod `bucket`
+    // function), and under spark.sql.sources.v2.bucketing.enabled their
+    // src-equi-join plans with ZERO shuffle exchanges — each key-grouped
+    // bucket partition joins locally (EdgeSpjSpec pins the plan shape;
+    // broadcast disabled so the exchange-free path is really exercised).
+    // At 100 TB this is THE join strategy for repeatedly-joined tables:
+    // the shuffle is paid once at write, never per query. The oracle
+    // replays the join + aggregate in DuckDB.
+    "edge_v2_spj" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_edges_spj_wh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set("spark.sql.catalog.graft_cats",
+        classOf[graft.sources.v2.EdgeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cats.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cats.db")
+        s.sql("CREATE TABLE graft_cats.db.fwd (src BIGINT, dst BIGINT, w BIGINT)")
+        s.sql("CREATE TABLE graft_cats.db.rev (src BIGINT, dst BIGINT, w BIGINT)")
+        SparkEntry.edges(s, dir).withColumn("w", lit(1L))
+          .writeTo("graft_cats.db.fwd").option("buckets", "16,src").append()
+        SparkEntry.edges(s, dir)
+          .selectExpr("dst AS src", "src AS dst", "CAST(1 AS BIGINT) AS w")
+          .writeTo("graft_cats.db.rev").option("buckets", "16,src").append()
+        s.sql("""SELECT f.src, count(*) AS pairs, sum(f.dst + r.dst) AS sum_dd
+                 FROM graft_cats.db.fwd f JOIN graft_cats.db.rev r
+                 ON f.src = r.src GROUP BY f.src""")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.catalog.graft_cats")
+        s.conf.unset("spark.sql.catalog.graft_cats.warehouse")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
+
     // the connector's WRITE path: edges round-trip through the V2 batch
     // commit protocol (per-task staged files renamed into place only at
     // driver commit — a zombie attempt's output is never visible), then
@@ -1923,6 +1965,12 @@ object TrainingQueries {
         "WHERE NOT (src >= 500 AND src < 1000 AND dst % 2 = 0)) " +
         "SELECT src, count(*) AS deg, CAST(sum(w) AS BIGINT) AS sum_w " +
         "FROM m GROUP BY 1"),
+    "edge_v2_spj" ->
+      (SparkEntry.edgesCte +
+        ", rev AS (SELECT dst AS src, src AS dst FROM edges) " +
+        "SELECT e.src, count(*) AS pairs, " +
+        "CAST(sum(e.dst + rev.dst) AS BIGINT) AS sum_dd " +
+        "FROM edges e JOIN rev USING (src) GROUP BY 1"),
     "edge_sink_v2_stream" ->
       (SparkEntry.edgesCte +
         " SELECT src, count(*) AS deg, CAST(sum(dst) AS BIGINT) AS sum_dst " +

@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scale note: every operation is O(1) directory metadata against the
   * warehouse filesystem — the catalog holds NO driver state, so a
   * 100K-table warehouse costs nothing until a table is actually read. */
-class EdgeCatalog extends TableCatalog with SupportsNamespaces {
+class EdgeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -129,6 +130,29 @@ class EdgeCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
+
+  // ---- functions (FunctionCatalog): the canonical `bucket` that makes
+  // the connector's reported bucket(N, col) transforms RESOLVABLE — the
+  // storage-partitioned-join prerequisite (Iceberg's system.bucket).
+  // Addressable both at the catalog root and under `system`. ------------
+
+  private def fnNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("system"))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (fnNamespace(namespace)) Array(Identifier.of(namespace, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (fnNamespace(ident.namespace()) && ident.name() == "bucket")
+      EdgeBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    fnNamespace(ident.namespace()) && ident.name() == "bucket"
 
   // ---- namespaces (directories under the warehouse) --------------------
 

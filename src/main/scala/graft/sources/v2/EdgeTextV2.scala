@@ -204,6 +204,38 @@ object EdgeTextV2 {
     }
   }
 
+  // ---- bucketed layout (storage-partitioned joins) ---------------------
+
+  /** Bucketed base shards: `bucket-<col>-<b>of<N>-<token>-<p>.txt`. The
+    * layout is SELF-DESCRIBING — encoded only in shard names, no side
+    * metadata: a table whose every live shard carries the same (col, N)
+    * reports `bucket(N, col)` partitioning and its scan plans ONE
+    * key-grouped partition per bucket, which is what lets Spark join two
+    * such tables WITHOUT AN EXCHANGE (storage-partitioned join). Any
+    * rewrite that loses the naming (compaction, DELETE/UPDATE/MERGE)
+    * simply degrades the table to unpartitioned reads — correctness
+    * never depends on the layout. */
+  private[v2] val BucketShard = """bucket-(src|dst|w)-(\d+)of(\d+)-.*\.txt""".r
+  private[sources] def bucketOf(fileName: String): Option[(String, Int, Int)] =
+    fileName match {
+      case BucketShard(col, b, n) => Some((col, b.toInt, n.toInt))
+      case _ => None
+    }
+
+  /** Some((col, N)) iff EVERY live shard is bucket-named with the same
+    * column and bucket count — the gate for reporting partitioning. */
+  private[v2] def bucketLayoutOf(path: String): Option[(String, Int)] = {
+    val shards =
+      try EdgeScan.listShards(path)
+      catch { case _: java.io.FileNotFoundException => return None }
+    if (shards.isEmpty) return None
+    val specs = shards.map(f => bucketOf(new Path(f).getName).map {
+      case (col, _, n) => (col, n)
+    })
+    if (specs.forall(_.isDefined) && specs.distinct.length == 1) specs.head
+    else None
+  }
+
   /** Shard name for the metadata column and time travel: streaming-sink
     * shards are `part-<epoch>-<partition>.txt`; batch shards
     * (`part-<partition>.txt`) carry no epoch → None (base snapshot). */
@@ -435,6 +467,13 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
   override def name(): String =
     s"graft_edges($path)" + asOf.fold("")(e => s"@$e")
   override def schema(): StructType = EdgeTextV2.schema
+  /** A fully bucket-named shard set reports its `bucket(N, col)`
+    * transform — resolved against [[EdgeCatalog]]'s function catalog,
+    * this is what makes the table storage-partitioned-join eligible. */
+  override def partitioning(): Array[Transform] =
+    EdgeTextV2.bucketLayoutOf(path).map { case (col, n) =>
+      Expressions.bucket(n, col): Transform
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -470,7 +509,8 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
       s"table $name is a VERSION AS OF snapshot and cannot be written")
     new EdgeWriteBuilder(path, info.schema(),
       Option(info.options.get("layout")),
-      Option(info.options.get("layoutPartitions")).map(_.toInt).getOrElse(0))
+      Option(info.options.get("layoutPartitions")).map(_.toInt).getOrElse(0),
+      Option(info.options.get("buckets")))
   }
 }
 
@@ -706,14 +746,52 @@ private[v2] class EdgeScan(path: String, required: StructType,
                            asOfEpoch: Option[Long],
                            limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_edges path=$path" +
       asOfEpoch.fold("")(e => s", AsOfEpoch: $e") +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      bucketGroups.fold("") { case (c, n, g) =>
+        s", KeyGrouped: bucket($n, $c) over ${g.length} buckets" } +
       s", PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** Some((col, N, per-bucket file groups)) when every PLANNED shard is
+    * bucket-named with one spec — the storage-partitioned-join path: the
+    * scan plans ONE partition per bucket (each `HasPartitionKey`), and
+    * [[outputPartitioning]] reports the `bucket(N, col)` transform, which
+    * Spark resolves against [[EdgeCatalog]]'s function catalog. Derived
+    * from `planned` (the epoch/stats-pruned set), so the report and the
+    * partitions can never disagree. Pruning a shard never breaks the
+    * grouping — a bucket's surviving files still hold every surviving row
+    * of that bucket. */
+  private lazy val bucketGroups: Option[(String, Int, Array[(Int, Array[String])])] = {
+    val specs = planned.map { case (f, _) =>
+      EdgeTextV2.bucketOf(new Path(f).getName)
+    }
+    if (planned.nonEmpty && specs.forall(_.isDefined) &&
+        specs.map(_.get).map { case (c, _, n) => (c, n) }.distinct.length == 1) {
+      val (col, _, n) = specs.head.get
+      val groups = planned.map(_._1)
+        .groupBy(f => EdgeTextV2.bucketOf(new Path(f).getName).get._2)
+        .toArray.sortBy(_._1)
+      Some((col, n, groups))
+    } else None
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketGroups match {
+      case Some((col, n, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.bucket(n, col)), groups.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(planned.length)
+    }
 
   /** The planned shard set with its per-shard stats: epoch pruning
     * (snapshot/`_epoch` predicates against the per-shard constant) then
@@ -751,17 +829,29 @@ private[v2] class EdgeScan(path: String, required: StructType,
           s"snapshot at epoch $a expired: history at or below $c was " +
             "compacted (Iceberg's expired-snapshot contract)"))
     }
-    val live =
-      if (runtime.isEmpty) planned
-      else planned.filter { case (f, st) =>
-        // trailers may not have been read at static-planning time (no
-        // stat-column predicate was pushed); one 512-byte tail read per
-        // surviving shard buys the runtime skip. A trailer-less shard
-        // is never skipped.
-        st.orElse(EdgeTextV2.readStats(f))
-          .forall(EdgeTextV2.runtimeAdmits(_, runtime))
-      }
-    live.map { case (f, _) => EdgeFilePartition(f): InputPartition }
+    bucketGroups match {
+      case Some((_, _, groups)) =>
+        // key-grouped path: partitions must stay IDENTICAL across
+        // re-plans (Spark re-plans after runtime filtering and the
+        // key-grouped contract pins the partition-value set), so the
+        // runtime file skip is disabled here — the join that injected
+        // the filter discards the rows anyway
+        groups.map { case (b, files) =>
+          EdgeBucketPartition(files, b): InputPartition
+        }
+      case None =>
+        val live =
+          if (runtime.isEmpty) planned
+          else planned.filter { case (f, st) =>
+            // trailers may not have been read at static-planning time (no
+            // stat-column predicate was pushed); one 512-byte tail read per
+            // surviving shard buys the runtime skip. A trailer-less shard
+            // is never skipped.
+            st.orElse(EdgeTextV2.readStats(f))
+              .forall(EdgeTextV2.runtimeAdmits(_, runtime))
+          }
+        live.map { case (f, _) => EdgeFilePartition(f): InputPartition }
+    }
   }
 
   /** DPP / runtime group filtering (`SupportsRuntimeFiltering`): a
@@ -911,6 +1001,18 @@ private[v2] class EdgeMicroBatchStream(path: String, cols: Array[String],
 
 private[v2] case class EdgeFilePartition(file: String) extends InputPartition
 
+/** One bucket of a bucketed table: every planned shard of bucket `b`,
+  * read as a single key-grouped partition. `partitionKey` is the bucket
+  * id — the value of the reported `bucket(N, col)` transform for every
+  * row in the partition, which is what storage-partitioned joins align
+  * on. */
+private[v2] case class EdgeBucketPartition(files: Array[String], b: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](b))
+}
+
 /** Write path — the V2 batch commit protocol over the same text format.
   * Each task streams rows into a STAGED file (`_staging/…-<task>.txt`,
   * unique per task attempt); the driver's commit() renames only the
@@ -922,7 +1024,8 @@ private[v2] case class EdgeFilePartition(file: String) extends InputPartition
   * after every new shard staged successfully — never before. */
 private[v2] class EdgeWriteBuilder(path: String, schema: StructType,
                                    layout: Option[String],
-                                   layoutPartitions: Int = 0)
+                                   layoutPartitions: Int = 0,
+                                   bucketsOpt: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   require(schema.fieldNames.sameElements(Array("src", "dst", "w")),
@@ -930,10 +1033,41 @@ private[v2] class EdgeWriteBuilder(path: String, schema: StructType,
   layout.foreach(l => require(
     l.split(',').map(_.trim).forall(EdgeTextV2.statCol),
     s"layout columns must be among src,dst,w: got '$l'"))
+  require(layout.isEmpty || bucketsOpt.isEmpty,
+    "layout (range-sorted shards) and buckets (hash-partitioned shards) " +
+      "are alternative physical layouts — pick one")
   private var doTruncate = false
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
+
+  /** `.option("buckets", "16,src")` (or just "16" → src) — BUCKETED
+    * LAYOUT-ON-WRITE: each task splits its rows by the floor-mod bucket
+    * of the named column into per-bucket shard files
+    * (`bucket-<col>-<b>of<N>-…`), with the usual stats trailers. A table
+    * whose live shards all carry the same spec reports `bucket(N, col)`
+    * partitioning and reads as ONE key-grouped partition per bucket —
+    * two such tables JOIN WITHOUT AN EXCHANGE (storage-partitioned join,
+    * `spark.sql.sources.v2.bucketing.enabled=true`). No write-side
+    * shuffle is required: a bucket's rows may span many files; the scan
+    * groups them. An APPEND to an already-bucketed table inherits the
+    * table's spec automatically, so plain `INSERT INTO` cannot silently
+    * break the layout; an overwrite replaces it. */
+  private val buckets: Option[(String, Int)] = bucketsOpt.map { s =>
+    val parts = s.split(',').map(_.trim)
+    val (n, col) = parts match {
+      case Array(n0) => (n0.toInt, "src")
+      case Array(n0, c) => (n0.toInt, c)
+      case _ => throw new IllegalArgumentException(
+        s"buckets wants 'N' or 'N,col', got '$s'")
+    }
+    require(n > 0, s"bucket count must be positive, got $n")
+    require(EdgeTextV2.statCol(col),
+      s"bucket column must be among src,dst,w: got '$col'")
+    (col, n)
+  }
+  private def effectiveBuckets: Option[(String, Int)] =
+    buckets.orElse(if (doTruncate) None else EdgeTextV2.bucketLayoutOf(path))
   /** `.option("layout", "src")` (or "src,dst") — LAYOUT-ON-WRITE, the
     * connector-side analog of Iceberg's write distribution/ordering
     * table property: the Write declares an ordered distribution on the
@@ -945,9 +1079,12 @@ private[v2] class EdgeWriteBuilder(path: String, schema: StructType,
   override def build(): org.apache.spark.sql.connector.write.Write =
     layout match {
       case None =>
+        val bk = effectiveBuckets
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new EdgeBatchWrite(path, doTruncate)
+            new EdgeBatchWrite(path, doTruncate, bk)
+          // streaming writes keep epoch-committed shard naming (the
+          // exactly-once replay contract keys on it) — never bucketed
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new EdgeStreamingWrite(path)
@@ -1019,7 +1156,23 @@ private[v2] class EdgeStreamingWriterFactory(path: String)
 private[sources] case class EdgeCommitMessage(staged: String, finalName: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
+/** A bucketed task's commit: one staged file per non-empty bucket. */
+private[sources] case class EdgeMultiCommitMessage(parts: Seq[EdgeCommitMessage])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] object EdgeCommitMessage {
+  /** Flattens plain and bucketed task commits into the staged-file list
+    * the driver-side publish renames. */
+  def flatten(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Seq[EdgeCommitMessage] =
+    messages.toSeq.flatMap {
+      case m: EdgeCommitMessage => Seq(m)
+      case EdgeMultiCommitMessage(ms) => ms
+    }
+}
+
+private[v2] class EdgeBatchWrite(path: String, truncate: Boolean,
+                                 buckets: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1033,7 +1186,7 @@ private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
     "j" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EdgeWriterFactory(path, jobToken)
+    new EdgeWriterFactory(path, jobToken, buckets = buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -1042,8 +1195,9 @@ private[v2] class EdgeBatchWrite(path: String, truncate: Boolean)
     if (truncate)
       fs.listStatus(dir).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         .foreach(s => fs.delete(s.getPath, false))
-    messages.foreach { case EdgeCommitMessage(staged, finalName) =>
-      fs.rename(new Path(staged), new Path(dir, finalName))
+    EdgeCommitMessage.flatten(messages).foreach {
+      case EdgeCommitMessage(staged, finalName) =>
+        fs.rename(new Path(staged), new Path(dir, finalName))
     }
     fs.delete(new Path(dir, "_staging"), true)
   }
@@ -1142,9 +1296,7 @@ private[v2] class EdgeReplaceBatchWrite(path: String,
     fs.mkdirs(dir)
     val gen = EdgeTextV2.nextGeneration(path)
     EdgeTextV2.clearUncommittedGen(fs, dir, gen)
-    val staged = messages.map {
-      case EdgeCommitMessage(s, _) => new Path(s)
-    }.toSeq
+    val staged = EdgeCommitMessage.flatten(messages).map(m => new Path(m.staged))
     EdgeTextV2.adoptGeneration(fs, dir, gen, staged,
       tmpDir = new Path(dir, "_staging"))
     fs.delete(new Path(dir, "_staging"), true)
@@ -1158,12 +1310,46 @@ private[v2] class EdgeReplaceBatchWrite(path: String,
 }
 
 private[v2] class EdgeWriterFactory(path: String, jobToken: String,
-                                    si: Int = 0, di: Int = 1, wi: Int = 2)
+                                    si: Int = 0, di: Int = 1, wi: Int = 2,
+                                    buckets: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new EdgeDataWriter(path, partitionId, taskId,
-      f"part-$jobToken-$partitionId%05d.txt", si, di, wi)
+    buckets match {
+      case Some((col, n)) =>
+        new EdgeBucketedDataWriter(path, partitionId, taskId, jobToken, col, n)
+      case None =>
+        new EdgeDataWriter(path, partitionId, taskId,
+          f"part-$jobToken-$partitionId%05d.txt", si, di, wi)
+    }
+}
+
+/** Bucketed task writer: splits this task's rows by the floor-mod bucket
+  * of `col` into one staged shard per NON-EMPTY bucket
+  * (`bucket-<col>-<b>of<n>-<job>-<pid>.txt`), each with its own stats
+  * trailer. No write-side exchange is required — a bucket's rows may
+  * span every task's files; the scan groups them back into one
+  * key-grouped partition per bucket. */
+private[v2] class EdgeBucketedDataWriter(path: String, partitionId: Int,
+                                         taskId: Long, jobToken: String,
+                                         col: String, n: Int)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val colIdx = col match { case "src" => 0; case "dst" => 1; case _ => 2 }
+  private val children =
+    new scala.collection.mutable.HashMap[Int, EdgeDataWriter]
+
+  override def write(row: InternalRow): Unit = {
+    val b = EdgeBucketFunction.bucketOf(n, row.getLong(colIdx))
+    children.getOrElseUpdate(b, new EdgeDataWriter(path, partitionId, taskId,
+      f"bucket-$col-${b}of$n-$jobToken-$partitionId%05d.txt")).write(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    EdgeMultiCommitMessage(children.values.toSeq
+      .map(_.commit().asInstanceOf[EdgeCommitMessage]))
+
+  override def abort(): Unit = children.values.foreach(_.abort())
+  override def close(): Unit = children.values.foreach(_.close())
 }
 
 private[v2] class EdgeDataWriter(path: String, partitionId: Int, taskId: Long,
@@ -1221,8 +1407,38 @@ private[v2] class EdgeReaderFactory(cols: Array[String],
                                     limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EdgeFileReader(partition.asInstanceOf[EdgeFilePartition].file,
-      cols, pushed, limit)
+    partition match {
+      case EdgeFilePartition(f) => new EdgeFileReader(f, cols, pushed, limit)
+      case EdgeBucketPartition(files, _) =>
+        new EdgeMultiFileReader(files, cols, pushed, limit)
+    }
+}
+
+/** Chains one bucket's shard files into a single partition read; the
+  * pushed limit caps rows across the whole chain. */
+private[v2] class EdgeMultiFileReader(files: Array[String], cols: Array[String],
+                                      pushed: Array[Filter], limit: Int = -1)
+    extends PartitionReader[InternalRow] {
+  private var i = 0
+  private var cur: EdgeFileReader = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      if (cur == null) {
+        if (i >= files.length) return false
+        cur = new EdgeFileReader(files(i), cols, pushed)
+        i += 1
+      }
+      if (cur.next()) { emitted += 1; return true }
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Streams one shard file line by line: skip blanks/comments/malformed

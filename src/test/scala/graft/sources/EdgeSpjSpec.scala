@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Pins the connector's STORAGE-PARTITIONED JOIN path: bucketed
+  * layout-on-write (`option("buckets","N,col")` → per-bucket shard files
+  * with stats trailers), the scan's KeyGroupedPartitioning report over
+  * the catalog's canonical `bucket` function, and the payoff — two
+  * bucketed edge tables joined on the bucket column plan with ZERO
+  * shuffle exchanges under `spark.sql.sources.v2.bucketing.enabled`,
+  * with results identical to the shuffled plan. This is Iceberg's SPJ
+  * contract re-expressed on the shard-name-encoded layout. */
+class EdgeSpjSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def withCatalog[A](tag: String)(body: String => A): A = {
+    val wh = Files.createTempDirectory(s"graft_spj_$tag").toFile.getAbsolutePath
+    val cat = s"graft_spj_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.EdgeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      body(cat)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private def edges(rows: Int, seed: Int) =
+    Seq.tabulate(rows)(i => ((i * 7 + seed).toLong % 101, i.toLong, 1L))
+      .toDF("src", "dst", "w")
+
+  test("bucketed write round-trips; shards are per-bucket with one spec") {
+    withCatalog("rt") { cat =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      spark.sql(s"CREATE TABLE $cat.db.e (src BIGINT, dst BIGINT, w BIGINT)")
+      edges(500, 3).writeTo(s"$cat.db.e").option("buckets", "8,src").append()
+      val files = new java.io.File(s"$wh/db/e").listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      assert(files.nonEmpty && files.forall(_.matches("bucket-src-\\d+of8-.*\\.txt")),
+        files.mkString(","))
+      val got = spark.table(s"$cat.db.e")
+        .select($"src", $"dst").as[(Long, Long)].collect().toSet
+      val want = edges(500, 3).select($"src", $"dst")
+        .as[(Long, Long)].collect().toSet
+      assert(got == want)
+      // every row landed in the shard of ITS bucket (floor-mod contract)
+      for (f <- files; (_, b, n) <- graft.sources.v2.EdgeTextV2.bucketOf(f)) {
+        val srcs = scala.io.Source.fromFile(s"$wh/db/e/$f").getLines()
+          .filterNot(l => l.isEmpty || l.startsWith("#"))
+          .map(_.split(" ")(0).toLong)
+        assert(srcs.forall(s0 =>
+          graft.sources.v2.EdgeBucketFunction.bucketOf(n, s0) == b))
+      }
+    }
+  }
+
+  test("plain INSERT INTO inherits the table's bucket spec") {
+    withCatalog("inh") { cat =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      spark.sql(s"CREATE TABLE $cat.db.e (src BIGINT, dst BIGINT, w BIGINT)")
+      edges(100, 1).writeTo(s"$cat.db.e").option("buckets", "8,src").append()
+      edges(100, 2).createOrReplaceTempView("graft_spj_inh_more")
+      spark.sql(s"INSERT INTO $cat.db.e SELECT * FROM graft_spj_inh_more")
+      val files = new java.io.File(s"$wh/db/e").listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      assert(files.forall(_.matches("bucket-src-\\d+of8-.*\\.txt")),
+        s"the inherited layout must survive plain INSERT INTO: ${files.mkString(",")}")
+      assert(spark.table(s"$cat.db.e").count() == 200)
+    }
+  }
+
+  test("the catalog's bucket function is SQL-addressable and floor-mod") {
+    withCatalog("fn") { cat =>
+      val got = spark.sql(s"SELECT $cat.system.bucket(8, 13L)")
+        .collect().head.getInt(0)
+      assert(got == 5)
+      assert(spark.sql(s"SELECT $cat.bucket(8, -3L)").collect().head.getInt(0) == 5)
+    }
+  }
+
+  test("co-bucketed tables join with zero shuffles; results match shuffled plan") {
+    withCatalog("j") { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.a (src BIGINT, dst BIGINT, w BIGINT)")
+      spark.sql(s"CREATE TABLE $cat.db.b (src BIGINT, dst BIGINT, w BIGINT)")
+      edges(800, 5).writeTo(s"$cat.db.a").option("buckets", "8,src").append()
+      edges(600, 11).writeTo(s"$cat.db.b").option("buckets", "8,src").append()
+
+      def agg = spark.table(s"$cat.db.a").alias("a")
+        .join(spark.table(s"$cat.db.b").alias("b"), "src")
+        .groupBy("src")
+        .agg(count(lit(1)).as("pairs"), sum($"a.dst" + $"b.dst").as("s"))
+
+      // baseline: v2 bucketing off -> ordinary shuffled join
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val want = agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty)
+
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = agg
+        val got = df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want)
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }
+        assert(shuffles.isEmpty,
+          s"storage-partitioned join must plan no exchange:\n" +
+            df.queryExecution.executedPlan)
+      } finally {
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+}
