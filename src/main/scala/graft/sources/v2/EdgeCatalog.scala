@@ -106,11 +106,33 @@ class EdgeCatalog extends TableCatalog with SupportsNamespaces
     require(schema.fieldNames.sameElements(EdgeTextV2.schema.fieldNames),
       s"edge tables have the fixed schema (src, dst, w); got " +
         schema.fieldNames.mkString(","))
-    require(partitions.isEmpty,
-      "edge tables lay out by write-time `layout`, not PARTITIONED BY")
+    // the one supported partition transform: bucket(N, col) — declared
+    // here, persisted as _bucketspec, honored by every subsequent write
+    // (the storage-partitioned-join layout); range layout stays a
+    // write-time `layout` option
+    val bucketSpec: Option[(String, Int)] = partitions match {
+      case Array() => None
+      case Array(t) if t.name == "bucket" =>
+        val ns = t.arguments.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+        }
+        val cols = t.arguments.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames.mkString(".")
+        }
+        require(ns.length == 1 && cols.length == 1 && ns.head > 0 &&
+            EdgeTextV2.statCol(cols.head),
+          s"PARTITIONED BY wants bucket(<n>, src|dst|w), got $t")
+        Some((cols.head, ns.head))
+      case _ => throw new UnsupportedOperationException(
+        "edge tables support exactly one bucket(N, col) partition " +
+          "transform (range layout is the write-time `layout` option)")
+    }
     val d = dirOf(ident)
     if (fs.exists(d)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(d)
+    bucketSpec.foreach { case (c, n) => EdgeTextV2.writeBucketSpec(fs, d, c, n) }
     new EdgeTable(d.toString)
   }
 

@@ -215,12 +215,46 @@ object EdgeTextV2 {
     * rewrite that loses the naming (compaction, DELETE/UPDATE/MERGE)
     * simply degrades the table to unpartitioned reads — correctness
     * never depends on the layout. */
-  private[v2] val BucketShard = """bucket-(src|dst|w)-(\d+)of(\d+)-.*\.txt""".r
+  // the optional compact-<gen>- prefix: a compaction (or row-level
+  // rewrite) of a bucketed table PRESERVES the layout — its generation
+  // shards keep the bucket segment, so SPJ survives table maintenance
+  private[v2] val BucketShard =
+    """(?:compact-\d+-)?bucket-(src|dst|w)-(\d+)of(\d+)-.*\.txt""".r
   private[sources] def bucketOf(fileName: String): Option[(String, Int, Int)] =
     fileName match {
       case BucketShard(col, b, n) => Some((col, b.toInt, n.toInt))
       case _ => None
     }
+
+  /** The DECLARED bucket spec (`CREATE TABLE … PARTITIONED BY
+    * (bucket(N, col))`), persisted as a `_bucketspec` file — invisible
+    * to readers like all underscore files, surviving truncate and
+    * generation rewrites. It governs WRITES (every write without an
+    * explicit conflicting option buckets accordingly); READS report
+    * partitioning from the actual shard names, so a mixed or legacy
+    * layout can never be mistaken for a grouped one. */
+  private[v2] def declaredBuckets(path: String): Option[(String, Int)] = {
+    val p = new Path(path, "_bucketspec")
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s.split(',') match {
+        case Array(c, n) if statCol(c) => Some((c, n.toInt))
+        case _ => None
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private[v2] def writeBucketSpec(fs: FileSystem, dir: Path,
+                                  col: String, n: Int): Unit = {
+    val out = fs.create(new Path(dir, "_bucketspec"), true)
+    try out.write(s"$col,$n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Some((col, N)) iff EVERY live shard is bucket-named with the same
     * column and bucket count — the gate for reporting partitioning. */
@@ -274,10 +308,11 @@ object EdgeTextV2 {
   // re-expressed on the shard history; the storage-layer twin of the
   // engine's Index::merge_to, /root/reference/src/index.rs) -------------
 
-  /** Compacted data shards: `compact-<upTo>-<partition>.txt`. They read
-    * as the base snapshot (`_epoch` = -1) — history at or below `upTo`
-    * has been folded into them. */
-  private[v2] val CompactShard = """compact-(\d+)-\d+\.txt""".r
+  /** Compacted data shards: `compact-<upTo>-<partition>.txt` (with a
+    * preserved `bucket-<col>-<b>of<N>` segment when the consumed table
+    * was bucketed). They read as the base snapshot (`_epoch` = -1) —
+    * history at or below `upTo` has been folded into them. */
+  private[v2] val CompactShard = """compact-(\d+)-.+\.txt""".r
   private[v2] def compactGenOf(fileName: String): Option[Long] = fileName match {
     case CompactShard(c) => Some(c.toLong)
     case _ => None
@@ -372,21 +407,25 @@ object EdgeTextV2 {
     }
 
     // 1. distributed rewrite of the consumed rows into a scratch dir
+    // (re-bucketed when the consumed table carried a bucket layout, so
+    // the new generation keeps its SPJ eligibility)
     val scratch = new Path(dir, s"_compact-$upToEpoch-scratch")
     fs.delete(scratch, true)
+    val bk = bucketLayoutOf(path)
     val merged = spark.read.format("graft.sources.v2.EdgeTextV2")
       .option("path", path).load()
     // plan only the consumed shards: the scan prunes on the pushed
     // _epoch predicate, so unconsumed epochs are never read
     import org.apache.spark.sql.functions.col
-    keep.foldLeft(merged.where(col("_epoch") <= upToEpoch))(_.where(_))
+    val out = keep.foldLeft(merged.where(col("_epoch") <= upToEpoch))(_.where(_))
       .write.format("graft.sources.v2.EdgeTextV2")
-      .option("path", scratch.toString).mode("overwrite").save()
+      .option("path", scratch.toString).mode("overwrite")
+    bk.fold(out) { case (c, n) => out.option("buckets", s"$n,$c") }.save()
 
     // 2.-4. adopt, marker-commit, expire
     val staged = fs.listStatus(scratch)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(_.getPath).toSeq
+      .map(p => (p.getPath, p.getPath.getName)).toSeq
     adoptGeneration(fs, dir, upToEpoch, staged, tmpDir = scratch)
     fs.delete(scratch, true)
   }
@@ -402,9 +441,18 @@ object EdgeTextV2 {
     *      markers. Computed from a fresh raw listing, so a retry (or the
     *      NEXT generation) also sweeps leftovers of a crashed cleanup. */
   private[v2] def adoptGeneration(fs: FileSystem, dir: Path, gen: Long,
-                                  staged: Seq[Path], tmpDir: Path): Unit = {
-    staged.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f, new Path(dir, f"compact-$gen-$i%05d.txt"))
+                                  staged: Seq[(Path, String)],
+                                  tmpDir: Path): Unit = {
+    // each staged entry carries its LOGICAL shard name (task-attempt
+    // suffixes stripped by the caller) so bucket segments are recognized
+    staged.sortBy(_._2).zipWithIndex.foreach { case ((f, logical), i) =>
+      // a bucketed staged shard keeps its bucket segment in the adopted
+      // name, so the new generation still reports its layout (SPJ
+      // survives compaction and row-level rewrites)
+      val tag = bucketOf(logical).fold("") {
+        case (col, b, n) => s"bucket-$col-${b}of$n-"
+      }
+      fs.rename(f, new Path(dir, f"compact-$gen-$tag$i%05d.txt"))
     }
     val markerTmp = new Path(tmpDir, markerName(gen))
     fs.create(markerTmp, true).close()
@@ -470,10 +518,17 @@ private[v2] class EdgeTable(path: String, asOf: Option[Long] = None)
   /** A fully bucket-named shard set reports its `bucket(N, col)`
     * transform — resolved against [[EdgeCatalog]]'s function catalog,
     * this is what makes the table storage-partitioned-join eligible. */
-  override def partitioning(): Array[Transform] =
-    EdgeTextV2.bucketLayoutOf(path).map { case (col, n) =>
-      Expressions.bucket(n, col): Transform
-    }.toArray
+  override def partitioning(): Array[Transform] = {
+    val spec = EdgeTextV2.bucketLayoutOf(path).orElse {
+      // an EMPTY table reports its declared spec (DESCRIBE before the
+      // first insert); once data exists only the actual layout counts
+      val empty =
+        try EdgeScan.listShards(path).isEmpty
+        catch { case _: java.io.FileNotFoundException => true }
+      if (empty) EdgeTextV2.declaredBuckets(path) else None
+    }
+    spec.map { case (col, n) => Expressions.bucket(n, col): Transform }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -1066,8 +1121,14 @@ private[v2] class EdgeWriteBuilder(path: String, schema: StructType,
       s"bucket column must be among src,dst,w: got '$col'")
     (col, n)
   }
-  private def effectiveBuckets: Option[(String, Int)] =
-    buckets.orElse(if (doTruncate) None else EdgeTextV2.bucketLayoutOf(path))
+  private def effectiveBuckets: Option[(String, Int)] = {
+    val declared = EdgeTextV2.declaredBuckets(path)
+    for (b <- buckets; d <- declared) require(b == d,
+      s"option buckets=$b conflicts with the table's declared spec $d " +
+        "(PARTITIONED BY is a table property; drop the option or recreate)")
+    buckets.orElse(declared)
+      .orElse(if (doTruncate) None else EdgeTextV2.bucketLayoutOf(path))
+  }
   /** `.option("layout", "src")` (or "src,dst") — LAYOUT-ON-WRITE, the
     * connector-side analog of Iceberg's write distribution/ordering
     * table property: the Write declares an ordered distribution on the
@@ -1255,7 +1316,8 @@ private[v2] class EdgeRowLevelOperation(path: String,
               require(i >= 0, s"row-level write schema $sch lacks '$c'")
               i
             }
-            new EdgeReplaceBatchWrite(path, idx("src"), idx("dst"), idx("w"))
+            new EdgeReplaceBatchWrite(path, idx("src"), idx("dst"), idx("w"),
+              EdgeTextV2.bucketLayoutOf(path))
           }
         }
     }
@@ -1281,14 +1343,15 @@ private[v2] class EdgeReplaceScan(path: String) extends Scan with Batch {
   * shards; the driver publishes them as the next generation via the
   * single marker rename (old shards expire atomically with it). */
 private[v2] class EdgeReplaceBatchWrite(path: String,
-                                        si: Int, di: Int, wi: Int)
+                                        si: Int, di: Int, wi: Int,
+                                        buckets: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   private val jobToken =
     "j" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EdgeWriterFactory(path, jobToken, si, di, wi)
+    new EdgeWriterFactory(path, jobToken, si, di, wi, buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -1296,7 +1359,8 @@ private[v2] class EdgeReplaceBatchWrite(path: String,
     fs.mkdirs(dir)
     val gen = EdgeTextV2.nextGeneration(path)
     EdgeTextV2.clearUncommittedGen(fs, dir, gen)
-    val staged = EdgeCommitMessage.flatten(messages).map(m => new Path(m.staged))
+    val staged = EdgeCommitMessage.flatten(messages)
+      .map(m => (new Path(m.staged), m.finalName))
     EdgeTextV2.adoptGeneration(fs, dir, gen, staged,
       tmpDir = new Path(dir, "_staging"))
     fs.delete(new Path(dir, "_staging"), true)
@@ -1317,7 +1381,8 @@ private[v2] class EdgeWriterFactory(path: String, jobToken: String,
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     buckets match {
       case Some((col, n)) =>
-        new EdgeBucketedDataWriter(path, partitionId, taskId, jobToken, col, n)
+        new EdgeBucketedDataWriter(path, partitionId, taskId, jobToken,
+          col, n, si, di, wi)
       case None =>
         new EdgeDataWriter(path, partitionId, taskId,
           f"part-$jobToken-$partitionId%05d.txt", si, di, wi)
@@ -1332,16 +1397,22 @@ private[v2] class EdgeWriterFactory(path: String, jobToken: String,
   * key-grouped partition per bucket. */
 private[v2] class EdgeBucketedDataWriter(path: String, partitionId: Int,
                                          taskId: Long, jobToken: String,
-                                         col: String, n: Int)
+                                         col: String, n: Int,
+                                         si: Int = 0, di: Int = 1, wi: Int = 2)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val colIdx = col match { case "src" => 0; case "dst" => 1; case _ => 2 }
+  private val colIdx =
+    col match { case "src" => si; case "dst" => di; case _ => wi }
   private val children =
     new scala.collection.mutable.HashMap[Int, EdgeDataWriter]
+
+  /** Metadata-carrying form (row-level rewrites) — metadata ignored. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
     val b = EdgeBucketFunction.bucketOf(n, row.getLong(colIdx))
     children.getOrElseUpdate(b, new EdgeDataWriter(path, partitionId, taskId,
-      f"bucket-$col-${b}of$n-$jobToken-$partitionId%05d.txt")).write(row)
+      f"bucket-$col-${b}of$n-$jobToken-$partitionId%05d.txt",
+      si, di, wi)).write(row)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =

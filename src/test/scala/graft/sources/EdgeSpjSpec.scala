@@ -86,6 +86,53 @@ class EdgeSpjSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE TABLE PARTITIONED BY (bucket) declares the layout for every write") {
+    withCatalog("ddl") { cat =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      spark.sql(s"""CREATE TABLE $cat.db.e (src BIGINT, dst BIGINT, w BIGINT)
+                    PARTITIONED BY (bucket(4, src))""")
+      edges(100, 1).createOrReplaceTempView("graft_spj_ddl_src")
+      spark.sql(s"INSERT INTO $cat.db.e SELECT * FROM graft_spj_ddl_src")
+      val files = new java.io.File(s"$wh/db/e").listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      assert(files.nonEmpty && files.forall(_.matches("bucket-src-\\d+of4-.*\\.txt")),
+        s"the declared spec must bucket plain INSERTs: ${files.mkString(",")}")
+      // a conflicting write option is refused, not silently applied
+      val ex = intercept[Exception] {
+        edges(10, 2).writeTo(s"$cat.db.e").option("buckets", "8,dst").append()
+      }
+      assert(ex.getMessage.contains("declared"), ex.getMessage)
+    }
+  }
+
+  test("rewrites preserve the bucket layout: UPDATE keeps SPJ eligibility") {
+    withCatalog("rw") { cat =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      spark.sql(s"CREATE TABLE $cat.db.e (src BIGINT, dst BIGINT, w BIGINT)")
+      edges(200, 9).writeTo(s"$cat.db.e").option("buckets", "4,src").append()
+      spark.sql(s"UPDATE $cat.db.e SET w = w + 1 WHERE dst < 50")
+      val files = new java.io.File(s"$wh/db/e").listFiles().map(_.getName)
+        .filter(n => n.endsWith(".txt"))
+      assert(files.nonEmpty &&
+        files.forall(_.matches("compact-\\d+-bucket-src-\\d+of4-.*\\.txt")),
+        s"the rewritten generation must keep the bucket segment: ${files.mkString(",")}")
+      // and the table still reports bucket(4, src)
+      val part = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.db.e")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(part.contains("bucket(4, src)"), part)
+      // rows of each compact shard still satisfy the floor-mod contract
+      for (f <- files; (_, b, n) <- graft.sources.v2.EdgeTextV2.bucketOf(f)) {
+        val srcs = scala.io.Source.fromFile(s"$wh/db/e/$f").getLines()
+          .filterNot(l => l.isEmpty || l.startsWith("#"))
+          .map(_.split(" ")(0).toLong)
+        assert(srcs.forall(s0 =>
+          graft.sources.v2.EdgeBucketFunction.bucketOf(n, s0) == b))
+      }
+      assert(spark.table(s"$cat.db.e").where($"w" === 2L).count() ==
+        edges(200, 9).where($"dst" < 50).count())
+    }
+  }
+
   test("co-bucketed tables join with zero shuffles; results match shuffled plan") {
     withCatalog("j") { cat =>
       spark.sql(s"CREATE TABLE $cat.db.a (src BIGINT, dst BIGINT, w BIGINT)")
