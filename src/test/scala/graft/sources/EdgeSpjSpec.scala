@@ -133,6 +133,29 @@ class EdgeSpjSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("groupBy on the bucket column aggregates with zero shuffles") {
+    withCatalog("agg") { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.e (src BIGINT, dst BIGINT, w BIGINT)")
+      edges(500, 7).writeTo(s"$cat.db.e").option("buckets", "8,src").append()
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val df = spark.table(s"$cat.db.e").groupBy("src")
+          .agg(count(lit(1)).as("n"), sum("dst").as("s"))
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = edges(500, 7).groupBy("src")
+          .agg(count(lit(1)).as("n"), sum("dst").as("s"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want)
+        // equal src implies equal bucket, so KeyGroupedPartitioning
+        // already satisfies the aggregation's clustering: both
+        // HashAggregates fuse into one codegen span over the scan
+        assert(df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }.isEmpty, df.queryExecution.executedPlan)
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("co-bucketed tables join with zero shuffles; results match shuffled plan") {
     withCatalog("j") { cat =>
       spark.sql(s"CREATE TABLE $cat.db.a (src BIGINT, dst BIGINT, w BIGINT)")
