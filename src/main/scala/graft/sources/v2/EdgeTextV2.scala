@@ -917,8 +917,13 @@ private[v2] class EdgeScan(path: String, required: StructType,
     * manifest. Rows of admitted shards are NOT filtered here (the join
     * itself discards them), so pruning stays a pure optimization. */
   @volatile private var runtime: Array[Filter] = Array.empty
+  /** Only columns THIS scan outputs: Spark resolves these refs against
+    * the pruned output, so advertising a pruned-away column makes DPP
+    * planning fail on any query that narrows the scan (e.g. a count
+    * over a join key). */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("src"), Expressions.column("dst"))
+    Array("src", "dst").filter(required.fieldNames.contains(_))
+      .map(Expressions.column)
   override def filter(filters: Array[Filter]): Unit = runtime = filters
 
   /** Post-pruning scan statistics: byte size of the planned shards, and

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
@@ -36,6 +37,22 @@ class EdgeSpjSpec extends AnyFunSuite with SparkTestBase {
   private def edges(rows: Int, seed: Int) =
     Seq.tabulate(rows)(i => ((i * 7 + seed).toLong % 101, i.toLong, 1L))
       .toDF("src", "dst", "w")
+
+  /** Executes the frame and counts shuffles in the FINAL plan. A naive
+    * `executedPlan.collect` is VACUOUS here twice over: AQE wraps the
+    * plan in a leaf AdaptiveSparkPlanExec, and its final plan nests the
+    * tree inside leaf QueryStageExec wrappers that `collect` cannot
+    * cross either — so it reports zero exchanges for every query. The
+    * rendered final-plan string does show the whole nested tree; count
+    * exchange nodes there. */
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    "Exchange (hash|range)partitioning".r.findAllIn(p.toString).length
+  }
 
   test("bucketed write round-trips; shards are per-bucket with one spec") {
     withCatalog("rt") { cat =>
@@ -149,9 +166,7 @@ class EdgeSpjSpec extends AnyFunSuite with SparkTestBase {
         // equal src implies equal bucket, so KeyGroupedPartitioning
         // already satisfies the aggregation's clustering: both
         // HashAggregates fuse into one codegen span over the scan
-        assert(df.queryExecution.executedPlan.collect {
-          case s: ShuffleExchangeExec => s
-        }.isEmpty, df.queryExecution.executedPlan)
+        assert(shuffleCount(df) == 0, df.queryExecution.executedPlan)
       } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
@@ -168,23 +183,25 @@ class EdgeSpjSpec extends AnyFunSuite with SparkTestBase {
         .groupBy("src")
         .agg(count(lit(1)).as("pairs"), sum($"a.dst" + $"b.dst").as("s"))
 
-      // baseline: v2 bucketing off -> ordinary shuffled join
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      val want = agg.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(want.nonEmpty)
-
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // baseline: v2 bucketing off -> ordinary shuffled join (the
+      // positive exchange count also proves the counter isn't vacuous)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       try {
+        val base = agg
+        val want = base.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(want.nonEmpty)
+        assert(shuffleCount(base) > 0,
+          "the shuffled baseline must carry exchanges — otherwise the " +
+            "zero-shuffle assertion below proves nothing")
+
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         val df = agg
         val got = df.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         assert(got == want)
-        val shuffles = df.queryExecution.executedPlan.collect {
-          case s: ShuffleExchangeExec => s
-        }
-        assert(shuffles.isEmpty,
+        assert(shuffleCount(df) == 0,
           s"storage-partitioned join must plan no exchange:\n" +
             df.queryExecution.executedPlan)
       } finally {
