@@ -242,6 +242,17 @@ object Bench {
       .master(master))
       // multi-JVM executors need the graft classes on their own classpath
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // local-cluster workers launch executor PROCESSES via Spark's
+      // launcher, whose classpath builder requires SPARK_SCALA_VERSION
+      // (else "Cannot find any build directories" and the app is removed).
+      // The shell env may not carry it (the official driver-run bench
+      // doesn't); spark.executorEnv.* reaches the worker's command env,
+      // which the launcher consults BEFORE System.getenv — so the bench is
+      // self-sufficient regardless of the caller's environment.
+      .config("spark.executorEnv.SPARK_SCALA_VERSION",
+        sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))
+      .config("spark.executorEnv.SPARK_HOME",
+        sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
@@ -568,19 +579,32 @@ object Bench {
     val clusterSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER", "local-cluster[4,8,4096]")
     val clusterResults: Either[String, Seq[StreamResult]] =
       if (clusterSpec == "0") Left("disabled")
-      else try {
-        val runs = (1 to math.max(1, scalingReps)).map { _ =>
-          streamBenchMaster(clusterSpec, 32, sConvs, turns, nTools, sBatch, durable)
-        }.sortBy(_.matchesPerSec)
-        Right(Seq(runs((runs.size - 1) / 2))) // conservative lower median
-      } catch { case e: Throwable =>
-        // BENCH_r5_full1: a failed local-cluster app left its STOPPED
-        // session registered, and every later phase's getOrCreate
-        // returned it ("Cannot call methods on a stopped SparkContext")
-        // — reset AND wait out the async scheduler-thread shutdown so
-        // subsequent phases build a fresh local session
-        resetSessions()
-        Left(e.toString.linesIterator.next().take(300))
+      else {
+        // Per-ATTEMPT recovery, not per-phase: BENCH_r5_full18 lost this
+        // phase to a one-off worker-registration race ("Master removed our
+        // application: FAILED") on the FIRST attempt — with the whole rep
+        // loop inside one try, a single flaky standalone-master handshake
+        // zeroed the phase even though a retry succeeds. Each attempt now
+        // fails alone (reset + wait out the async scheduler shutdown, as
+        // BENCH_r5_full1 required, then move on); the phase reports the
+        // median of whatever attempts survived and is Left only when ALL
+        // attempts — including one extra make-up attempt — failed.
+        val wanted = math.max(1, scalingReps)
+        var lastErr = "no attempts ran"
+        val got = scala.collection.mutable.ArrayBuffer.empty[StreamResult]
+        var tried = 0
+        while (got.size < wanted && tried < wanted + 1) { // ≤1 make-up attempt
+          tried += 1
+          try got += streamBenchMaster(clusterSpec, 32, sConvs, turns, nTools, sBatch, durable)
+          catch { case e: Throwable =>
+            resetSessions()
+            lastErr = e.toString.linesIterator.next().take(300)
+            System.err.println(s"[bench] local-cluster attempt $tried failed: $lastErr")
+          }
+        }
+        val runs = got.toSeq.sortBy(_.matchesPerSec)
+        if (runs.isEmpty) Left(lastErr)
+        else Right(Seq(runs((runs.size - 1) / 2))) // conservative lower median
       }
 
     // Phase B4 — bulk distributed absorb (backfill regime): one ~20K-edge
