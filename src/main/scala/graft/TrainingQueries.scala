@@ -1815,6 +1815,13 @@ object TrainingQueries {
     "token_rarity" -> ((s, dir) =>
       graft.text.Rarity.tokenRarity(docs(s, dir), "doc_id", "text")),
 
+    // ---- bigram-LM surprisal: token_rarity with CONTEXT — inverse MLE
+    // conditional odds floor(c(ctx)·2^16/c(bigram)) summed per doc, the
+    // integer-exact KenLM-perplexity-filter proxy. Bigram formation is
+    // row-local (slice+zip+explode), never a per-doc window
+    "lm_bigram_score" -> ((s, dir) =>
+      graft.text.BigramLm.bigramScore(docs(s, dir), "doc_id", "text")),
+
     // ---- PII redaction: emails/phones → placeholders, row-local
     // codegen'd regexp_replace (lookahead-free patterns both regex
     // engines agree on). The synthetic corpus is PII-free, so a
@@ -2403,6 +2410,21 @@ object TrainingQueries {
         "FROM u JOIN r USING (w) GROUP BY doc_id) " +
         "SELECT documents.doc_id, CAST(coalesce(s.ntok, 0) AS BIGINT) AS ntok, " +
         "CAST(coalesce(s.rarity_sum, 0) AS BIGINT) AS rarity_sum " +
+        "FROM documents LEFT JOIN s USING (doc_id)"),
+
+    "lm_bigram_score" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i " +
+        "FROM tok WHERE len(t) >= 2), " +
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos), " +
+        "cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2), " +
+        "cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1), " +
+        "odds AS (SELECT w1, w2, (cc * 65536) // cb AS odds " +
+        "FROM cb JOIN cc USING (w1)), " +
+        "s AS (SELECT doc_id, count(*) AS nbig, sum(odds) AS surprisal_sum " +
+        "FROM bg JOIN odds USING (w1, w2) GROUP BY doc_id) " +
+        "SELECT documents.doc_id, CAST(coalesce(s.nbig, 0) AS BIGINT) AS nbig, " +
+        "CAST(coalesce(s.surprisal_sum, 0) AS BIGINT) AS surprisal_sum " +
         "FROM documents LEFT JOIN s USING (doc_id)")
   )
 }
