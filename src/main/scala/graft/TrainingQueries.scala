@@ -1822,6 +1822,32 @@ object TrainingQueries {
     "lm_bigram_score" -> ((s, dir) =>
       graft.text.BigramLm.bigramScore(docs(s, dir), "doc_id", "text")),
 
+    // ---- streaming twin: the ingest-time shape — a FROZEN dict (the
+    // batch-trained LM) scores arriving documents via a stream-static
+    // join; per-doc totals are a complete-mode streaming aggregation.
+    // Same oracle as the batch form (the dict is trained on the same
+    // corpus the stream replays)
+    "lm_bigram_score_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      val dict = graft.text.BigramLm.oddsDict(
+        graft.text.BigramLm.bigrams(d, "doc_id", "text"))
+      val rows = d.as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val agg = graft.text.BigramLm
+        .bigrams(src.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .join(dict, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nbig"), sum("odds").as("surprisal_sum"))
+      val scored = graft.SparkEntry.streamReplay(s, src, agg,
+        rows.toIndexedSeq, Nil, "complete", "graft_lm_stream")
+      d.select("doc_id").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nbig"), lit(0L)).as("nbig"),
+          coalesce(col("surprisal_sum"), lit(0L)).as("surprisal_sum"))
+    }),
+
     // ---- PII redaction: emails/phones → placeholders, row-local
     // codegen'd regexp_replace (lookahead-free patterns both regex
     // engines agree on). The synthetic corpus is PII-free, so a
@@ -2412,19 +2438,24 @@ object TrainingQueries {
         "CAST(coalesce(s.rarity_sum, 0) AS BIGINT) AS rarity_sum " +
         "FROM documents LEFT JOIN s USING (doc_id)"),
 
-    "lm_bigram_score" ->
-      ("WITH " + tokCte("documents") + ", " +
-        "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i " +
-        "FROM tok WHERE len(t) >= 2), " +
-        "bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos), " +
-        "cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2), " +
-        "cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1), " +
-        "odds AS (SELECT w1, w2, (cc * 65536) // cb AS odds " +
-        "FROM cb JOIN cc USING (w1)), " +
-        "s AS (SELECT doc_id, count(*) AS nbig, sum(odds) AS surprisal_sum " +
-        "FROM bg JOIN odds USING (w1, w2) GROUP BY doc_id) " +
-        "SELECT documents.doc_id, CAST(coalesce(s.nbig, 0) AS BIGINT) AS nbig, " +
-        "CAST(coalesce(s.surprisal_sum, 0) AS BIGINT) AS surprisal_sum " +
-        "FROM documents LEFT JOIN s USING (doc_id)")
+    "lm_bigram_score" -> lmBigramOracle,
+    "lm_bigram_score_stream" -> lmBigramOracle
   )
+
+  // one SQL, two gates: the stream twin scores against the dict trained
+  // on the same corpus, so its fixpoint IS the batch answer
+  private val lmBigramOracle: String =
+    "WITH " + tokCte("documents") + ", " +
+      "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i " +
+      "FROM tok WHERE len(t) >= 2), " +
+      "bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos), " +
+      "cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2), " +
+      "cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1), " +
+      "odds AS (SELECT w1, w2, (cc * 65536) // cb AS odds " +
+      "FROM cb JOIN cc USING (w1)), " +
+      "s AS (SELECT doc_id, count(*) AS nbig, sum(odds) AS surprisal_sum " +
+      "FROM bg JOIN odds USING (w1, w2) GROUP BY doc_id) " +
+      "SELECT documents.doc_id, CAST(coalesce(s.nbig, 0) AS BIGINT) AS nbig, " +
+      "CAST(coalesce(s.surprisal_sum, 0) AS BIGINT) AS surprisal_sum " +
+      "FROM documents LEFT JOIN s USING (doc_id)"
 }

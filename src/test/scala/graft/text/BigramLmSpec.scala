@@ -39,6 +39,17 @@ class BigramLmSpec extends AnyFunSuite with SparkTestBase {
     assert(got === ((7L, 720895L)))
   }
 
+  test("frozen dict: out-of-vocabulary bigrams drop from nbig and the sum") {
+    import spark.implicits._
+    val train = Seq((0L, "a b")).toDF("doc_id", "text") // dict: (a,b) odds 65536
+    val dict = BigramLm.oddsDict(BigramLm.bigrams(train, "doc_id", "text"))
+    val got = BigramLm.scoreAgainst(
+        Seq((7L, "a b z q a b")).toDF("doc_id", "text"), "doc_id", "text", dict)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // 5 bigrams, only the two (a,b) occurrences are in-dict
+    assert(got === ((7L, 2L, 131072L)))
+  }
+
   test("bigram formation is row-local: no Window in the plan") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"t${i % 5} t${i % 3} t${i % 7}"))
