@@ -1848,6 +1848,13 @@ object TrainingQueries {
           coalesce(col("surprisal_sum"), lit(0L)).as("surprisal_sum"))
     }),
 
+    // ---- BPE merge-candidate counting: the tokenizer-training inner
+    // loop — adjacent symbol pairs over the WORD HISTOGRAM (pairs counted
+    // once per distinct word, weighted by frequency), EOW sentinel, top-K
+    // via TakeOrderedAndProject with a deterministic (p1,p2) tie-break
+    "bpe_top_merges" -> ((s, dir) =>
+      graft.text.Bpe.topMerges(docs(s, dir), "doc_id", "text", k = 40)),
+
     // ---- PII redaction: emails/phones → placeholders, row-local
     // codegen'd regexp_replace (lookahead-free patterns both regex
     // engines agree on). The synthetic corpus is PII-free, so a
@@ -2439,7 +2446,17 @@ object TrainingQueries {
         "FROM documents LEFT JOIN s USING (doc_id)"),
 
     "lm_bigram_score" -> lmBigramOracle,
-    "lm_bigram_score_stream" -> lmBigramOracle
+    "lm_bigram_score_stream" -> lmBigramOracle,
+
+    "bpe_top_merges" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "u AS (SELECT unnest(t) AS w FROM tok), " +
+        "wf AS (SELECT w, count(*) AS freq FROM u GROUP BY w), " +
+        "sy AS (SELECT freq, list_append(string_split_regex(w, ''), chr(31)) AS cs FROM wf), " +
+        "pos AS (SELECT freq, cs, unnest(generate_series(1, len(cs) - 1)) AS i FROM sy), " +
+        "pr AS (SELECT cs[i] AS p1, cs[i + 1] AS p2, freq FROM pos), " +
+        "g AS (SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY p1, p2) " +
+        "SELECT p1, p2, cnt FROM g ORDER BY cnt DESC, p1, p2 LIMIT 40")
   )
 
   // one SQL, two gates: the stream twin scores against the dict trained

@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge-candidate counting — the inner loop of byte-pair-encoding
+  * tokenizer training (Sennrich et al. 2016): over the corpus WORD
+  * HISTOGRAM (never the raw token stream — a word's pairs are counted
+  * once and weighted by its frequency), split each distinct word into
+  * character symbols plus an end-of-word sentinel, count adjacent symbol
+  * pairs weighted by word frequency, and emit the top-K merge candidates.
+  * Training iterates: apply the argmax merge to the symbol sequences and
+  * recount — each iteration is this same job over ~|vocab| rows, so the
+  * expensive corpus scan happens ONCE (the histogram), and the loop runs
+  * over Heaps'-law-bounded data.
+  *
+  * Output: (p1, p2, cnt) — the K heaviest pairs, ties broken by (p1, p2)
+  * so the K-boundary is deterministic cross-engine. The sentinel is
+  * U+001F (unit separator), a character the whitespace tokenizer can
+  * never emit inside a word.
+  *
+  * Scale shape: the histogram is one explode + map-side-combined groupBy;
+  * pair formation is ROW-LOCAL (char split + slice + arrays_zip +
+  * explode) over DISTINCT words only; the final top-K is
+  * TakeOrderedAndProject (parallel partial top-K, no global sort, no
+  * single-partition window). */
+object Bpe {
+
+  val Eow = "\u001f"
+
+  /** Weighted adjacent-pair counts over the word histogram, top `k`. */
+  def topMerges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // Spark's split(w, "") (limit -1) keeps a trailing "" that DuckDB's
+    // string_split_regex does not emit — strip it before appending EOW
+    val syms = words.select(col("freq"),
+      concat(array_remove(split(col("w"), ""), ""), array(lit(Eow))).as("cs"))
+    val pairs = syms
+      .select(col("freq"),
+        slice(col("cs"), lit(1), size(col("cs")) - 1).as("ctx"),
+        slice(col("cs"), lit(2), size(col("cs")) - 1).as("nxt"))
+      .select(col("freq"), explode(arrays_zip(col("ctx"), col("nxt"))).as("p"))
+      .select(col("p.ctx").as("p1"), col("p.nxt").as("p2"), col("freq"))
+    pairs.groupBy("p1", "p2").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+      .limit(k)
+  }
+}
