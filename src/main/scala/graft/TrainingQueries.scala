@@ -1718,6 +1718,17 @@ object TrainingQueries {
             .otherwise(col("text")).as("text")),
         "doc_id", "text", n = 8)),
 
+    // ---- the excision half (Lee et al. 2022): tokens covered by any
+    // corpus-duplicated 8-gram are REMOVED and the cleaned text emitted;
+    // the same planted shared passage makes the gate non-vacuous
+    "substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" p0 p1 p2 p3 p4 p5 p6 p7")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text", n = 8)),
+
     // ---- schema-on-read over the events.props JSON blob: extraction is a
     // row-local codegen'd path expression (get_json_object), no UDF.
     // try_cast, not cast: under ANSI a non-integer k would throw; with
@@ -2447,6 +2458,24 @@ object TrainingQueries {
 
     "lm_bigram_score" -> lmBigramOracle,
     "lm_bigram_score_stream" -> lmBigramOracle,
+
+    "substring_dedup" ->
+      ("WITH sdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+        "THEN text || ' p0 p1 p2 p3 p4 p5 p6 p7' ELSE text END AS text FROM documents), " +
+        tokCte("sdocs") + ", " +
+        "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i " +
+        "FROM tok WHERE len(t) >= 8), " +
+        "spn AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span FROM pos), " +
+        "d AS (SELECT span FROM spn GROUP BY span HAVING count(*) >= 2), " +
+        "ds AS (SELECT doc_id, list(i) AS starts FROM spn JOIN d USING (span) GROUP BY doc_id), " +
+        "k AS (SELECT tok.doc_id, t, coalesce(ds.starts, []) AS starts " +
+        "FROM tok LEFT JOIN ds USING (doc_id)), " +
+        "f AS (SELECT doc_id, len(t) AS ntok, list_filter(t, (x, i) -> " +
+        "len(list_filter(starts, st -> i >= st AND i <= st + 7)) = 0) AS kept FROM k) " +
+        // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, " +
+        "CAST(ntok - len(kept) AS BIGINT) AS n_removed, " +
+        "coalesce(array_to_string(kept, ' '), '') AS clean_text FROM f"),
 
     "bpe_top_merges" ->
       ("WITH " + tokCte("documents") + ", " +

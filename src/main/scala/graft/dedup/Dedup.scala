@@ -508,4 +508,53 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
+
+  /** Duplicated-substring REMOVAL — the excision half of [[spanDupStats]]
+    * and the corpus-level substring dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"): every
+    * token covered by ANY n-token span occurring ≥ 2 times in the corpus
+    * (within or across documents) is removed; the survivors re-join as
+    * `clean_text`. Overlapping duplicated spans merge into maximal
+    * removed runs for free — removal is per-position union, so no
+    * interval arithmetic is materialized.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: span extraction and the final excision are row-local
+    * higher-order expressions; the global duplicate test is one
+    * groupBy(span) count (map-side combined) + a semi-join; per-doc
+    * removed-start lists aggregate to O(doc length) each. The only new
+    * state vs [[spanDupStats]] is the per-doc start list — bounded by the
+    * doc's own span count, never corpus-sized. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"span length $n must be positive")
+    val t = tokens(col(textCol))
+    val spansArr = when(size(t) < n, array().cast("array<struct<s:long,span:string>>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => struct((i + 1).cast("long").as("s"),
+          array_join(slice(t, i + 1, lit(n)), " ").as("span"))))
+    val spans = docs.select(col(idCol).as("doc_id"), explode(spansArr).as("p"))
+      .select(col("doc_id"), col("p.s").as("s"), col("p.span").as("span"))
+      .localCheckpoint()
+    // ≥ 2 occurrences ANYWHERE (a within-doc repeat is as much a dup as a
+    // cross-doc one — this is what distinguishes excision from the
+    // distinct-doc counting above)
+    val dup = spans.groupBy("span").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("span")
+    val dupStarts = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("s")).as("starts"))
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
+      .withColumn("kept",
+        filter(transform(col("t"), (x, i) => struct(x.as("w"), (i + 1).cast("long").as("pos"))),
+          p => !exists(col("starts"),
+            st => p.getField("pos") >= st && p.getField("pos") <= st + (n - 1))))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept"), p => p.getField("w")), " ").as("clean_text"))
+  }
 }

@@ -204,4 +204,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val m = mirror(1L)
     assert(m(1L) == shinglesOf(corp.head._2, 4).size && !m.contains(3L) && !m.contains(4L))
   }
+
+  test("substringDedup excises covered tokens; within-doc repeats count; short/empty docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),       // "b c d" shared with doc 1 → remove b,c,d
+      (1L, "x b c d y"),       // → "x y"
+      (2L, "q r"),             // under n → untouched
+      (3L, ""),                // empty → 0/0/""
+      (4L, "m n o m n o"))     // within-doc repeat of "m n o" → all covered
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.substringDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      0L -> ((5L, 3L, "a e")),
+      1L -> ((5L, 3L, "x y")),
+      2L -> ((2L, 0L, "q r")),
+      3L -> ((0L, 0L, "")),
+      4L -> ((6L, 6L, ""))))
+  }
+
+  test("substringDedup removal is a per-position union: overlapping dup spans merge") {
+    import spark.implicits._
+    // "u v w x" duplicated AND "v w x y" duplicated → doc 0 loses u..y
+    val docs = Seq(
+      (0L, "s u v w x y t"),
+      (1L, "u v w x"),
+      (2L, "v w x y")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.substringDedup(docs, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got(0L) === "s t")
+  }
 }
