@@ -1729,6 +1729,31 @@ object TrainingQueries {
             .otherwise(col("text")).as("text")),
         "doc_id", "text", n = 8)),
 
+    // ---- ingest-time twin: the dup-span set frozen from the batch corpus
+    // cleans ARRIVING docs — span formation is row-local on the stream,
+    // the membership test a stream-static join, per-doc start lists a
+    // complete-mode aggregation; excision happens on the scored result
+    "substring_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val planted = docs(s, dir).select(col("doc_id").cast("long"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" p0 p1 p2 p3 p4 p5 p6 p7")))
+          .otherwise(col("text")).as("text"))
+      val dup = Dedup.spanStarts(planted, "doc_id", "text", n = 8)
+        .groupBy("span").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("span")
+      val rows = planted.as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val agg = Dedup
+        .spanStarts(src.toDF().toDF("doc_id", "text"), "doc_id", "text", n = 8)
+        .join(dup, Seq("span"))
+        .groupBy("doc_id").agg(collect_list(col("s")).as("starts"))
+      val scored = graft.SparkEntry.streamReplay(s, src, agg,
+        rows.toIndexedSeq, Nil, "complete", "graft_sdd_stream")
+      Dedup.exciseWith(planted, "doc_id", "text", n = 8, scored)
+    }),
+
     // ---- schema-on-read over the events.props JSON blob: extraction is a
     // row-local codegen'd path expression (get_json_object), no UDF.
     // try_cast, not cast: under ANSI a non-integer k would throw; with
@@ -2459,23 +2484,8 @@ object TrainingQueries {
     "lm_bigram_score" -> lmBigramOracle,
     "lm_bigram_score_stream" -> lmBigramOracle,
 
-    "substring_dedup" ->
-      ("WITH sdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
-        "THEN text || ' p0 p1 p2 p3 p4 p5 p6 p7' ELSE text END AS text FROM documents), " +
-        tokCte("sdocs") + ", " +
-        "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i " +
-        "FROM tok WHERE len(t) >= 8), " +
-        "spn AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span FROM pos), " +
-        "d AS (SELECT span FROM spn GROUP BY span HAVING count(*) >= 2), " +
-        "ds AS (SELECT doc_id, list(i) AS starts FROM spn JOIN d USING (span) GROUP BY doc_id), " +
-        "k AS (SELECT tok.doc_id, t, coalesce(ds.starts, []) AS starts " +
-        "FROM tok LEFT JOIN ds USING (doc_id)), " +
-        "f AS (SELECT doc_id, len(t) AS ntok, list_filter(t, (x, i) -> " +
-        "len(list_filter(starts, st -> i >= st AND i <= st + 7)) = 0) AS kept FROM k) " +
-        // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
-        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, " +
-        "CAST(ntok - len(kept) AS BIGINT) AS n_removed, " +
-        "coalesce(array_to_string(kept, ' '), '') AS clean_text FROM f"),
+    "substring_dedup" -> substringDedupOracle,
+    "substring_dedup_stream" -> substringDedupOracle,
 
     "bpe_top_merges" ->
       ("WITH " + tokCte("documents") + ", " +
@@ -2487,6 +2497,26 @@ object TrainingQueries {
         "g AS (SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY p1, p2) " +
         "SELECT p1, p2, cnt FROM g ORDER BY cnt DESC, p1, p2 LIMIT 40")
   )
+
+  // one SQL, two gates: the stream twin excises against the dup-span set
+  // frozen from the same corpus, so its fixpoint IS the batch answer
+  private val substringDedupOracle: String =
+    "WITH sdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+      "THEN text || ' p0 p1 p2 p3 p4 p5 p6 p7' ELSE text END AS text FROM documents), " +
+      tokCte("sdocs") + ", " +
+      "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i " +
+      "FROM tok WHERE len(t) >= 8), " +
+      "spn AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span FROM pos), " +
+      "d AS (SELECT span FROM spn GROUP BY span HAVING count(*) >= 2), " +
+      "ds AS (SELECT doc_id, list(i) AS starts FROM spn JOIN d USING (span) GROUP BY doc_id), " +
+      "k AS (SELECT tok.doc_id, t, coalesce(ds.starts, []) AS starts " +
+      "FROM tok LEFT JOIN ds USING (doc_id)), " +
+      "f AS (SELECT doc_id, len(t) AS ntok, list_filter(t, (x, i) -> " +
+      "len(list_filter(starts, st -> i >= st AND i <= st + 7)) = 0) AS kept FROM k) " +
+      // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+      "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, " +
+      "CAST(ntok - len(kept) AS BIGINT) AS n_removed, " +
+      "coalesce(array_to_string(kept, ' '), '') AS clean_text FROM f"
 
   // one SQL, two gates: the stream twin scores against the dict trained
   // on the same corpus, so its fixpoint IS the batch answer

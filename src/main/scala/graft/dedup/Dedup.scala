@@ -526,25 +526,25 @@ object Dedup {
     * removed-start lists aggregate to O(doc length) each. The only new
     * state vs [[spanDupStats]] is the per-doc start list — bounded by the
     * doc's own span count, never corpus-sized. */
-  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int): DataFrame = {
+  /** Positioned n-token spans: (doc_id, s, span) with s the 1-based start.
+    * Row-local (works on a streaming DataFrame too). */
+  def spanStarts(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
     require(n > 0, s"span length $n must be positive")
     val t = tokens(col(textCol))
     val spansArr = when(size(t) < n, array().cast("array<struct<s:long,span:string>>"))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => struct((i + 1).cast("long").as("s"),
           array_join(slice(t, i + 1, lit(n)), " ").as("span"))))
-    val spans = docs.select(col(idCol).as("doc_id"), explode(spansArr).as("p"))
+    docs.select(col(idCol).as("doc_id"), explode(spansArr).as("p"))
       .select(col("doc_id"), col("p.s").as("s"), col("p.span").as("span"))
-      .localCheckpoint()
-    // ≥ 2 occurrences ANYWHERE (a within-doc repeat is as much a dup as a
-    // cross-doc one — this is what distinguishes excision from the
-    // distinct-doc counting above)
-    val dup = spans.groupBy("span").agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2).select("span")
-    val dupStarts = spans.join(dup, Seq("span"), "left_semi")
-      .groupBy("doc_id").agg(collect_list(col("s")).as("starts"))
-    docs.select(col(idCol).as("doc_id"), t.as("t"))
+  }
+
+  /** Excise every token of `docs` covered by a start in `dupStarts`
+    * (doc_id, starts: array<long>); docs absent from it keep everything. */
+  def exciseWith(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                 dupStarts: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("t"),
         coalesce(col("starts"), array().cast("array<long>")).as("starts"))
@@ -556,5 +556,17 @@ object Dedup {
         size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(transform(col("kept"), p => p.getField("w")), " ").as("clean_text"))
+
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val spans = spanStarts(docs, idCol, textCol, n).localCheckpoint()
+    // ≥ 2 occurrences ANYWHERE (a within-doc repeat is as much a dup as a
+    // cross-doc one — this is what distinguishes excision from the
+    // distinct-doc counting above)
+    val dup = spans.groupBy("span").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("span")
+    val dupStarts = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("s")).as("starts"))
+    exciseWith(docs, idCol, textCol, n, dupStarts)
   }
 }
