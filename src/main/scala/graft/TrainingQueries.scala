@@ -1019,6 +1019,31 @@ object TrainingQueries {
         round(TextOps.dupNgramFrac(t, 3), 6).as("dup_3gram_frac"))
     }),
 
+    // ---- Gopher-rules composite curation filter: four document-level
+    // rules folded into one integer fail-mask + keep verdict (bit ⇔ rule,
+    // TextOps.curationFailMask — per-rule attrition stays auditable, which
+    // a bare boolean would lose). Keeps 150/500 at sf0.01; every rule
+    // fails somewhere on the fixture (non-vacuous in both directions).
+    "curation_rules" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.curationFailMask(col("text")).as("fail_mask"))
+        .withColumn("keep", col("fail_mask") === 0L)),
+
+    // ---- C4 line-level cleaning: the fixture docs are single-line, so
+    // the entry PLANTS line structure deterministically (every ' line '
+    // token becomes a '.\n' break; two appended lines — one too short to
+    // keep, one qualifying) and then excises lines with <5 words or no
+    // terminal period. Every doc drops ≥1 line at sf0.01; kept counts
+    // span 1..7 of 3..10 lines.
+    "c4_line_filter" -> ((s, dir) => {
+      val planted = concat(
+        replace(col("text"), lit(" line "), lit(".\n")),
+        lit("\nshort one.\nthe quick planted line ends with a period here."))
+      val (nLines, nKept, clean) = TextOps.lineFilter(planted, minWords = 5)
+      docs(s, dir).select(col("doc_id"), nLines.as("n_lines"),
+        nKept.as("n_kept"), clean.as("clean_text"))
+    }),
+
     // ---- deterministic stratified sampling: hash-gate membership (pure
     // function of doc_id — rerun/partitioning/scale invariant, unlike
     // df.sample's per-partition RNG); per-language rates ride a broadcast
@@ -2111,6 +2136,27 @@ object TrainingQueries {
         "x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t) END, 6) AS top_tok_frac, " +
         "round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6) AS dup_3gram_frac " +
         "FROM g"),
+    "curation_rules" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "m AS (SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n, " +
+        "CAST(len(list_distinct(t)) AS BIGINT) AS nd, " +
+        "len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop, " +
+        "CAST(length(regexp_replace(trim(documents.text), '\\s', '', 'g')) AS BIGINT) AS alpha " +
+        "FROM tok JOIN documents USING (doc_id)), " +
+        "r AS (SELECT doc_id, CAST(" +
+        "CASE WHEN n BETWEEN 20 AND 80 THEN 0 ELSE 1 END " +
+        "+ CASE WHEN stop >= 1 THEN 0 ELSE 2 END " +
+        "+ CASE WHEN 2*nd >= n THEN 0 ELSE 4 END " +
+        "+ CASE WHEN alpha BETWEEN 4*n AND 5*n THEN 0 ELSE 8 END AS BIGINT) AS fail_mask FROM m) " +
+        "SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM r"),
+    "c4_line_filter" ->
+      ("WITH d AS (SELECT doc_id, replace(text, ' line ', '.' || chr(10)) || chr(10) || " +
+        "'short one.' || chr(10) || 'the quick planted line ends with a period here.' AS t2 FROM documents), " +
+        "l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d), " +
+        "k AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, " +
+        "list_filter(ls, x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5 AND x LIKE '%.') AS kept FROM l) " +
+        "SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "array_to_string(kept, chr(10)) AS clean_text FROM k"),
     "sample_stratified" ->
       (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),

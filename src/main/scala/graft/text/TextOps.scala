@@ -205,4 +205,49 @@ object TextOps {
     when(size(g) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
   }
+
+  /** Gopher-style document-level curation rules (Rae et al. 2021 §A1.1),
+    * composed into the single keep/drop decision a filtering pass makes.
+    * Returns a fail-mask bitset — bit set ⇔ rule FAILED, 0 ⇔ keep:
+    *
+    *  - bit 0: token count outside [minTok, maxTok]
+    *  - bit 1: no stopword marker present ([[enMarkers]])
+    *  - bit 2: duplicate-token fraction above 1/2 (2·distinct < n)
+    *  - bit 3: mean word length outside [4, 5] chars (4n ≤ alpha ≤ 5n)
+    *
+    * Every rule is an INTEGER comparison (counts and cross-multiplied
+    * bounds, never a float ratio), so the mask is bit-identical across
+    * engines and the DuckDB oracle replays it exactly. A mask, not a
+    * boolean, because production curation wants per-rule attrition
+    * accounting (which rule killed how many docs), not just the verdict.
+    * Pure row-local codegen'd expressions: zero shuffle, zero UDF —
+    * at 100 TB this is a map-only scan whose cost is the parquet read. */
+  def curationFailMask(text: Column, minTok: Int = 20, maxTok: Int = 80): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("long")
+    val nd = size(array_distinct(t)).cast("long")
+    val stop = markerCount(t, enMarkers)
+    val alpha = length(regexp_replace(trim(text), "\\s", "")).cast("long")
+    val lenFail = when(n >= minTok && n <= maxTok, lit(0L)).otherwise(lit(1L))
+    val stopFail = when(stop >= 1, lit(0L)).otherwise(lit(2L))
+    val dupFail = when(nd * 2 >= n, lit(0L)).otherwise(lit(4L))
+    val wlFail = when(alpha >= n * 4 && alpha <= n * 5, lit(0L)).otherwise(lit(8L))
+    lenFail + stopFail + dupFail + wlFail
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines with at least `minWords` whitespace words that end in a
+    * terminal period; everything else (navigation stubs, truncated
+    * fragments, boilerplate shards) is excised and the survivors are
+    * re-joined. Returns (n_lines, n_kept, clean_text).
+    *
+    * Row-local higher-order functions only (split → filter → array_join):
+    * zero shuffle, whole-stage-codegen'd — the intra-document complement
+    * of [[graft.dedup.Dedup]]'s corpus-level substring excision. */
+  def lineFilter(text: Column, minWords: Int = 5): (Column, Column, Column) = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, x =>
+      size(split(trim(x), "\\s+")) >= minWords && endswith(x, lit(".")))
+    (size(lines).cast("long"), size(kept).cast("long"), array_join(kept, "\n"))
+  }
 }

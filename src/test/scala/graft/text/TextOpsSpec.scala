@@ -70,4 +70,46 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // negatives beat corrupting arithmetic like 555-010-2345 elsewhere)
     assert(got(rows(4)) === ((rows(4), 0L, 0L)))
   }
+
+  test("curationFailMask: each rule bit fires alone and composes") {
+    import spark.implicits._
+    // 24 distinct 5-char words + 4 stopwords: n=28, distinct=28, alpha=130
+    // ∈ [4n,5n]=[112,140] — all four rules pass
+    val ok = (1 to 24).map(i => f"wd$i%03d").mkString(" ") + " the is of and"
+    val rows = Seq(
+      ok,                                               // 0: keep
+      "and slope crane forks",                          // 1: too short (4 toks; alpha 18 ∈ [16,20])
+      (1 to 30).map(i => f"x$i%03d").mkString(" "),     // 2: no stopword marker
+      (("dup " * 26) + "the is").trim,                  // 4 (+8): dup-heavy
+      (1 to 24).map(i => f"longword$i%02d").mkString(" ") +
+        " the is of and",                               // 8: mean word len > 5
+      "")                                               // empty: len+stop fail
+    val got = rows.toDF("text")
+      .select(col("text"), TextOps.curationFailMask(col("text")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got(rows(0)) == 0L)
+    assert(got(rows(1)) == 1L)
+    assert(got(rows(2)) == 2L)
+    assert((got(rows(3)) & 4L) == 4L)
+    assert(got(rows(4)) == 8L)
+    assert(got(rows(5)) == 3L) // 0 toks: len fails, stop fails; dup/wordlen vacuous-pass
+  }
+
+  test("lineFilter: short and unterminated lines are excised, survivors re-joined") {
+    import spark.implicits._
+    val doc = "this first line is long enough to keep.\nshort one.\n" +
+      "this line has enough words but no terminal period\n" +
+      "the final line also qualifies with its period."
+    val (nl, nk, clean) = TextOps.lineFilter(col("text"), minWords = 5)
+    val r = Seq(doc).toDF("text")
+      .select(nl.as("n_lines"), nk.as("n_kept"), clean.as("clean"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getString(2) ==
+      "this first line is long enough to keep.\nthe final line also qualifies with its period.")
+    // single-line doc with no qualifying line → everything excised
+    val r2 = Seq("nope").toDF("text")
+      .select(nl.as("n_lines"), nk.as("n_kept"), clean.as("clean")).collect()(0)
+    assert(r2.getLong(0) == 1L && r2.getLong(1) == 0L && r2.getString(2) == "")
+  }
 }
