@@ -552,6 +552,28 @@ object TrainingQueries {
       Dedup.jaccardPairsAuto(docs3(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
           maxShingleFreq = 100L)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    // ---- LSH self-audit: precision/recall of the MinHash-LSH pair set
+    // against the exact n-gram-Jaccard ground truth at the same threshold
+    // — the measurement a pipeline runs before trusting an approximate
+    // dedup pass at 100 TB (where exact Jaccard runs on a sample, never
+    // the corpus). tp/fp/fn are exact pair counts; 599/40/1 at sf0.01
+    // (precision 937‰, recall 998‰) — all three cells non-vacuous.
+    "dedup_eval_pr" -> ((s, dir) => {
+      val lsh = Dedup.minhashPairs(docs2(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)
+        .select(col("id_a"), col("id_b"), lit(1L).as("l"))
+      val exact = Dedup.jaccardPairsAuto(docs2(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+      lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("l").isNotNull && col("e").isNotNull, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("l").isNotNull && col("e").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("l").isNull && col("e").isNotNull, 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          floor(col("tp") * 1000 / greatest(col("tp") + col("fp"), lit(1L))).as("precision_milli"),
+          floor(col("tp") * 1000 / greatest(col("tp") + col("fn"), lit(1L))).as("recall_milli"))
+    }),
 
     // ---- benchmark decontamination: docs sharing any word 4-gram with
     // the held-out "benchmark" slice (doc_id % 23 == 0) are flagged with
@@ -1933,15 +1955,19 @@ object TrainingQueries {
     })
   )
 
+  /** Inverted-index exact-Jaccard candidate CTEs (reads sh), shared by
+    * [[jaccardSql]] and the dedup_eval_pr ground-truth side. */
+  private val invCandCtes: String =
+    "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
+      "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
+      "count(*) AS inter FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2, 3, 4)"
+
   /** ONE oracle for both exact-Jaccard forms (portable string keys and
     * xxhash64 index keys) — the fast variant must reproduce the string
     * result bit for bit. */
   private val jaccardSql: String =
-    docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " +
-      "inv AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh), " +
-      "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, " +
-      "count(*) AS inter FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
-      "GROUP BY 1, 2, 3, 4) " +
+    docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " + invCandCtes + " " +
       "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
       "FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"
 
@@ -2360,6 +2386,20 @@ object TrainingQueries {
     "ann_pq_topk" -> pqOracle(m = 4, ksub = 8, k = 5, iters = 1, rerank = 4,
       dim = 64, nQueries = 20),
     "ngram_jaccard_pairs" -> jaccardSql,
+    "dedup_eval_pr" ->
+      (minhashPairsCtes + ", " + invCandCtes +
+        ", lshq AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b " +
+        "HAVING max(est_jaccard) >= 0.5)" +
+        ", exq AS (SELECT id_a, id_b FROM cand " +
+        "WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)" +
+        ", u AS (SELECT l.id_a IS NOT NULL AS in_lsh, e.id_a IS NOT NULL AS in_exact " +
+        "FROM lshq l FULL OUTER JOIN exq e ON l.id_a = e.id_a AND l.id_b = e.id_b)" +
+        ", c AS (SELECT CAST(count(*) FILTER (WHERE in_lsh AND in_exact) AS BIGINT) AS tp, " +
+        "CAST(count(*) FILTER (WHERE in_lsh AND NOT in_exact) AS BIGINT) AS fp, " +
+        "CAST(count(*) FILTER (WHERE NOT in_lsh AND in_exact) AS BIGINT) AS fn FROM u) " +
+        "SELECT tp, fp, fn, " +
+        "CAST(floor(tp * 1000 / greatest(tp + fp, 1)) AS BIGINT) AS precision_milli, " +
+        "CAST(floor(tp * 1000 / greatest(tp + fn, 1)) AS BIGINT) AS recall_milli FROM c"),
     // the hashed-key fast variant must reproduce the EXACT string-keyed
     // result — the oracle is shared, so an xxhash64 collision that changed
     // any intersection would hash-mismatch the gate
