@@ -962,6 +962,39 @@ object SparkEntry {
     // by conv_id — no single-partition funnel)
     "transcript_roles" -> ((s, dir) =>
       graft.transcripts.TranscriptDocs.roleStats(eventTranscripts(s, dir))),
+    // ---- explicit skew handling as oracle-gated entries [north: salting
+    // for hot keys; previously only spec-pinned in OpsSpec] ----
+    // role has ~5 distinct values over EVERY turn in the corpus — the
+    // worst-case group-by skew shape (at 10^12 turns a plain groupBy(role)
+    // funnels ~2*10^11 rows through one reducer). saltedSum fans each hot
+    // key over numSalts deterministic sub-keys (salt = hash(conv_id)),
+    // partial-aggregates on (role, salt), then finalizes on role — result
+    // identical to the plain aggregate (the oracle), no reducer ever owns
+    // a full hot key.
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSum(
+        eventTranscripts(s, dir).select(col("role"), col("conv_id"),
+          length(col("text")).cast("long").as("n_chars")),
+        Seq("role"), "n_chars", numSalts = 8, saltSource = col("conv_id"))),
+    // salted fact⋈dim equi-join: the skewed fact side (lineitem keyed by
+    // suppkey — few suppliers at small SF, hot at any SF) gets a
+    // deterministic salt from l_orderkey, the small dim side is replicated
+    // to every salt, and the join key widens to (suppkey, salt): same rows
+    // as the plain join (the oracle aggregates them), but a hot supplier's
+    // rows spread over 8 reducers instead of one. This is the manual form
+    // of what AQE skew-join does at runtime — needed when the skew is in a
+    // stateful/streaming join AQE cannot rewrite.
+    "skew_salted_join" -> ((s, dir) => {
+      val fact = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val dim = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, Seq("suppkey"),
+          numSalts = 8, saltSource = col("l_orderkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty"))
+    }),
     // per-conversation response-latency aggregates: exact integer micros
     // over consecutive-turn gaps — all-integer (n/min/max/sum), so the
     // O(1)-state streaming twin below reproduces them hash-exactly
@@ -1577,6 +1610,15 @@ object SparkEntry {
         "SELECT conv_id, count(*) AS n_turns, " +
         "CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats " +
         "FROM l GROUP BY conv_id"),
+    // the salted forms must be indistinguishable from the plain ones
+    "skew_salted_agg" ->
+      (transcriptsCte + " SELECT role, CAST(sum(length(text)) AS BIGINT) " +
+        "AS n_chars FROM t GROUP BY role"),
+    "skew_salted_join" ->
+      ("SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey"),
     "turn_latency" -> latencyOracle,
     "turn_latency_stream" -> latencyOracle,
     // the dedup'd stream must converge to exactly the batch relation
