@@ -212,4 +212,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("Filter \\(_b#\\d+ = coalesce\\(_cb#\\d+".r
       .findFirstIn(plan.replace("\n", " ")).isDefined, plan.take(1200))
   }
+
+  test("skew_salted_agg: the wide shuffle keys on (role, salt), not role alone") {
+    assume(available)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // the salted form's first (wide) exchange must carry BOTH the hot key
+    // and the salt — hash-partitioning on role alone is exactly the
+    // one-reducer-per-hot-key funnel the entry exists to refute
+    val shuffles = unwrapped("skew_salted_agg").collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    val hashKeys = shuffles.collect { case h: HashPartitioning =>
+      h.expressions.map(_.toString) }
+    assert(hashKeys.exists(ks => ks.exists(_.contains("role")) &&
+      ks.exists(_.contains("_salt"))),
+      s"expected a (role, _salt) exchange; got $hashKeys")
+  }
+
+  test("skew_salted_join joins on the widened (suppkey, salt) key") {
+    assume(available)
+    // after salting, no equi-join may key on suppkey alone: the join key
+    // must include the salt so a hot supplier's rows spread over numSalts
+    // reducers (dim replicated per salt by the explode)
+    val plan = physicalPlan("skew_salted_join")
+    val flat = plan.replace("\n", " ")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[suppkey#\\d+L?, _salt#\\d+L?\\]".r
+      .findFirstIn(flat).isDefined, plan.take(1200))
+  }
 }
