@@ -46,6 +46,67 @@ object TrainingQueries {
   private val docs3Cte = docs2Cte +
     ", docs3 AS (SELECT doc_id, text || ' zq0 zq1 zq2 zq3' AS text FROM docs2)"
 
+  /** Near-dup mutant line for the composed curation pipeline: must survive
+    * the C4 line filter (≥5 words, terminal period) and must NOT contain
+    * ' line ' (the clean stage's planted break token), so the mutant
+    * differs from its base by exactly one KEPT line after cleaning —
+    * unlike docs2's ' xyzzy' suffix, which the line filter would excise
+    * (the raw tail line has no terminal period). */
+  private val curateMutantLine =
+    "xyzzy planted mutant sentence ends with a period too."
+
+  /** The composed curation pipeline behind `pipeline_curate` /
+    * `pipeline_curate_stats`: returns (corpus, curated, exactKept,
+    * nearDupSurvivors, final) so the stats twin audits the same chain.
+    *
+    * Stage shapes at 100 TB: clean + quality filter are row-local
+    * codegen'd expressions (map-only over the scan); exact dedup is one
+    * hash-shuffle keyed on the cleaned text (Spark's hash aggregate —
+    * grouping the full text is the exact-correct form; a 64-bit
+    * fingerprint pre-key would risk collision merges); near-dup is
+    * band-bucketed MinHash candidates + large-star/small-star components
+    * (never all-pairs, never driver state); decontamination broadcasts
+    * the eval-set shingles (benchmarks are small by construction). */
+  private def curatePipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val base = d
+      .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit("\n" + curateMutantLine)).as("text")))
+      .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"),
+        col("text")))
+    val bench = d.where(pmod(col("doc_id"), lit(23L)) === 0L)
+    val corp = base.where(pmod(col("doc_id"), lit(23L)) =!= 0L)
+    // stage 1: C4 line-level cleaning (same planted line structure as the
+    // standalone c4_line_filter entry — the fixture docs are single-line)
+    val plantedText = concat(
+      replace(col("text"), lit(" line "), lit(".\n")),
+      lit("\nshort one.\nthe quick planted line ends with a period here."))
+    val (_, _, clean) = TextOps.lineFilter(plantedText, minWords = 5)
+    val cleaned = corp.select(col("doc_id"), clean.as("text"))
+    // stage 2: Gopher-rules composite quality filter on the CLEANED text
+    val curated = cleaned.where(TextOps.curationFailMask(col("text")) === 0L)
+    // stage 3: exact dedup — identical cleaned docs collapse to min id
+    val exact = curated.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    // stage 4: near-dup keep-one (MinHash-LSH candidates → components)
+    val pairs = Dedup.minhashPairs(exact, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5, hash = Dedup.PortableHash)
+    val surv = ConnectedComponents.run(pairs, "id_a", "id_b",
+        vertices = Some(exact.select("doc_id")))
+      .where(col("node") === col("component"))
+      .select(col("node").as("doc_id"))
+      .join(exact, "doc_id")
+    // stage 5: benchmark decontamination (4-gram overlap with the held-out
+    // eval split, broadcast semi-join) — flagged docs are excised
+    val flagged = Dedup.decontaminate(surv, bench, "doc_id", "text", n = 4)
+    val fin = surv.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("text"))
+    (corp, curated, exact, surv, fin)
+  }
+
   /** The TF-IDF pair corpus: the synthetic vocabulary is ~32 terms with
     * document frequency ~776/1000 — EVERY term is a stop word, so a df-cut
     * TF-IDF gate over the raw corpus would be vacuous (nothing survives the
@@ -111,15 +172,20 @@ object TrainingQueries {
   /** docs2 → minhash signatures → LSH bands → shared-band pair candidates
     * with full-signature estimated jaccard (the CTE chain shared by the
     * pair query and the streaming-dedup keeper oracle). */
-  private val minhashPairsCtes =
-    docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " + hsCte + ", " +
-      "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i -> coalesce(" +
+  /** sig → bands → candidate pairs (reads CTE `hs`); shared by the docs2
+    * pair chain below and the composed curation pipeline's oracle. */
+  private val sigBandsPairsCtes =
+    "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i -> coalesce(" +
       "list_min(list_transform(hs, h -> (h * (2*i + 1) + (17*i + 3)) % 1000003)), 1000003)) AS sig FROM hs), " +
       "bands AS (SELECT doc_id, sig, j AS bidx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "sig[j*4+1:j*4+4]), (a, b) -> (a * 131 + b) % 1000003) AS bkey FROM sig, generate_series(0, 3) g(j)), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
       "len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard " +
       "FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"
+
+  private val minhashPairsCtes =
+    docs2Cte + ", " + tokCte("docs2") + ", " + shCte + ", " + hsCte + ", " +
+      sigBandsPairsCtes
   // sequential-fold double dot product of embedding slices a/b (1-indexed)
   private def dotSql(a: String, b: String, dim: Int) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), " +
@@ -1064,6 +1130,34 @@ object TrainingQueries {
       val (nLines, nKept, clean) = TextOps.lineFilter(planted, minWords = 5)
       docs(s, dir).select(col("doc_id"), nLines.as("n_lines"),
         nKept.as("n_kept"), clean.as("clean_text"))
+    }),
+
+    // ---- END-TO-END CURATION PIPELINE (capstone): the catalog's stages
+    // composed in production order — C4 line cleaning → Gopher-rules
+    // quality filter → exact dedup → MinHash-LSH near-dup keep-one →
+    // benchmark decontamination — over a corpus with planted exact
+    // duplicates (+200000, byte-identical), planted near-dup mutants
+    // (+100000, one extra clean-surviving line), and a held-out benchmark
+    // split (doc_id % 23 == 0). One DuckDB CTE chain replays every stage,
+    // so the gate proves the stages COMPOSE, not just pass in isolation.
+    // Each stage keeps its catalog entry's 100-TB shape: map-only scans
+    // for clean/filter, one text-keyed shuffle for exact dedup, band-
+    // bucketed candidates + O(log² n) keyed-shuffle components for
+    // near-dup, and a broadcast semi-join for decontamination.
+    "pipeline_curate" -> ((s, dir) => curatePipeline(s, dir)._5),
+
+    // attrition-audit twin: per-stage surviving-doc counts (what a
+    // production curation run actually reports) from the SAME composed
+    // chain — one distributed union-of-aggregates job, no driver loop
+    "pipeline_curate_stats" -> ((s, dir) => {
+      val (corp, curated, exact, surv, fin) = curatePipeline(s, dir)
+      Seq("1_corpus" -> corp, "2_curated" -> curated, "3_exact" -> exact,
+          "4_near_dup" -> surv, "5_final" -> fin)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(n).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _)
     }),
 
     // ---- deterministic stratified sampling: hash-gate membership (pure
@@ -2017,6 +2111,49 @@ object TrainingQueries {
       "csh AS (SELECT doc_id, unnest(sh) AS s FROM sh4 WHERE doc_id % 23 <> 0) " +
       "SELECT csh.doc_id, count(*) AS n_hits FROM csh JOIN bsh USING (s) GROUP BY 1"
 
+  /** The composed curation pipeline replayed stage by stage in DuckDB —
+    * shared by pipeline_curate (final docs) and pipeline_curate_stats
+    * (per-stage attrition). Mirrors [[curatePipeline]] exactly; every
+    * fragment is the proven oracle of its standalone catalog entry
+    * (c4_line_filter, curation_rules, minhash pair chain,
+    * dedup_cluster_keep's recursive components, decontaminate_ngram). */
+  private val curatePipelineCtes: String =
+    "WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents), " +
+      "base AS (SELECT doc_id, text FROM d0 " +
+      s"UNION ALL SELECT doc_id + 100000, text || chr(10) || '$curateMutantLine' FROM d0 " +
+      "UNION ALL SELECT doc_id + 200000, text FROM d0), " +
+      "corp AS (SELECT doc_id, text FROM base WHERE doc_id % 23 <> 0), " +
+      "pl AS (SELECT doc_id, replace(text, ' line ', '.' || chr(10)) || chr(10) || " +
+      "'short one.' || chr(10) || 'the quick planted line ends with a period here.' AS t2 FROM corp), " +
+      "cleaned AS (SELECT doc_id, array_to_string(list_filter(string_split(t2, chr(10)), " +
+      "x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5 AND x LIKE '%.'), chr(10)) AS text FROM pl), " +
+      "ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, text FROM cleaned), " +
+      "cm AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n, CAST(len(list_distinct(t)) AS BIGINT) AS nd, " +
+      "len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop, " +
+      "CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS BIGINT) AS alpha FROM ctok), " +
+      "curated AS (SELECT c.doc_id, c.text FROM cleaned c JOIN cm USING (doc_id) " +
+      "WHERE n BETWEEN 20 AND 80 AND stop >= 1 AND 2*nd >= n AND alpha BETWEEN 4*n AND 5*n), " +
+      "exact AS (SELECT min(doc_id) AS doc_id, text FROM curated GROUP BY text), " +
+      tokCte("exact") + ", " + shCte + ", " + hsCte + ", " + sigBandsPairsCtes + ", " +
+      "q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b HAVING max(est_jaccard) >= 0.5), " +
+      "e2 AS (SELECT id_a AS u, id_b AS v FROM q UNION SELECT id_b, id_a FROM q), " +
+      "lab(n, l) AS (SELECT doc_id, doc_id FROM exact " +
+      "UNION SELECT e2.v, lab.l FROM lab JOIN e2 ON e2.u = lab.n WHERE lab.l < e2.v), " +
+      "keeper AS (SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n), " +
+      "surv AS (SELECT e.doc_id, e.text FROM exact e JOIN keeper k ON e.doc_id = k.doc_id " +
+      "WHERE k.keep_id = e.doc_id), " +
+      "stok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM surv), " +
+      "ssh AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
+      "i -> array_to_string(t[i:i+3], ' '))) END AS sh FROM stok), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM d0 WHERE doc_id % 23 = 0), " +
+      "bsh AS (SELECT DISTINCT unnest(CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
+      "i -> array_to_string(t[i:i+3], ' '))) END) AS s FROM btok), " +
+      "hits AS (SELECT DISTINCT c.doc_id FROM (SELECT doc_id, unnest(sh) AS s FROM ssh) c JOIN bsh USING (s)), " +
+      "fin AS (SELECT s.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, s.text FROM surv s " +
+      "JOIN stok t USING (doc_id) WHERE s.doc_id NOT IN (SELECT doc_id FROM hits))"
+
   /** Highest-seq-wins replay of [[cdcLog]]; shared by the batch apply and
     * the scrambled streaming fold. */
   private val cdcOracle: String =
@@ -2183,6 +2320,15 @@ object TrainingQueries {
         "list_filter(ls, x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5 AND x LIKE '%.') AS kept FROM l) " +
         "SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept, " +
         "array_to_string(kept, chr(10)) AS clean_text FROM k"),
+    "pipeline_curate" ->
+      (curatePipelineCtes + " SELECT doc_id, n_tokens, text FROM fin"),
+    "pipeline_curate_stats" ->
+      (curatePipelineCtes +
+        " SELECT '1_corpus' AS stage, count(*) AS n_docs FROM corp" +
+        " UNION ALL SELECT '2_curated', count(*) FROM curated" +
+        " UNION ALL SELECT '3_exact', count(*) FROM exact" +
+        " UNION ALL SELECT '4_near_dup', count(*) FROM surv" +
+        " UNION ALL SELECT '5_final', count(*) FROM fin"),
     "sample_stratified" ->
       (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),
