@@ -1228,6 +1228,22 @@ object TrainingQueries {
       graft.sketch.HyperLogLog.registers(docs(s, dir), "text", m = 32)),
     "sketch_hll_distinct" -> ((s, dir) =>
       graft.sketch.HyperLogLog.distinctEstimate(docs(s, dir), "text", m = 32)),
+    // native Catalyst AGGREGATE twin: graft_hll_registers(h, m) is a
+    // TypedImperativeAggregate (m-BYTE buffer per group, byte-wise-max
+    // merge, ObjectHashAggregate partials — the shuffle carries one
+    // sketch per (group, partition), never a row per input), registered
+    // through SparkSessionExtensions and written as plain SQL GROUP BY.
+    // Grouped by lang so per-GROUP buffers and partial merges are both
+    // exercised; exploded registers gate against the same arithmetic.
+    "sketch_hll_sql_agg" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_hll_sql_docs")
+      s.sql("SELECT lang, graft_hll_registers(graft_polyhash(text), 32) AS regs " +
+          "FROM graft_hll_sql_docs GROUP BY lang")
+        .select(col("lang"), posexplode(col("regs")).as(Seq("bucket", "rho")))
+        .where(col("rho") > 0L)
+        .select(col("lang"), col("bucket").cast("long"), col("rho"))
+    }),
     // streaming twin: the register table as a COMPLETE-mode streaming
     // aggregation (register = running max(rho) per bucket — max is the
     // mergeable HLL combine, so the converged sink must equal the batch
@@ -2355,6 +2371,14 @@ object TrainingQueries {
         graft.text.Bm25.oracleCtes("['spark', 'hash', 'join']", k = 20)),
     "sketch_hll_registers" ->
       (hllRegCtes + " SELECT bucket, rho FROM reg"),
+    "sketch_hll_sql_agg" ->
+      ("WITH hsrc AS (SELECT lang, text AS s FROM documents), " +
+        s"h AS (SELECT lang, $phLambda AS h FROM hsrc), " +
+        "g AS (SELECT lang, (h * 48271 + 3) % 1000003 AS g0, " +
+        "(h * 16807 + 17) % 1000003 AS g1 FROM h), " +
+        "reg AS (SELECT lang, CAST((g0 * 32) // 1000003 AS BIGINT) AS bucket, " +
+        "CAST(max(len(list_filter(generate_series(1, 20), k -> g1 % (1 << k) = 0)) + 1) AS BIGINT) AS rho " +
+        "FROM g GROUP BY 1, 2) SELECT lang, bucket, rho FROM reg"),
     "sketch_hll_stream" ->
       (hllRegCtes + " SELECT bucket, rho FROM reg"),
     "sketch_hll_distinct" ->

@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_polyhash(str)            — portable polynomial string hash
   *   graft_minhash_sig(hashes, k)   — k MinHash minima in one pass
   *   graft_simhash_sig(hashes)      — 64-bit SimHash as 4×16-bit bands
+  *   graft_hll_registers(h, m)      — HLL register AGGREGATE (m-byte
+  *                                    buffer, map-side partial merge)
   *
   * Two entry points, same registrations: set
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session build
@@ -50,6 +52,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_simhash_sig(array<bigint>)")
         SimHashSig(args.head)
+      }),
+    (new FunctionIdentifier("graft_hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll_registers"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_hll_registers(bigint, m)")
+        HllRegisters(args.head, intLiteral("graft_hll_registers", args(1)))
+          .toAggregateExpression()
       }))
 
   /** Registers the functions on a LIVE session (the extensions config only

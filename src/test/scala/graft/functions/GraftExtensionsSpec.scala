@@ -55,7 +55,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; functions list is the contract
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
-      Set("graft_polyhash", "graft_minhash_sig", "graft_simhash_sig"))
+      Set("graft_polyhash", "graft_minhash_sig", "graft_simhash_sig",
+        "graft_hll_registers"))
     val mh = GraftExtensions.functions.find(_._1.funcName == "graft_minhash_sig").get._3
     val built = mh(Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
       Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
@@ -66,5 +67,44 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       mh(Seq(org.apache.spark.sql.catalyst.expressions.Literal(1L),
         org.apache.spark.sql.catalyst.expressions.Literal("x")))
     }
+  }
+
+  test("graft_hll_registers aggregate == DataFrame registers form") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // enough distinct keys that every m=32 register is contended, spread
+    // over 8 partitions so ObjectHashAggregate partial merges are real
+    val keys = (0 until 500).map(i => s"key_$i")
+    val df = spark.createDataset(keys).toDF("text").repartition(8)
+    df.createOrReplaceTempView("hll_agg_docs")
+    val viaSql = spark.sql(
+        "SELECT graft_hll_registers(graft_polyhash(text), 32) AS regs " +
+          "FROM hll_agg_docs")
+      .select(posexplode(col("regs")).as(Seq("bucket", "rho")))
+      .where(col("rho") > 0L)
+      .select(col("bucket").cast("long"), col("rho"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val viaDf = graft.sketch.HyperLogLog.registers(df, "text", m = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(viaSql.toSeq == viaDf.toSeq)
+    assert(viaSql.length > 20) // registers genuinely contended
+    // grouped form: per-group buffers stay independent
+    val grouped = spark.createDataset(keys.map(k => (k.hashCode % 3, k)))
+      .toDF("g", "text").repartition(8)
+    grouped.createOrReplaceTempView("hll_agg_grouped")
+    val perGroup = spark.sql(
+        "SELECT g, graft_hll_registers(graft_polyhash(text), 32) AS regs " +
+          "FROM hll_agg_grouped GROUP BY g")
+      .select(col("g"), posexplode(col("regs")).as(Seq("bucket", "rho")))
+      .where(col("rho") > 0L)
+      .select(col("g"), col("bucket").cast("long"), col("rho"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val perGroupDf = grouped.select(col("g"),
+        graft.text.TextOps.polyHash(col("text")).as("h"))
+      .groupBy(col("g"),
+        graft.sketch.HyperLogLog.bucket(col("h"), 32).as("bucket"))
+      .agg(max(graft.sketch.HyperLogLog.rho(col("h"))).cast("long").as("rho"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(perGroup.toSeq == perGroupDf.toSeq)
   }
 }

@@ -198,6 +198,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("pipeline_curate: broadcast decon join, no cartesian, no global window") {
+    assume(available)
+    // the composed five-stage pipeline must keep each stage's scale shape:
+    // the decontamination join broadcasts the eval-set shingles, nothing
+    // in the chain degenerates to a cartesian product, and no window runs
+    // unpartitioned (single-task) anywhere in the final plan
+    val plan = unwrapped("pipeline_curate")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s.take(800))
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, "cartesian")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("mix_token_budget: every window is group-partitioned and fed by the crossing-bucket filter") {
     assume(available)
     import org.apache.spark.sql.execution.window.WindowExec
