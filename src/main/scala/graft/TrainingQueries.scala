@@ -1160,6 +1160,45 @@ object TrainingQueries {
         .reduce(_ unionByName _)
     }),
 
+    // ingest-time streaming twin: the pipeline's ROW-LOCAL stages (C4
+    // clean → Gopher-rules filter → benchmark decontamination) run on the
+    // document stream itself — dedup stays a corpus-level batch pass, so
+    // ingest needs NO stream state at all: cleaning and filtering are
+    // codegen'd expressions, and the eval-set shingles ride a one-row
+    // broadcast array met by a stream-static equi-join, with the overlap
+    // count a row-local array_intersect. Append mode, zero watermarks,
+    // zero state stores — the shape that keeps 100-TB/day ingest at scan
+    // speed. Oracle = the same three stages replayed in batch.
+    "pipeline_ingest_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir).select("doc_id", "text")
+      val benchArr = d.where(pmod(col("doc_id"), lit(23L)) === 0L)
+        .select(explode(Dedup.shingles(col("text"), 4)).as("sh4")).distinct()
+        .agg(collect_list(col("sh4")).as("bench_sh"))
+        .withColumn("k", lit(1))
+      val rows = d.where(pmod(col("doc_id"), lit(23L)) =!= 0L)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val plantedText = concat(
+        replace(col("text"), lit(" line "), lit(".\n")),
+        lit("\nshort one.\nthe quick planted line ends with a period here."))
+      val (_, _, clean) = TextOps.lineFilter(plantedText, minWords = 5)
+      val out = src.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), clean.as("text"))
+        .where(TextOps.curationFailMask(col("text")) === 0L)
+        .withColumn("k", lit(1))
+        .join(broadcast(benchArr), "k")
+        .where(size(array_intersect(
+          Dedup.shingles(col("text"), 4), col("bench_sh"))) === 0)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          col("text"))
+      SparkEntry.streamReplay(s, src, out, rows.toIndexedSeq, Nil,
+        "append", "graft_ingest_stream")
+    }),
+
     // ---- deterministic stratified sampling: hash-gate membership (pure
     // function of doc_id — rerun/partitioning/scale invariant, unlike
     // df.sample's per-partition RNG); per-language rates ride a broadcast
@@ -2133,14 +2172,11 @@ object TrainingQueries {
     * fragment is the proven oracle of its standalone catalog entry
     * (c4_line_filter, curation_rules, minhash pair chain,
     * dedup_cluster_keep's recursive components, decontaminate_ngram). */
-  private val curatePipelineCtes: String =
-    "WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents), " +
-      "base AS (SELECT doc_id, text FROM d0 " +
-      s"UNION ALL SELECT doc_id + 100000, text || chr(10) || '$curateMutantLine' FROM d0 " +
-      "UNION ALL SELECT doc_id + 200000, text FROM d0), " +
-      "corp AS (SELECT doc_id, text FROM base WHERE doc_id % 23 <> 0), " +
-      "pl AS (SELECT doc_id, replace(text, ' line ', '.' || chr(10)) || chr(10) || " +
-      "'short one.' || chr(10) || 'the quick planted line ends with a period here.' AS t2 FROM corp), " +
+  /** clean → quality-filter fragment: reads CTE `src(doc_id, text)`,
+    * defines pl → cleaned → ctok → cm → curated. */
+  private def curateCleanCtes(src: String): String =
+    s"pl AS (SELECT doc_id, replace(text, ' line ', '.' || chr(10)) || chr(10) || " +
+      s"'short one.' || chr(10) || 'the quick planted line ends with a period here.' AS t2 FROM $src), " +
       "cleaned AS (SELECT doc_id, array_to_string(list_filter(string_split(t2, chr(10)), " +
       "x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5 AND x LIKE '%.'), chr(10)) AS text FROM pl), " +
       "ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, text FROM cleaned), " +
@@ -2148,7 +2184,31 @@ object TrainingQueries {
       "len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop, " +
       "CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS BIGINT) AS alpha FROM ctok), " +
       "curated AS (SELECT c.doc_id, c.text FROM cleaned c JOIN cm USING (doc_id) " +
-      "WHERE n BETWEEN 20 AND 80 AND stop >= 1 AND 2*nd >= n AND alpha BETWEEN 4*n AND 5*n), " +
+      "WHERE n BETWEEN 20 AND 80 AND stop >= 1 AND 2*nd >= n AND alpha BETWEEN 4*n AND 5*n)"
+
+  /** decontamination-keep fragment: reads CTE `src(doc_id, text)` plus
+    * `d0(doc_id, text)` for the held-out bench split, defines
+    * stok → ssh → btok → bsh → hits → fin(doc_id, n_tokens, text). */
+  private def deconKeepCtes(src: String): String =
+    s"stok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src), " +
+      "ssh AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
+      "i -> array_to_string(t[i:i+3], ' '))) END AS sh FROM stok), " +
+      "btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM d0 WHERE doc_id % 23 = 0), " +
+      "bsh AS (SELECT DISTINCT unnest(CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
+      "i -> array_to_string(t[i:i+3], ' '))) END) AS s FROM btok), " +
+      "hits AS (SELECT DISTINCT c.doc_id FROM (SELECT doc_id, unnest(sh) AS s FROM ssh) c JOIN bsh USING (s)), " +
+      s"fin AS (SELECT s.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, s.text FROM $src s " +
+      "JOIN stok t USING (doc_id) WHERE s.doc_id NOT IN (SELECT doc_id FROM hits))"
+
+  private val curatePipelineCtes: String =
+    "WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents), " +
+      "base AS (SELECT doc_id, text FROM d0 " +
+      s"UNION ALL SELECT doc_id + 100000, text || chr(10) || '$curateMutantLine' FROM d0 " +
+      "UNION ALL SELECT doc_id + 200000, text FROM d0), " +
+      "corp AS (SELECT doc_id, text FROM base WHERE doc_id % 23 <> 0), " +
+      curateCleanCtes("corp") + ", " +
       "exact AS (SELECT min(doc_id) AS doc_id, text FROM curated GROUP BY text), " +
       tokCte("exact") + ", " + shCte + ", " + hsCte + ", " + sigBandsPairsCtes + ", " +
       "q AS (SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b HAVING max(est_jaccard) >= 0.5), " +
@@ -2158,17 +2218,17 @@ object TrainingQueries {
       "keeper AS (SELECT n AS doc_id, min(l) AS keep_id FROM lab GROUP BY n), " +
       "surv AS (SELECT e.doc_id, e.text FROM exact e JOIN keeper k ON e.doc_id = k.doc_id " +
       "WHERE k.keep_id = e.doc_id), " +
-      "stok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM surv), " +
-      "ssh AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
-      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
-      "i -> array_to_string(t[i:i+3], ' '))) END AS sh FROM stok), " +
-      "btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM d0 WHERE doc_id % 23 = 0), " +
-      "bsh AS (SELECT DISTINCT unnest(CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[]) " +
-      "ELSE list_distinct(list_transform(generate_series(1, len(t) - 3), " +
-      "i -> array_to_string(t[i:i+3], ' '))) END) AS s FROM btok), " +
-      "hits AS (SELECT DISTINCT c.doc_id FROM (SELECT doc_id, unnest(sh) AS s FROM ssh) c JOIN bsh USING (s)), " +
-      "fin AS (SELECT s.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, s.text FROM surv s " +
-      "JOIN stok t USING (doc_id) WHERE s.doc_id NOT IN (SELECT doc_id FROM hits))"
+      deconKeepCtes("surv")
+
+  /** Ingest-time form: clean → quality-filter → decontaminate over the RAW
+    * corpus (no dedup — dedup is a corpus-level batch pass; these three
+    * stages are row-local / stream-static and run at ingest). Shared by
+    * the pipeline_ingest_stream oracle. */
+  private val ingestPipelineCtes: String =
+    "WITH d0 AS (SELECT doc_id, text FROM documents), " +
+      "corp AS (SELECT doc_id, text FROM d0 WHERE doc_id % 23 <> 0), " +
+      curateCleanCtes("corp") + ", " +
+      deconKeepCtes("curated")
 
   /** Highest-seq-wins replay of [[cdcLog]]; shared by the batch apply and
     * the scrambled streaming fold. */
@@ -2345,6 +2405,8 @@ object TrainingQueries {
         " UNION ALL SELECT '3_exact', count(*) FROM exact" +
         " UNION ALL SELECT '4_near_dup', count(*) FROM surv" +
         " UNION ALL SELECT '5_final', count(*) FROM fin"),
+    "pipeline_ingest_stream" ->
+      (ingestPipelineCtes + " SELECT doc_id, n_tokens, text FROM fin"),
     "sample_stratified" ->
       (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),
