@@ -1283,6 +1283,16 @@ object TrainingQueries {
         .where(col("rho") > 0L)
         .select(col("lang"), col("bucket").cast("long"), col("rho"))
     }),
+    // …and the scalar finalizer on top: per-group distinct counts as ONE
+    // plain-SQL expression chain — aggregate to the m-byte sketch, then
+    // graft_hll_estimate finalizes per group (once per GROUP, not per row)
+    "sketch_hll_sql_estimate" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_hll_est_docs")
+      s.sql("SELECT lang, round(graft_hll_estimate(" +
+        "graft_hll_registers(graft_polyhash(text), 32), 32), 6) AS est " +
+        "FROM graft_hll_est_docs GROUP BY lang")
+    }),
     // streaming twin: the register table as a COMPLETE-mode streaming
     // aggregation (register = running max(rho) per bucket — max is the
     // mergeable HLL combine, so the converged sink must equal the batch
@@ -2155,6 +2165,17 @@ object TrainingQueries {
   private val hllInvList: String =
     graft.sketch.HyperLogLog.invPow2().map(_.toString).mkString("[", ", ", "]")
 
+  /** Per-lang HLL register replay (keyed form of [[hllRegCtes]]) — shared
+    * by the native-SQL-aggregate gate and its estimate finalizer. */
+  private val hllLangRegCtes: String =
+    "WITH hsrc AS (SELECT lang, text AS s FROM documents), " +
+      s"h AS (SELECT lang, $phLambda AS h FROM hsrc), " +
+      "g AS (SELECT lang, (h * 48271 + 3) % 1000003 AS g0, " +
+      "(h * 16807 + 17) % 1000003 AS g1 FROM h), " +
+      "reg AS (SELECT lang, CAST((g0 * 32) // 1000003 AS BIGINT) AS bucket, " +
+      "CAST(max(len(list_filter(generate_series(1, 20), k -> g1 % (1 << k) = 0)) + 1) AS BIGINT) AS rho " +
+      "FROM g GROUP BY 1, 2)"
+
   /** Distinct-4-gram benchmark-overlap counts; shared by the batch
     * decontamination gate and its stream-static twin. */
   private val decontaminateOracle: String =
@@ -2434,13 +2455,15 @@ object TrainingQueries {
     "sketch_hll_registers" ->
       (hllRegCtes + " SELECT bucket, rho FROM reg"),
     "sketch_hll_sql_agg" ->
-      ("WITH hsrc AS (SELECT lang, text AS s FROM documents), " +
-        s"h AS (SELECT lang, $phLambda AS h FROM hsrc), " +
-        "g AS (SELECT lang, (h * 48271 + 3) % 1000003 AS g0, " +
-        "(h * 16807 + 17) % 1000003 AS g1 FROM h), " +
-        "reg AS (SELECT lang, CAST((g0 * 32) // 1000003 AS BIGINT) AS bucket, " +
-        "CAST(max(len(list_filter(generate_series(1, 20), k -> g1 % (1 << k) = 0)) + 1) AS BIGINT) AS rho " +
-        "FROM g GROUP BY 1, 2) SELECT lang, bucket, rho FROM reg"),
+      (hllLangRegCtes + " SELECT lang, bucket, rho FROM reg"),
+    "sketch_hll_sql_estimate" ->
+      (hllLangRegCtes +
+        ", agg AS (SELECT lang, sum((CAST(" + hllInvList + " AS DOUBLE[]))[rho]) AS s, " +
+        "count(*) AS filled FROM reg GROUP BY lang), " +
+        "e0 AS (SELECT lang, 0.697 * 32 * 32 / (s + (32 - filled)) AS raw, " +
+        "CAST(32 - filled AS DOUBLE) AS zeros FROM agg) " +
+        "SELECT lang, round(CASE WHEN raw <= 80.0 AND zeros > 0 " +
+        "THEN 32.0 * ln(32.0 / zeros) ELSE raw END, 6) AS est FROM e0"),
     "sketch_hll_stream" ->
       (hllRegCtes + " SELECT bucket, rho FROM reg"),
     "sketch_hll_distinct" ->

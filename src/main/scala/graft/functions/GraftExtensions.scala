@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_simhash_sig(hashes)      — 64-bit SimHash as 4×16-bit bands
   *   graft_hll_registers(h, m)      — HLL register AGGREGATE (m-byte
   *                                    buffer, map-side partial merge)
+  *   graft_hll_estimate(regs, m)    — scalar cardinality finalizer
   *
   * Two entry points, same registrations: set
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session build
@@ -59,6 +60,12 @@ object GraftExtensions {
         require(args.size == 2, "graft_hll_registers(bigint, m)")
         HllRegisters(args.head, intLiteral("graft_hll_registers", args(1)))
           .toAggregateExpression()
+      }),
+    (new FunctionIdentifier("graft_hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_hll_estimate(array<bigint>, m)")
+        HllEstimate(args.head, intLiteral("graft_hll_estimate", args(1)))
       }))
 
   /** Registers the functions on a LIVE session (the extensions config only

@@ -89,3 +89,47 @@ case class HllRegisters(
   override protected def withNewChildInternal(newChild: Expression): HllRegisters =
     copy(child = newChild)
 }
+
+/** Scalar finalizer for [[HllRegisters]]: cardinality estimate from a
+  * register array — bias-corrected harmonic mean with the small-range
+  * linear-counting correction, the identical formula (and identical
+  * exact-binary-fraction arithmetic: each 2^-rho term is exact and the
+  * ≤ m-term sum fits a double mantissa, so summation order cannot matter)
+  * as [[graft.sketch.HyperLogLog.estimate]] and the DuckDB replay.
+  * Together they make per-group distinct counts pure SQL:
+  * `SELECT g, graft_hll_estimate(graft_hll_registers(h, m), m) GROUP BY g`.
+  *
+  * CodegenFallback on purpose: the finalizer evaluates once per GROUP
+  * (m-element loop), never per input row — codegen would buy nothing. */
+case class HllEstimate(child: Expression, m: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "graft_hll_estimate"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hll_estimate requires array<bigint> registers, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val regs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var s = 0.0
+    var filled = 0L
+    var i = 0
+    while (i < regs.numElements()) {
+      val rho = regs.getLong(i)
+      if (rho > 0L) { s += 1.0 / (1L << rho); filled += 1 }
+      i += 1
+    }
+    val zeros = (m - filled).toDouble
+    val raw = graft.sketch.HyperLogLog.alpha(m) * m * m / (s + zeros)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}

@@ -56,7 +56,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     new GraftExtensions()(ext) // must not throw; functions list is the contract
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("graft_polyhash", "graft_minhash_sig", "graft_simhash_sig",
-        "graft_hll_registers"))
+        "graft_hll_registers", "graft_hll_estimate"))
     val mh = GraftExtensions.functions.find(_._1.funcName == "graft_minhash_sig").get._3
     val built = mh(Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
       Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
@@ -106,5 +106,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       .agg(max(graft.sketch.HyperLogLog.rho(col("h"))).cast("long").as("rho"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
     assert(perGroup.toSeq == perGroupDf.toSeq)
+    // the scalar finalizer composes: SQL estimate == DataFrame estimate
+    val estSql = spark.sql(
+        "SELECT round(graft_hll_estimate(" +
+          "graft_hll_registers(graft_polyhash(text), 32), 32), 6) AS est " +
+          "FROM hll_agg_docs")
+      .collect().head.getDouble(0)
+    val estDf = graft.sketch.HyperLogLog.distinctEstimate(df, "text", m = 32)
+      .collect().head.getDouble(0)
+    assert(estSql == estDf)
   }
 }
