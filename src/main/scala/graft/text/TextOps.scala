@@ -235,6 +235,22 @@ object TextOps {
     lenFail + stopFail + dupFail + wlFail
   }
 
+  /** Frozen LINEAR quality classifier (the DCLM/fastText-style
+    * "classifier filtering" stage — the learned-model complement of
+    * [[curationFailMask]]'s hard rules): an integer logit over the same
+    * codegen'd row-local features, with weights trained offline and
+    * frozen. Integer arithmetic end to end, so the DuckDB oracle replays
+    * the logit exactly; like every scoring op here, application is a
+    * map-only scan — zero shuffle, zero UDF at 100 TB. */
+  def qualityLogit(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("long")
+    val nd = size(array_distinct(t)).cast("long")
+    val stop = markerCount(t, enMarkers).cast("long")
+    val alpha = length(regexp_replace(trim(text), "\\s", "")).cast("long")
+    lit(7L) * stop + lit(2L) * nd - lit(5L) * n + alpha
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
     * lines with at least `minWords` whitespace words that end in a
     * terminal period; everything else (navigation stubs, truncated

@@ -46,4 +46,27 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Window"))
   }
+
+  test("frozen tokenizer: rank-1 merge matches the live trainer on sf0.01") {
+    val sf = "/root/testdata/sf0.01/documents.parquet"
+    assume(new java.io.File(sf).exists())
+    val top = Bpe.topMerges(spark.read.parquet(sf), "doc_id", "text", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).head
+    assert(top === Bpe.FrozenMerges.head)
+  }
+
+  test("encodeWord applies merges in rank order, EOW merges included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'newer': n e w e r $ → (e,r): n e w er $ → (er,$): n e w er$ →
+    // (o,w)/(ow,$) don't apply, (e,$)/(n,$) don't apply mid-word
+    val got = Seq("newer", "on", "we")
+      .toDF("w").select(Bpe.encodeWord(col("w")).as("e"))
+      .collect().map(_.getString(0)).toSeq
+    val E = Bpe.Eow
+    assert(got == Seq(
+      s"~n~e~w~er$E~",   // (e,r) then (er,EOW)
+      s"~o~n$E~",        // (n,EOW); (o,w) needs a 'w' after 'o'
+      s"~w~e$E~"))       // (e,EOW)
+  }
 }
