@@ -1230,6 +1230,30 @@ object TrainingQueries {
           col("enc"))
     }),
 
+    // streaming twin: tokenize-on-ingest — the frozen tokenizer applied
+    // to arriving documents (row-local codegen'd string ops, append mode,
+    // zero state) so token accounting exists the moment a doc lands;
+    // same oracle as the batch form
+    "bpe_encode_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val enc = graft.text.Bpe.encodeDoc(col("text"))
+      val out = src.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), enc.as("enc"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nw"))
+        .select(col("doc_id"),
+          ((length(col("enc")) -
+            length(replace(col("enc"), lit(graft.text.Bpe.Sep), lit("")))).cast("long")
+            - col("nw")).as("n_syms"),
+          col("enc"))
+      SparkEntry.streamReplay(s, src, out, rows.toIndexedSeq, Nil,
+        "append", "graft_bpe_stream")
+    }),
+
     // ---- deterministic stratified sampling: hash-gate membership (pure
     // function of doc_id — rerun/partitioning/scale invariant, unlike
     // df.sample's per-partition RNG); per-language rates ride a broadcast
@@ -2212,6 +2236,14 @@ object TrainingQueries {
         s"replace($e, ${bpeSqlStr("~" + l + "~" + r + "~")}, ${bpeSqlStr("~" + l + r + "~")})"
     }
 
+  /** ONE oracle for both tokenizer-application forms (batch + the
+    * tokenize-on-ingest stream twin). */
+  private lazy val bpeEncodeOracle: String =
+    "WITH " + tokCte("documents") + ", " +
+      s"e AS (SELECT doc_id, array_to_string(list_transform(t, w -> $bpeEncodeWordSql), '/') AS enc, " +
+      "CAST(len(t) AS BIGINT) AS nw FROM tok) " +
+      "SELECT doc_id, CAST(length(enc) - length(replace(enc, '~', '')) AS BIGINT) - nw AS n_syms, enc FROM e"
+
   /** Per-lang HLL register replay (keyed form of [[hllRegCtes]]) — shared
     * by the native-SQL-aggregate gate and its estimate finalizer. */
   private val hllLangRegCtes: String =
@@ -2484,11 +2516,8 @@ object TrainingQueries {
         "FROM tok JOIN documents USING (doc_id)) " +
         "SELECT doc_id, CAST(7*stop + 2*nd - 5*n + alpha AS BIGINT) AS logit, " +
         "7*stop + 2*nd - 5*n + alpha > 40 AS keep FROM m"),
-    "bpe_encode" ->
-      ("WITH " + tokCte("documents") + ", " +
-        s"e AS (SELECT doc_id, array_to_string(list_transform(t, w -> $bpeEncodeWordSql), '/') AS enc, " +
-        "CAST(len(t) AS BIGINT) AS nw FROM tok) " +
-        "SELECT doc_id, CAST(length(enc) - length(replace(enc, '~', '')) AS BIGINT) - nw AS n_syms, enc FROM e"),
+    "bpe_encode" -> bpeEncodeOracle,
+    "bpe_encode_stream" -> bpeEncodeOracle,
     "sample_stratified" ->
       (s"SELECT doc_id, lang FROM documents WHERE (doc_id % 1000003 * 48271 + 7) % 1000003 < " +
         s"CASE WHEN lang = 'en' THEN $sampleThreshEn ELSE $sampleThreshDefault END"),
