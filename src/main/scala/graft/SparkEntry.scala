@@ -962,6 +962,17 @@ object SparkEntry {
     // by conv_id — no single-partition funnel)
     "transcript_roles" -> ((s, dir) =>
       graft.transcripts.TranscriptDocs.roleStats(eventTranscripts(s, dir))),
+    // ---- SFT training-pair extraction (the transcripts→training-examples
+    // step of an LLM data pipeline): every 'purchase' turn becomes a
+    // (prompt, completion) example whose prompt is the last ≤4 prior turns
+    // rendered "role:text" under stable (conv_id, turn_idx) order — the
+    // north rule's per-turn text equality as the example boundary. Four
+    // lag() columns over ONE per-conv sort keep it row-local (bounded
+    // context, no per-turn prefix re-aggregation, no O(turns²) string
+    // growth); partitioned by conv_id, so no global funnel at 10^12 turns.
+    "sft_pairs" -> ((s, dir) =>
+      graft.transcripts.TranscriptDocs.sftPairs(
+        eventTranscripts(s, dir), targetRole = "purchase", ctxTurns = 4)),
     // ---- explicit skew handling as oracle-gated entries [north: salting
     // for hot keys; previously only spec-pinned in OpsSpec] ----
     // role has ~5 distinct values over EVERY turn in the corpus — the
@@ -1610,6 +1621,16 @@ object SparkEntry {
         "SELECT conv_id, count(*) AS n_turns, " +
         "CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats " +
         "FROM l GROUP BY conv_id"),
+    "sft_pairs" ->
+      (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
+        "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) " +
+        "SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
+        "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
+        "FROM l WHERE role = 'purchase' AND turn_idx > 1"),
     // the salted forms must be indistinguishable from the plain ones
     "skew_salted_agg" ->
       (transcriptsCte + " SELECT role, CAST(sum(length(text)) AS BIGINT) " +

@@ -687,6 +687,18 @@ object TrainingQueries {
     }),
     "lsh_cosine_pairs" -> ((s, dir) => // rows-only check (hyperplanes not SQL-portable)
       Embeddings.lshCosinePairs(embs(s, dir), threshold = 0.3)),
+    // ---- semantic benchmark decontamination (embedding-space complement
+    // of decontaminate_ngram's lexical overlap): bench = the vec_id%29
+    // slice of the corpus itself — planted "eval items leaked into the
+    // training mix" that score cosine 1.0 against themselves — and the
+    // entry emits EVERY corpus vector's (max_cos, argmax bench, verdict)
+    // audit record, so the hash pins the broadcast scoring math on all
+    // 500 rows, not just the 18-row contaminated verdict
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Embeddings.semanticDecontaminate(
+        e, e.where(col("vec_id") % 29 === 0), tau = 0.9)
+    }),
     // IVF scale path: deterministic member-centroid coarse quantizer,
     // nProbe nearest cells per query, exact rerank on candidates only
     "ann_ivf_topk" -> ((s, dir) => {
@@ -2788,6 +2800,16 @@ object TrainingQueries {
         "r AS (SELECT query_id, cand_id, cos, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM s) " +
         "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
+    "decontaminate_semantic" ->
+      ("WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings " +
+        "WHERE vec_id % 29 = 0), " +
+        "p AS (SELECT vec_id, bench_id, round(" + cosSql("embedding", "bv", 64) +
+        ", 9) AS cos FROM embeddings CROSS JOIN b), " +
+        "m AS (SELECT vec_id, max(cos) AS max_cos FROM p GROUP BY vec_id) " +
+        "SELECT p.vec_id, m.max_cos, min(p.bench_id) AS bench_id, " +
+        "m.max_cos >= 0.9 AS contaminated " +
+        "FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos = m.max_cos " +
+        "GROUP BY p.vec_id, m.max_cos"),
     "multimodal_features" ->
       ("SELECT doc_id AS asset_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +

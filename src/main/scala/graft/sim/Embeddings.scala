@@ -444,6 +444,35 @@ object Embeddings {
         lit(0L), (acc, x) => acc + x).as("proj"))
   }
 
+  /** Semantic benchmark DECONTAMINATION (the embedding-space complement of
+    * `decontaminate_ngram`'s lexical overlap): a corpus vector is
+    * contaminated when its max cosine against ANY benchmark vector reaches
+    * `tau` — the "did an eval item leak into the training set, possibly
+    * paraphrased" scan run before every training mix. The benchmark side
+    * is small by definition, so it BROADCASTS and the corpus is scanned
+    * once; the per-corpus-row max is partial-aggregated map-side, so the
+    * one shuffle carries |corpus| rows, never |corpus|×|bench|. Emits
+    * every corpus row's audit record (max_cos at 9 dp, the argmax bench id
+    * with min-id tie-break, the drop verdict) — richer than a keep-list,
+    * and the scoring math itself is what the hash gate pins. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame, tau: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    corpus.select(col(idCol), col(vecCol).as("cv"))
+      .join(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        round(cosine(col("cv"), col("bv")), 9).as("cos"))
+      // argmax with deterministic ties: max struct orders by cos first,
+      // then by -bench_id, so the surviving bench_id is the SMALLEST
+      // among those sharing the (9 dp-rounded) max cosine
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("bench_id")).as("nid"))).as("m"))
+      .select(col(idCol), col("m.cos").as("max_cos"),
+        (-col("m.nid")).as("bench_id"),
+        (col("m.cos") >= tau).as("contaminated"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
     * sandbox scales only). */
   def bruteForcePairs(df: DataFrame, threshold: Double,

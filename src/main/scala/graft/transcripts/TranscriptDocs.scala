@@ -68,6 +68,32 @@ object TranscriptDocs {
         max("gap").as("max_gap_us"), sum("gap").as("sum_gap_us"))
   }
 
+  /** SFT training-pair extraction — the transcripts→training-examples step
+    * of an LLM data pipeline: every turn whose role is `targetRole` becomes
+    * a (prompt, completion) example, the prompt being the last ≤`ctxTurns`
+    * PRIOR turns rendered "role:text" and joined by `sep` under stable
+    * (conv_id, turn_idx) order (the north rule's per-turn text equality as
+    * the example boundary). Implemented as `ctxTurns` lag() columns over
+    * ONE conv-partitioned sort: bounded context means row-local work after
+    * the sort — no per-turn prefix re-aggregation and no O(turns²) string
+    * growth — and the conv_id partitioning keeps 10^12 turns horizontal
+    * (each conversation ranks inside its own task). Turns with no prior
+    * context (turn_idx == 1) emit nothing. */
+  def sftPairs(t: DataFrame, targetRole: String, ctxTurns: Int = 4,
+               sep: String = "\n"): DataFrame = {
+    require(ctxTurns >= 1, s"ctxTurns $ctxTurns must be >= 1")
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val p = piece(col("role"), col("text"))
+    // oldest-first: lag(ctxTurns) … lag(1); concat_ws drops the leading
+    // nulls (< ctxTurns turns of history) without a phantom separator
+    val ctxCols = (ctxTurns to 1 by -1).map(i => lag(p, i).over(w))
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        concat_ws(sep, ctxCols: _*).as("prompt"))
+      .where(col("role") === targetRole && col("turn_idx") > 1)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("prompt"), col("text").as("completion"))
+  }
+
   /** Per-conversation alternation stats: n_turns and n_repeats = count of
     * turns whose role equals the previous turn's role (standard SQL `=`
     * null semantics: a null role never counts as a repeat — matches the

@@ -286,4 +286,53 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"),
       "covariance stats must aggregate in parallel, never via one partition")
   }
+
+  // ---- semantic decontamination ----
+
+  test("semanticDecontaminate flags exact AND perturbed bench leaks, nothing else") {
+    import org.apache.spark.sql.functions._
+    val c = corpus(60, 11L)
+    // bench = 3 corpus vectors; plant one PARAPHRASED leak: vec 50 becomes
+    // bench vec 7 with a small perturbation on the first coordinate (the
+    // "eval item reworded into the training set" case cosine catches and
+    // exact n-gram overlap misses)
+    val bench = c.where(col("vec_id").isin(7L, 21L, 33L))
+    // build the perturbed copy driver-side to keep the fixture explicit
+    val benchVec = c.where(col("vec_id") === 7L)
+      .collect()(0).getSeq[Float](1).toArray
+    val near = benchVec.clone(); near(0) = near(0) + 0.01f
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val nearRow = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(50L, near.toSeq)).asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val corpus2 = c.where(col("vec_id") =!= 50L).unionByName(nearRow)
+    val out = Embeddings.semanticDecontaminate(corpus2, bench, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 60)
+    val flagged = out.filter(_._2).keySet
+    assert(flagged == Set(7L, 21L, 33L, 50L),
+      s"expected the 3 exact leaks + the perturbed copy, got $flagged")
+  }
+
+  test("semanticDecontaminate argmax bench id is deterministic under ties") {
+    import org.apache.spark.sql.functions._
+    val c = corpus(20, 13L)
+    // duplicate bench vectors: ids 3 and 9 carry the IDENTICAL vector, so
+    // every corpus row ties at its max — the reported bench_id must be the
+    // smaller of the two for rows whose argmax is that shared vector
+    val v3 = c.where(col("vec_id") === 3L).collect()(0).getSeq[Float](1)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val dup = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(9L, v3)).asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val bench = c.where(col("vec_id") === 3L).unionByName(dup)
+    val out = Embeddings.semanticDecontaminate(c, bench, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // corpus row 3 matches both bench copies at cosine 1.0 → min id wins
+    assert(out(3L) == 3L)
+  }
 }

@@ -62,4 +62,34 @@ class TranscriptDocsSpec extends AnyFunSuite with SparkTestBase {
     val r = TranscriptDocs.roleStats(d).collect()(0)
     assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("n", 4L, 1L)))
   }
+
+  test("sftPairs: bounded context window, oldest-first, short history trims") {
+    import scala.jdk.CollectionConverters._
+    // 7-turn conv delivered SHUFFLED; assistant turns at 2 (1 turn of
+    // history — shorter than the window), 5 and 7 (full 4-turn windows)
+    val d = spark.createDataFrame(Seq(
+      Row("s", 5, "assistant", "a5"), Row("s", 1, "user", "u1"),
+      Row("s", 7, "assistant", "a7"), Row("s", 3, "user", "u3"),
+      Row("s", 2, "assistant", "a2"), Row("s", 6, "user", "u6"),
+      Row("s", 4, "user", "u4")).asJava, schema).repartition(5)
+    val got = TranscriptDocs.sftPairs(d, "assistant", ctxTurns = 4).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3))).sortBy(_._1)
+    val expect = Seq(
+      (2L, "user:u1", "a2"),
+      (5L, "user:u1\nassistant:a2\nuser:u3\nuser:u4", "a5"),
+      (7L, "user:u3\nuser:u4\nassistant:a5\nuser:u6", "a7"))
+    assert(got.toSeq == expect,
+      "prompt must be exactly the last <=4 prior turns, oldest first")
+  }
+
+  test("sftPairs: turn 1 targets emit nothing; parallelism-invariant") {
+    import scala.jdk.CollectionConverters._
+    val d = spark.createDataFrame(Seq(
+      Row("x", 1, "assistant", "a1"), Row("x", 2, "user", "u2")).asJava, schema)
+    assert(TranscriptDocs.sftPairs(d, "assistant").count() == 0)
+    def rows(p: Int) = TranscriptDocs.sftPairs(df(p), "assistant", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(1) == rows(7) && rows(1).nonEmpty)
+  }
 }
