@@ -44,6 +44,20 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
       "event_type AS role, props AS text FROM events)"
 
+  /** Shared by sft_pairs and its incremental streaming twin: the batch
+    * lag-window form of bounded-context (≤4 prior turns) pair extraction —
+    * the stream kernel must converge to exactly this relation. */
+  private val sftPairsOracle =
+    transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
+      "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
+      "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
+      "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
+      "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
+      "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) " +
+      "SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
+      "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
+      "FROM l WHERE role = 'purchase' AND turn_idx > 1"
+
   /** Shared by turn_latency and its O(1)-state streaming twin: exact
     * integer micros between consecutive turns, aggregated per conv. */
   private val latencyOracle =
@@ -973,6 +987,36 @@ object SparkEntry {
     "sft_pairs" -> ((s, dir) =>
       graft.transcripts.TranscriptDocs.sftPairs(
         eventTranscripts(s, dir), targetRole = "purchase", ctxTurns = 4)),
+    // streaming twin: pair extraction AT INGEST via the incremental
+    // flatMapGroupsWithState kernel — pairs emit as the watermark seals
+    // each conversation's prefix and the per-key state keeps only the last
+    // ≤4 sealed turns + the open suffix (bounded by the watermark delay,
+    // not conversation length). Held-back late cohort (turnIdx % 5 == 2)
+    // exercises the reorder path; same DuckDB oracle as the batch form.
+    "sft_pairs_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.SftStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val turns = eventTranscripts(s, dir)
+        .select(col("conv_id").as("convId"), col("turn_idx").as("turnIdx"),
+          col("role"), col("text"), col("ts").cast("timestamp").as("ts"))
+        .as[SftStream.Turn].collect()
+        .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
+      if (turns.isEmpty) s.emptyDataset[SftStream.Pair].toDF()
+      else {
+        val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
+        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SftStream.Turn]
+        val out = SftStream.sftStream(
+          src.toDS().withWatermark("ts", "90 days"),
+          targetRole = "purchase", ctxTurns = 4).toDF()
+        val farMs = turns.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+        def sentinel(off: Long) = SftStream.Turn("~s", 1, "", "",
+          new java.sql.Timestamp(farMs + off))
+        streamReplay(s, src, out, (onTime ++ late).toIndexedSeq,
+            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_sft_stream")
+          .where(col("conv_id") =!= "~s")
+      }
+    }),
     // ---- explicit skew handling as oracle-gated entries [north: salting
     // for hot keys; previously only spec-pinned in OpsSpec] ----
     // role has ~5 distinct values over EVERY turn in the corpus — the
@@ -1621,16 +1665,8 @@ object SparkEntry {
         "SELECT conv_id, count(*) AS n_turns, " +
         "CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats " +
         "FROM l GROUP BY conv_id"),
-    "sft_pairs" ->
-      (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
-        "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) " +
-        "SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
-        "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
-        "FROM l WHERE role = 'purchase' AND turn_idx > 1"),
+    "sft_pairs" -> sftPairsOracle,
+    "sft_pairs_stream" -> sftPairsOracle,
     // the salted forms must be indistinguishable from the plain ones
     "skew_salted_agg" ->
       (transcriptsCte + " SELECT role, CAST(sum(length(text)) AS BIGINT) " +
