@@ -1108,6 +1108,22 @@ object TrainingQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
 
+    // ---- temperature mixing (tokens^(1/2) source reweighting): the
+    // planted doc_id%37 'rare' source is small enough that √-reweighting
+    // CAPS its keep rate at 1 (kept whole) while every big source is
+    // thinned — non-vacuous on both sides of the cap. Exact-integer
+    // thresholds (BigInt / HUGEINT), hash-gate membership, broadcast rate
+    // table: the corpus pays one map-only filter, never a shuffle.
+    "mix_temperature" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 37 === 0, lit("rare"))
+          .otherwise(col("source")).as("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+          targetTokens = 25000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // ---- Gopher-style repetition metrics (token-level; the deterministic
     // ' r1 r2 r3 r1 r2 r3' tail plants a guaranteed duplicate 3-gram so the
     // n-gram column is provably non-vacuous on this synthetic corpus)
@@ -2687,6 +2703,23 @@ object TrainingQueries {
         ", h AS (SELECT *, (doc_id % 1000003 * 48271 + 7) % 1000003 AS hh FROM d)" +
         ", c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum FROM h) " +
         "SELECT doc_id, source, n_tokens FROM c WHERE cum - n_tokens < 600"),
+    // exact isqrt = double sqrt with a single +-1 correction (exact below
+    // 2^52); thresholds in HUGEINT replay the engine's BigInt math
+    "mix_temperature" ->
+      ("WITH " + tokCte("documents") +
+        ", d AS (SELECT tok.doc_id, CASE WHEN documents.doc_id % 37 = 0 THEN 'rare' " +
+        "ELSE documents.source END AS source, CAST(len(t) AS BIGINT) AS n_tokens " +
+        "FROM tok JOIN documents USING (doc_id))" +
+        ", g AS (SELECT source, sum(n_tokens) AS tt FROM d GROUP BY source)" +
+        ", q AS (SELECT source, tt, CAST(floor(sqrt(CAST(tt AS DOUBLE))) AS BIGINT) AS s0 FROM g)" +
+        ", w AS (SELECT source, tt, CASE WHEN s0*s0 > tt THEN s0-1 " +
+        "WHEN (s0+1)*(s0+1) <= tt THEN s0+1 ELSE s0 END AS ws FROM q)" +
+        ", tot AS (SELECT sum(ws) AS wsum FROM w)" +
+        ", r AS (SELECT w.source, CASE WHEN CAST(25000 AS HUGEINT)*ws >= CAST(wsum AS HUGEINT)*tt " +
+        "THEN 1000003 ELSE CAST(CAST(1000003 AS HUGEINT)*25000*ws / (CAST(wsum AS HUGEINT)*tt) AS BIGINT) END AS thr " +
+        "FROM w, tot) " +
+        "SELECT d.doc_id, d.source, d.n_tokens FROM d JOIN r USING (source) " +
+        "WHERE (d.doc_id % 1000003 * 48271 + 7) % 1000003 < r.thr"),
     "quantile_doc_len" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT tok.doc_id, documents.lang, CAST(len(t) AS BIGINT) AS n_tok " +

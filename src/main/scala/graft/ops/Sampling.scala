@@ -171,4 +171,59 @@ object Sampling {
       .drop("_cum")
     below.unionByName(atCross).drop("_h", "_b", "_cb", "_res")
   }
+
+  /** Exact integer square root (single ±1 correction of the double sqrt —
+    * exact for n < 2^52, which a per-source token total stays under long
+    * past 10^15 tokens/source). */
+  private def isqrt(n: Long): Long = {
+    require(n >= 0 && n < (1L << 52), s"isqrt domain: 0 <= $n < 2^52")
+    val s0 = math.sqrt(n.toDouble).toLong
+    if (s0 * s0 > n) s0 - 1
+    else if ((s0 + 1) * (s0 + 1) <= n) s0 + 1
+    else s0
+  }
+
+  /** TEMPERATURE-reweighted source mixing — the tokens^α multi-source
+    * rebalancing (α = 1/2, i.e. the p^(1/τ) convention at τ = 2) every
+    * multilingual / multi-source pre-training recipe applies so small
+    * sources are upsampled relative to their raw share: source s with
+    * token total T_s gets target share ∝ √T_s, so its keep rate is
+    * ρ_s = min(1, targetTokens·√T_s / (Σ_r √T_r · T_s)) and a document is
+    * kept iff hash(key) < floor(ρ_s·P) — the same nested, rerun/partition/
+    * scale-invariant hash gate as [[hashSample]].
+    *
+    * Everything is exact integer arithmetic: √ is the exact [[isqrt]] and
+    * the threshold is computed in BigInt (no 64-bit overflow for any
+    * target/corpus size), replayed by the SQL oracle in HUGEINT. The
+    * per-source stats are ONE |sources|-row aggregate collected to the
+    * driver (sources are a partition label — bounded, the same contract as
+    * [[tokenBudgetMix]]'s histogram), and the gate itself is a
+    * broadcast-joined codegen'd filter: no shuffle touches the corpus.
+    * Contract: `groupCol` non-null (pre-bucket nulls as in
+    * [[tokenBudgetMix]]); token totals must be positive per source. */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     tokensCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 0, "targetTokens must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"temperatureMix: $groupCol must be non-null")
+        val t = if (r.isNullAt(1)) 0L else r.getLong(1)
+        require(t > 0, s"temperatureMix: source ${r.get(0)} has no tokens")
+        (r.getString(0), t)
+      }
+    val wsum = stats.iterator.map { case (_, t) => BigInt(isqrt(t)) }.sum
+    val thr = stats.map { case (g, t) =>
+      val num = BigInt(targetTokens) * isqrt(t) * P
+      val den = wsum * t
+      (g, (num / den).min(BigInt(P)).toLong)
+    }
+    val rates = broadcast(thr.toSeq.toDF(groupCol, "_thr"))
+    df.join(rates, Seq(groupCol))
+      .where(keyHash(col(keyCol)) < col("_thr"))
+      .select(df.columns.map(col): _*) // equi-join reorders; restore caller order
+  }
 }

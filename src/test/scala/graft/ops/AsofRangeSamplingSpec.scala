@@ -188,4 +188,45 @@ class AsofRangeSamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(t0 >= 500L && t0 < 500L + 40L)
     assert(kept.count(_._2 == "src1") == 400 && !kept.exists(_._2 == "src2"))
   }
+
+  test("temperature mix: sqrt reweighting caps small sources, thins big ones") {
+    import spark.implicits._
+    val p = graft.text.TextOps.P
+    // big source: 900 docs × 100 tokens; small: 20 docs × 100 tokens
+    val rows = (for (i <- 0 until 900) yield (i.toLong, "big", 100L)) ++
+      (for (i <- 0 until 20) yield (2000L + i, "small", 100L))
+    val df = rows.toDF("id", "src", "nt").repartition(7)
+    val got = Sampling.temperatureMix(df, "id", "src", "nt",
+      targetTokens = 30000L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // exact scalar replay: w = isqrt(T), thr = floor(N·w·P/(Σw·T)) capped
+    def isq(n: Long) = { val s = math.sqrt(n.toDouble).toLong
+      if (s * s > n) s - 1 else if ((s + 1) * (s + 1) <= n) s + 1 else s }
+    val tBig = 90000L; val tSmall = 2000L
+    val wsum = BigInt(isq(tBig)) + BigInt(isq(tSmall))
+    def thr(t: Long) =
+      (BigInt(30000L) * isq(t) * p / (wsum * t)).min(BigInt(p)).toLong
+    assert(thr(tSmall) == p, "small source must hit the keep-all cap")
+    assert(thr(tBig) < p, "big source must be thinned")
+    def hash(i: Long) = (i % p * 48271 + 7) % p
+    val expect = rows.filter { case (id, s, _) =>
+      hash(id) < thr(if (s == "big") tBig else tSmall)
+    }.map(t => (t._1, t._2)).toSet
+    assert(got == expect)
+    assert(got.count(_._2 == "small") == 20)
+    val nBig = got.count(_._2 == "big")
+    assert(nBig > 0 && nBig < 900)
+  }
+
+  test("temperature mix is partitioning-invariant and nested in the target") {
+    import spark.implicits._
+    val rows = (for (i <- 0 until 300) yield (i.toLong, s"s${i % 4}", (i % 50 + 1).toLong))
+    def run(parts: Int, n: Long) =
+      Sampling.temperatureMix(rows.toDF("id", "src", "nt").repartition(parts),
+        "id", "src", "nt", targetTokens = n)
+        .collect().map(_.getLong(0)).toSet
+    assert(run(1, 4000L) == run(11, 4000L))
+    // hash gates nest: every doc kept at a smaller target survives a larger
+    assert(run(5, 2000L).subsetOf(run(5, 6000L)))
+  }
 }
