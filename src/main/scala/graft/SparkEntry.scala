@@ -1017,6 +1017,20 @@ object SparkEntry {
           .where(col("conv_id") =!= "~s")
       }
     }),
+    // ---- loss-masked packing of the SFT examples (the dataloader step
+    // after pair extraction): examples concatenated in ex_id order into
+    // 64-token windows; each (example, pack) segment reports its LOSS
+    // token count (completion positions only — prompt positions are
+    // masked). Integer-exact; Σ loss_tokens per example = its completion
+    // token count, so the mask round-trips.
+    "sft_pack_masked" -> ((s, dir) => {
+      val pairs = graft.transcripts.TranscriptDocs.sftPairs(
+          eventTranscripts(s, dir), targetRole = "purchase", ctxTurns = 4)
+        .withColumn("ex_id",
+          col("conv_id").cast("long") * 1000L + col("turn_idx"))
+      graft.ops.Packing.packMasked(pairs, "ex_id", "prompt", "completion",
+        budget = 64)
+    }),
     // ---- explicit skew handling as oracle-gated entries [north: salting
     // for hot keys; previously only spec-pinned in OpsSpec] ----
     // role has ~5 distinct values over EVERY turn in the corpus — the
@@ -1667,6 +1681,31 @@ object SparkEntry {
         "FROM l GROUP BY conv_id"),
     "sft_pairs" -> sftPairsOracle,
     "sft_pairs_stream" -> sftPairsOracle,
+    "sft_pack_masked" ->
+      (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
+        "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), " +
+        "pr AS (SELECT CAST(conv_id AS BIGINT) * 1000 + turn_idx AS ex_id, " +
+        "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
+        "FROM l WHERE role = 'purchase' AND turn_idx > 1), " +
+        "nt AS (SELECT ex_id, " +
+        "CASE WHEN length(trim(prompt)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(prompt), '\\s+')) END AS npr, " +
+        "CASE WHEN length(trim(completion)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(completion), '\\s+')) END AS nco " +
+        "FROM pr), " +
+        "n2 AS (SELECT ex_id, npr, npr + nco AS ntok FROM nt WHERE npr + nco > 0), " +
+        "c AS (SELECT ex_id, npr, ntok, CAST(coalesce(sum(ntok) OVER (ORDER BY ex_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0 FROM n2), " +
+        "p AS (SELECT ex_id, npr, ntok, s0, unnest(generate_series(s0 // 64, " +
+        "(s0 + ntok - 1) // 64)) AS pack_id FROM c) " +
+        "SELECT ex_id, CAST(pack_id AS BIGINT) AS pack_id, " +
+        "CAST(least((pack_id + 1) * 64, s0 + ntok) - greatest(pack_id * 64, s0) AS BIGINT) AS pack_tokens, " +
+        "CAST(greatest(pack_id * 64, s0) - pack_id * 64 AS BIGINT) AS offset_in_pack, " +
+        "CAST(greatest(0, least((pack_id + 1) * 64, s0 + ntok) - " +
+        "greatest(greatest(pack_id * 64, s0), s0 + npr)) AS BIGINT) AS loss_tokens " +
+        "FROM p"),
     // the salted forms must be indistinguishable from the plain ones
     "skew_salted_agg" ->
       (transcriptsCte + " SELECT role, CAST(sum(length(text)) AS BIGINT) " +

@@ -124,6 +124,47 @@ object Packing {
           - col("pack_id") * b).as("offset_in_pack"))
   }
 
+  /** LOSS-MASKED packing of SFT examples — the step between pair
+    * extraction and the dataloader: examples (prompt + completion) are
+    * concatenated in ascending `idCol` order and split into fixed windows
+    * of `budget` tokens exactly like [[packSequences]], but each segment
+    * additionally reports how many of its tokens are LOSS tokens
+    * (completion positions — the only ones SFT trains on; prompt positions
+    * are masked). Output: one row per (example, pack) overlap —
+    * (ex_id, pack_id, pack_tokens, offset_in_pack, loss_tokens) with
+    * 0 ≤ loss_tokens ≤ pack_tokens; Σ loss_tokens per example = its
+    * completion token count, so the mask is exactly reconstructible.
+    *
+    * Same scale shape as [[packSequences]]: the size-gated prefix sum,
+    * then a narrow per-row explode — integer arithmetic only (the mask
+    * boundary is just `start + prompt_tokens`), replayed exactly by the
+    * SQL oracle. */
+  def packMasked(examples: DataFrame, idCol: String, promptCol: String,
+                 completionCol: String, budget: Int,
+                 windowMaxRows: Long = graft.sources.Layout.defaultWindowMaxRows): DataFrame = {
+    require(budget > 0, s"pack budget $budget must be positive")
+    val nt = examples
+      .select(col(idCol).as("ex_id"),
+        TextOps.tokenCount(col(promptCol)).as("npr"),
+        TextOps.tokenCount(col(completionCol)).as("nco"))
+      .withColumn("ntok", col("npr") + col("nco"))
+      .where(col("ntok") > 0)
+    val started = prefixSumByOrder(nt, Seq(col("ex_id").asc), "ntok", "start",
+      windowMaxRows)
+    val b = lit(budget.toLong)
+    val segStart = greatest(col("pack_id") * b, col("start"))
+    val segEnd = least((col("pack_id") + 1) * b, col("start") + col("ntok"))
+    started
+      .select(col("ex_id"), col("start"), col("npr"), col("ntok"),
+        explode(sequence(expr(s"start DIV ${budget}L"),
+          expr(s"(start + ntok - 1) DIV ${budget}L"))).as("pack_id"))
+      .select(col("ex_id"), col("pack_id"),
+        (segEnd - segStart).as("pack_tokens"),
+        (segStart - col("pack_id") * b).as("offset_in_pack"),
+        greatest(lit(0L),
+          segEnd - greatest(segStart, col("start") + col("npr"))).as("loss_tokens"))
+  }
+
   /** Multiplier for [[epochShuffle]]'s hash, derived from the seed. The
     * seed must pick the MULTIPLIER, not an additive constant: adding a
     * per-seed constant mod M only rotates the hash circle, which preserves

@@ -145,4 +145,44 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(s1 !== run(2L, Long.MaxValue), "seed changes the order")
     assert(s1 === run(1L, 0L), "window and scan paths agree")
   }
+
+  test("packMasked: mask round-trips, segments agree with packSequences, paths agree") {
+    import spark.implicits._
+    // prompts/completions with boundary shapes: completion straddling a
+    // pack boundary, prompt-only segment, completion-only segment
+    val ex = Seq(
+      (10L, "p1 p2 p3", "c1 c2"),             // 3+2
+      (11L, "q1 q2 q3 q4 q5 q6", "d1"),       // 6+1 — crosses the 8-line
+      (12L, "", "e1 e2 e3"),                  // empty prompt: all loss
+      (13L, "r1 r2", ""),                     // empty completion: no loss
+      // start 17, prompt ends at abs 36, completion spans 36..41 — across
+      // the pack-4/pack-5 line at 40
+      (14L, (1 to 19).map(i => s"s$i").mkString(" "), "f1 f2 f3 f4 f5 f6"))
+    val df = ex.toDF("ex_id", "prompt", "completion")
+    def run(maxRows: Long) =
+      Packing.packMasked(df, "ex_id", "prompt", "completion", budget = 8,
+          windowMaxRows = maxRows).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = run(Long.MaxValue)
+    assert(got.toSet == run(0L).toSet, "window and scan paths agree")
+    // segment geometry identical to the unmasked packer on concatenated text
+    val nt = ex.map { case (id, p, c) =>
+      def n(s: String) = if (s.trim.isEmpty) 0L else s.trim.split("\\s+").length.toLong
+      (id, n(p) + n(c)) }
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == packRef(nt, 8L))
+    // mask conservation: per example, Σ loss = completion tokens,
+    // Σ pack - Σ loss = prompt tokens
+    val loss = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val tot = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    ex.foreach { case (id, p, c) =>
+      def n(s: String) = if (s.trim.isEmpty) 0L else s.trim.split("\\s+").length.toLong
+      assert(loss(id) == n(c), s"ex $id loss tokens")
+      assert(tot(id) - loss(id) == n(p), s"ex $id masked tokens")
+    }
+    // a straddling completion splits its loss across packs
+    assert(got.count(t => t._1 == 14L && t._5 > 0) > 1,
+      "example 14's completion must contribute loss to more than one pack")
+    // per-segment sanity: 0 <= loss <= pack_tokens
+    got.foreach(t => assert(t._5 >= 0 && t._5 <= t._3))
+  }
 }
