@@ -192,6 +192,25 @@ object TrainingQueries {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
   private def cosSql(a: String, b: String, dim: Int) =
     s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  /** Shared by mix_temperature and its frozen-rates ingest twin: exact
+    * isqrt (double sqrt, single ±1 correction) + HUGEINT thresholds
+    * replaying Sampling.temperatureRates' BigInt math. */
+  private val mixTemperatureOracle =
+    "WITH " + tokCte("documents") +
+      ", d AS (SELECT tok.doc_id, CASE WHEN documents.doc_id % 37 = 0 THEN 'rare' " +
+      "ELSE documents.source END AS source, CAST(len(t) AS BIGINT) AS n_tokens " +
+      "FROM tok JOIN documents USING (doc_id))" +
+      ", g AS (SELECT source, sum(n_tokens) AS tt FROM d GROUP BY source)" +
+      ", q AS (SELECT source, tt, CAST(floor(sqrt(CAST(tt AS DOUBLE))) AS BIGINT) AS s0 FROM g)" +
+      ", w AS (SELECT source, tt, CASE WHEN s0*s0 > tt THEN s0-1 " +
+      "WHEN (s0+1)*(s0+1) <= tt THEN s0+1 ELSE s0 END AS ws FROM q)" +
+      ", tot AS (SELECT sum(ws) AS wsum FROM w)" +
+      ", r AS (SELECT w.source, CASE WHEN CAST(25000 AS HUGEINT)*ws >= CAST(wsum AS HUGEINT)*tt " +
+      "THEN 1000003 ELSE CAST(CAST(1000003 AS HUGEINT)*25000*ws / (CAST(wsum AS HUGEINT)*tt) AS BIGINT) END AS thr " +
+      "FROM w, tot) " +
+      "SELECT d.doc_id, d.source, d.n_tokens FROM d JOIN r USING (source) " +
+      "WHERE (d.doc_id % 1000003 * 48271 + 7) % 1000003 < r.thr"
   // 64-bit simhash as 4×16-bit bands, shared by the simhash and
   // simhash_pairs oracles (reads CTEs tok→th)
   private val s4Cte =
@@ -1122,6 +1141,29 @@ object TrainingQueries {
       Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
           targetTokens = 25000L)
         .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+    // streaming twin: mix-at-ingest — the batch-trained FROZEN rate table
+    // rides a stream-static broadcast join and the hash gate is a
+    // row-local codegen'd filter (append mode, zero state stores), so an
+    // arriving document is admitted or dropped the moment it lands; same
+    // oracle as the batch form
+    "mix_temperature_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir).select(col("doc_id").cast("long"),
+        when(col("doc_id") % 37 === 0, lit("rare"))
+          .otherwise(col("source")).as("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val rates = Sampling.temperatureRates(d, "source", "n_tokens",
+        targetTokens = 25000L)
+      val rows = d.as[(Long, String, Long)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+      val gated = src.toDF().toDF("doc_id", "source", "n_tokens")
+        .join(broadcast(rates), Seq("source"))
+        .where(Sampling.keyHash(col("doc_id")) < col("_thr"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      graft.SparkEntry.streamReplay(s, src, gated, rows.toIndexedSeq, Nil,
+        "append", "graft_mixt_stream")
     }),
 
     // ---- Gopher-style repetition metrics (token-level; the deterministic
@@ -2704,22 +2746,10 @@ object TrainingQueries {
         ", c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum FROM h) " +
         "SELECT doc_id, source, n_tokens FROM c WHERE cum - n_tokens < 600"),
     // exact isqrt = double sqrt with a single +-1 correction (exact below
-    // 2^52); thresholds in HUGEINT replay the engine's BigInt math
-    "mix_temperature" ->
-      ("WITH " + tokCte("documents") +
-        ", d AS (SELECT tok.doc_id, CASE WHEN documents.doc_id % 37 = 0 THEN 'rare' " +
-        "ELSE documents.source END AS source, CAST(len(t) AS BIGINT) AS n_tokens " +
-        "FROM tok JOIN documents USING (doc_id))" +
-        ", g AS (SELECT source, sum(n_tokens) AS tt FROM d GROUP BY source)" +
-        ", q AS (SELECT source, tt, CAST(floor(sqrt(CAST(tt AS DOUBLE))) AS BIGINT) AS s0 FROM g)" +
-        ", w AS (SELECT source, tt, CASE WHEN s0*s0 > tt THEN s0-1 " +
-        "WHEN (s0+1)*(s0+1) <= tt THEN s0+1 ELSE s0 END AS ws FROM q)" +
-        ", tot AS (SELECT sum(ws) AS wsum FROM w)" +
-        ", r AS (SELECT w.source, CASE WHEN CAST(25000 AS HUGEINT)*ws >= CAST(wsum AS HUGEINT)*tt " +
-        "THEN 1000003 ELSE CAST(CAST(1000003 AS HUGEINT)*25000*ws / (CAST(wsum AS HUGEINT)*tt) AS BIGINT) END AS thr " +
-        "FROM w, tot) " +
-        "SELECT d.doc_id, d.source, d.n_tokens FROM d JOIN r USING (source) " +
-        "WHERE (d.doc_id % 1000003 * 48271 + 7) % 1000003 < r.thr"),
+    // 2^52); thresholds in HUGEINT replay the engine's BigInt math; the
+    // ingest twin must converge to the identical relation
+    "mix_temperature" -> mixTemperatureOracle,
+    "mix_temperature_stream" -> mixTemperatureOracle,
     "quantile_doc_len" ->
       ("WITH " + tokCte("documents") +
         ", d AS (SELECT tok.doc_id, documents.lang, CAST(len(t) AS BIGINT) AS n_tok " +

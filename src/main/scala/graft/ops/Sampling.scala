@@ -203,6 +203,20 @@ object Sampling {
     * [[tokenBudgetMix]]); token totals must be positive per source. */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
                      tokensCol: String, targetTokens: Long): DataFrame = {
+    val rates = broadcast(
+      temperatureRates(df, groupCol, tokensCol, targetTokens))
+    df.join(rates, Seq(groupCol))
+      .where(keyHash(col(keyCol)) < col("_thr"))
+      .select(df.columns.map(col): _*) // equi-join reorders; restore caller order
+  }
+
+  /** The FROZEN rate table behind [[temperatureMix]]: one row per source,
+    * (groupCol, _thr) with _thr = floor(ρ_s·P) as above. Exposed so an
+    * ingest-time stream can apply batch-trained mixing rates as a
+    * stream-static broadcast join — the same frozen-artifact shape as the
+    * bigram-LM dict and the BPE merge list. */
+  def temperatureRates(df: DataFrame, groupCol: String, tokensCol: String,
+                       targetTokens: Long): DataFrame = {
     require(targetTokens >= 0, "targetTokens must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
@@ -221,9 +235,6 @@ object Sampling {
       val den = wsum * t
       (g, (num / den).min(BigInt(P)).toLong)
     }
-    val rates = broadcast(thr.toSeq.toDF(groupCol, "_thr"))
-    df.join(rates, Seq(groupCol))
-      .where(keyHash(col(keyCol)) < col("_thr"))
-      .select(df.columns.map(col): _*) // equi-join reorders; restore caller order
+    thr.toSeq.toDF(groupCol, "_thr")
   }
 }
