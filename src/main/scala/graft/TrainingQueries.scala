@@ -193,6 +193,20 @@ object TrainingQueries {
   private def cosSql(a: String, b: String, dim: Int) =
     s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
 
+  /** Shared by decontaminate_semantic and its frozen row-local ingest
+    * twin: every corpus vector's max cosine vs the planted bench slice,
+    * argmax bench id with min-id ties, verdict at τ = 0.9. */
+  private lazy val semDecontOracle =
+    "WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings " +
+      "WHERE vec_id % 29 = 0), " +
+      "p AS (SELECT vec_id, bench_id, round(" + cosSql("embedding", "bv", 64) +
+      ", 9) AS cos FROM embeddings CROSS JOIN b), " +
+      "m AS (SELECT vec_id, max(cos) AS max_cos FROM p GROUP BY vec_id) " +
+      "SELECT p.vec_id, m.max_cos, min(p.bench_id) AS bench_id, " +
+      "m.max_cos >= 0.9 AS contaminated " +
+      "FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos = m.max_cos " +
+      "GROUP BY p.vec_id, m.max_cos"
+
   /** Shared by mix_temperature and its frozen-rates ingest twin: exact
     * isqrt (double sqrt, single ±1 correction) + HUGEINT thresholds
     * replaying Sampling.temperatureRates' BigInt math. */
@@ -717,6 +731,26 @@ object TrainingQueries {
       val e = embs(s, dir)
       Embeddings.semanticDecontaminate(
         e, e.where(col("vec_id") % 29 === 0), tau = 0.9)
+    }),
+    // streaming twin: score-at-ingest — the frozen benchmark set folded
+    // into ONE codegen'd aggregate() lambda (literal arrays, linear
+    // expression tree), so each arriving vector gets its (max_cos, argmax,
+    // verdict) row-locally: append mode, zero joins, zero state stores;
+    // same oracle as the batch form
+    "decontaminate_semantic_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = embs(s, dir)
+      val bench = e.where(col("vec_id") % 29 === 0)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val out = Embeddings.semanticDecontaminateFrozen(
+        src.toDF().toDF("vec_id", "embedding"), bench, tau = 0.9)
+      graft.SparkEntry.streamReplay(s, src, out, rows.toIndexedSeq, Nil,
+        "append", "graft_semdec_stream")
     }),
     // IVF scale path: deterministic member-centroid coarse quantizer,
     // nProbe nearest cells per query, exact rerank on candidates only
@@ -2863,16 +2897,8 @@ object TrainingQueries {
         "r AS (SELECT query_id, cand_id, cos, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM s) " +
         "SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"),
-    "decontaminate_semantic" ->
-      ("WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings " +
-        "WHERE vec_id % 29 = 0), " +
-        "p AS (SELECT vec_id, bench_id, round(" + cosSql("embedding", "bv", 64) +
-        ", 9) AS cos FROM embeddings CROSS JOIN b), " +
-        "m AS (SELECT vec_id, max(cos) AS max_cos FROM p GROUP BY vec_id) " +
-        "SELECT p.vec_id, m.max_cos, min(p.bench_id) AS bench_id, " +
-        "m.max_cos >= 0.9 AS contaminated " +
-        "FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos = m.max_cos " +
-        "GROUP BY p.vec_id, m.max_cos"),
+    "decontaminate_semantic" -> semDecontOracle,
+    "decontaminate_semantic_stream" -> semDecontOracle,
     "multimodal_features" ->
       ("SELECT doc_id AS asset_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +

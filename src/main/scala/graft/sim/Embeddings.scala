@@ -473,6 +473,41 @@ object Embeddings {
         (col("m.cos") >= tau).as("contaminated"))
   }
 
+  /** FROZEN-benchmark decontamination as a ROW-LOCAL kernel — the ingest
+    * twin of [[semanticDecontaminate]]: the (small) benchmark set is
+    * collected once and folded into a single codegen'd `aggregate(...)`
+    * lambda over literal arrays, so each arriving vector computes its
+    * (max_cos, argmax bench id) in one expression with ZERO joins and
+    * ZERO state — scoring-at-ingest runs at scan speed on an append
+    * stream. The fold carries (best_cos, best_id) as a struct through a
+    * lambda variable (linear expression tree, not an inlined 3^n blowup),
+    * recomputes each bench norm exactly as the batch form does (same IEEE
+    * operation order, so the 9 dp-rounded cosines are identical), and
+    * applies the same min-id tie-break at the rounded max. */
+  def semanticDecontaminateFrozen(df: DataFrame, bench: Array[(Long, Array[Float])],
+                                  tau: Double, idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    require(bench.nonEmpty, "bench set must be non-empty")
+    val bvecs = array(bench.map { case (_, v) =>
+      array(v.map(lit).toSeq: _*) }.toSeq: _*)
+    val bids = array(bench.map { case (id, _) => lit(id) }.toSeq: _*)
+    val folded = aggregate(
+      sequence(lit(1), lit(bench.length)),
+      struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("bid")),
+      (acc, i) => {
+        val bv = element_at(bvecs, i)
+        val bid = element_at(bids, i)
+        val c = round(cosine(col(vecCol), bv), 9)
+        val better = c > acc.getField("cos") ||
+          (c === acc.getField("cos") && bid < acc.getField("bid"))
+        when(better, struct(c.as("cos"), bid.as("bid"))).otherwise(acc)
+      })
+    df.select(col(idCol), folded.as("m"))
+      .select(col(idCol), col("m.cos").as("max_cos"),
+        col("m.bid").as("bench_id"),
+        (col("m.cos") >= tau).as("contaminated"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (baseline / oracle form; quadratic —
     * sandbox scales only). */
   def bruteForcePairs(df: DataFrame, threshold: Double,

@@ -316,6 +316,21 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
       s"expected the 3 exact leaks + the perturbed copy, got $flagged")
   }
 
+  test("frozen row-local kernel == distributed semanticDecontaminate") {
+    import org.apache.spark.sql.functions._
+    val c = corpus(70, 17L)
+    val benchDf = c.where(col("vec_id") % 9 === 0)
+    val bench = benchDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val dist = canon(Embeddings.semanticDecontaminate(c, benchDf, tau = 0.6))
+    val frozen = canon(Embeddings.semanticDecontaminateFrozen(c, bench, tau = 0.6))
+    assert(frozen == dist,
+      "the literal-array fold must reproduce the broadcast-join form exactly")
+  }
+
   test("semanticDecontaminate argmax bench id is deterministic under ties") {
     import org.apache.spark.sql.functions._
     val c = corpus(20, 13L)
