@@ -1017,6 +1017,22 @@ object SparkEntry {
           .where(col("conv_id") =!= "~s")
       }
     }),
+    // ---- preference-pair extraction (RLHF/DPO data prep from logged
+    // feedback): per conversation, the 'purchase' turns rank by the logged
+    // reward (events.value) and the best/worst become one (chosen,
+    // rejected) pair with deterministic tie-breaks; convs with <2 targets
+    // emit nothing (150 pairs at sf0.01, incl. one real reward tie).
+    // Rewards pass through raw — zero float arithmetic, exact hash.
+    "preference_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+      val t = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("conv_id", col("user_id").cast("string"))
+        .withColumn("turn_idx", row_number().over(w))
+        .select(col("conv_id"), col("turn_idx"),
+          col("event_type").as("role"), col("props").as("text"), col("value"))
+      graft.transcripts.TranscriptDocs.preferencePairs(t, "purchase", "value")
+    }),
     // ---- loss-masked packing of the SFT examples (the dataloader step
     // after pair extraction): examples concatenated in ex_id order into
     // 64-token windows; each (example, pack) segment reports its LOSS
@@ -1681,6 +1697,20 @@ object SparkEntry {
         "FROM l GROUP BY conv_id"),
     "sft_pairs" -> sftPairsOracle,
     "sft_pairs_stream" -> sftPairsOracle,
+    "preference_pairs" ->
+      ("WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
+        "event_type AS role, props AS text, value FROM events), " +
+        "g AS (SELECT conv_id, turn_idx, text, value, " +
+        "row_number() OVER (PARTITION BY conv_id ORDER BY value DESC, turn_idx ASC) AS rc, " +
+        "row_number() OVER (PARTITION BY conv_id ORDER BY value ASC, turn_idx DESC) AS rr, " +
+        "count(*) OVER (PARTITION BY conv_id) AS n FROM t WHERE role = 'purchase'), " +
+        "c AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS chosen_idx, " +
+        "text AS chosen_text, value AS chosen_reward FROM g WHERE rc = 1 AND n >= 2), " +
+        "r AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS rejected_idx, " +
+        "text AS rejected_text, value AS rejected_reward FROM g WHERE rr = 1 AND n >= 2) " +
+        "SELECT c.conv_id, c.chosen_idx, c.chosen_text, c.chosen_reward, " +
+        "r.rejected_idx, r.rejected_text, r.rejected_reward FROM c JOIN r USING (conv_id)"),
     "sft_pack_masked" ->
       (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
         "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +

@@ -94,6 +94,41 @@ object TranscriptDocs {
         col("prompt"), col("text").as("completion"))
   }
 
+  /** PREFERENCE-pair extraction (RLHF/DPO data prep from logged feedback):
+    * per conversation, the target-role turns are ranked by a logged reward
+    * column and the best/worst become one (chosen, rejected) pair —
+    * chosen = first by (reward DESC, turn_idx ASC), rejected = first by
+    * (reward ASC, turn_idx DESC), so ties are deterministic and an
+    * all-equal-reward conversation still yields a valid (min-idx, max-idx)
+    * pair. Conversations with fewer than two target turns emit nothing
+    * (no pair exists). Reward values pass through RAW — no arithmetic on
+    * them, so the float column hash-compares exactly across engines.
+    * Three conv-partitioned windows + a conv-keyed self-join, all on the
+    * same key: one exchange, reused by ENSURE_REQUIREMENTS, nothing
+    * funnels through a single partition. */
+  def preferencePairs(t: DataFrame, targetRole: String,
+                      rewardCol: String): DataFrame = {
+    val tgt = t.where(col("role") === targetRole)
+      .select(col("conv_id"), col("turn_idx"), col("text"),
+        col(rewardCol).as("_rw"))
+    val wc = Window.partitionBy("conv_id")
+      .orderBy(col("_rw").desc, col("turn_idx").asc)
+    val wr = Window.partitionBy("conv_id")
+      .orderBy(col("_rw").asc, col("turn_idx").desc)
+    val ranked = tgt
+      .withColumn("_rc", row_number().over(wc))
+      .withColumn("_rr", row_number().over(wr))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .where(col("_n") >= 2)
+    val chosen = ranked.where(col("_rc") === 1)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("chosen_idx"),
+        col("text").as("chosen_text"), col("_rw").as("chosen_reward"))
+    val rejected = ranked.where(col("_rr") === 1)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("rejected_idx"),
+        col("text").as("rejected_text"), col("_rw").as("rejected_reward"))
+    chosen.join(rejected, Seq("conv_id"))
+  }
+
   /** Per-conversation alternation stats: n_turns and n_repeats = count of
     * turns whose role equals the previous turn's role (standard SQL `=`
     * null semantics: a null role never counts as a repeat — matches the

@@ -82,6 +82,30 @@ class TranscriptDocsSpec extends AnyFunSuite with SparkTestBase {
       "prompt must be exactly the last <=4 prior turns, oldest first")
   }
 
+  test("preferencePairs: reward ranking, deterministic ties, <2 targets drop") {
+    import scala.jdk.CollectionConverters._
+    val vschema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("value", DoubleType)))
+    val d = spark.createDataFrame(Seq(
+      // conv p: clear best (t4, 9.0) and worst (t2, 1.0); user turns ignored
+      Row("p", 1, "user", "u1", 5.0), Row("p", 2, "assistant", "bad", 1.0),
+      Row("p", 3, "user", "u3", 7.0), Row("p", 4, "assistant", "good", 9.0),
+      // conv q: ALL-EQUAL rewards — chosen must be min idx, rejected max idx
+      Row("q", 1, "assistant", "a", 3.0), Row("q", 2, "assistant", "b", 3.0),
+      Row("q", 3, "assistant", "c", 3.0),
+      // conv s: single target — no pair
+      Row("s", 1, "assistant", "solo", 8.0)).asJava, vschema).repartition(5)
+    val got = TranscriptDocs.preferencePairs(d, "assistant", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), r.getString(5), r.getDouble(6)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("p", 4L, "good", 9.0, 2L, "bad", 1.0),
+      ("q", 1L, "a", 3.0, 3L, "c", 3.0)))
+  }
+
   test("sftPairs: turn 1 targets emit nothing; parallelism-invariant") {
     import scala.jdk.CollectionConverters._
     val d = spark.createDataFrame(Seq(
