@@ -1017,6 +1017,24 @@ object SparkEntry {
           .where(col("conv_id") =!= "~s")
       }
     }),
+    // ---- composed SFT curation (the pair-level mini-pipeline, mirroring
+    // pipeline_curate's composition proof on the pretraining side):
+    // extract → context-sufficiency filter (≥2 context turns — prompts
+    // with a single turn of history are dropped) → ANSWER-level exact
+    // dedup (keep the lexicographically-first pair per completion; the
+    // anti-mode-collapse answer dedup an SFT set runs so one popular
+    // answer can't dominate). Each stage non-vacuous at sf0.01
+    // (1952 → context-filtered → ~100 kept); one oracle replays all three.
+    "sft_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = graft.transcripts.TranscriptDocs.sftPairs(
+        eventTranscripts(s, dir), targetRole = "purchase", ctxTurns = 4)
+      val ctx = pairs.where(col("prompt").contains("\n"))
+      val w = Window.partitionBy("completion")
+        .orderBy(col("conv_id").asc, col("turn_idx").asc)
+      ctx.withColumn("_r", row_number().over(w))
+        .where(col("_r") === 1).drop("_r")
+    }),
     // ---- preference-pair extraction (RLHF/DPO data prep from logged
     // feedback): per conversation, the 'purchase' turns rank by the logged
     // reward (events.value) and the best/worst become one (chosen,
@@ -1697,6 +1715,20 @@ object SparkEntry {
         "FROM l GROUP BY conv_id"),
     "sft_pairs" -> sftPairsOracle,
     "sft_pairs_stream" -> sftPairsOracle,
+    "sft_curate" ->
+      (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
+        "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
+        "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), " +
+        "pr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
+        "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
+        "FROM l WHERE role = 'purchase' AND turn_idx > 1), " +
+        "cf AS (SELECT * FROM pr WHERE strpos(prompt, chr(10)) > 0), " +
+        "d AS (SELECT *, row_number() OVER (PARTITION BY completion " +
+        "ORDER BY conv_id, turn_idx) AS r FROM cf) " +
+        "SELECT conv_id, turn_idx, prompt, completion FROM d WHERE r = 1"),
     "preference_pairs" ->
       ("WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
