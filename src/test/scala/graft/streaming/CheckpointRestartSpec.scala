@@ -325,4 +325,70 @@ class CheckpointRestartSpec extends AnyFunSuite
     assert(expected.exists { case (l, r) => preL(l) && heldIds(r) },
       "expected a pre-restart left joining a held-back late right")
   }
+
+  test("incremental SFT kernel resumes from checkpoint: pruned context survives") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1767225600000L
+    def turn(c: String, i: Int): SftStream.Turn =
+      SftStream.Turn(c, i, if (i % 2 == 0) "assistant" else "user",
+        s"$c-t$i", new Timestamp(base + i * 120000L))
+    val all = for (c <- Seq("a", "b", "c"); i <- 1 to 9) yield turn(c, i)
+
+    val src = MemoryStream[SftStream.Turn]
+    val cp = tmpDir("sft")
+    val outDir = tmpDir("sft-out")
+    // 3-minute delay over 2-minute turn spacing: the watermark seals (and
+    // the kernel PRUNES) early turns during phase 1, so phase 2's pairs
+    // depend on context that only exists in the checkpointed, pruned state
+    def start() =
+      SftStream.sftStream(
+          src.toDS().withWatermark("ts", "3 minutes"),
+          targetRole = "assistant", ctxTurns = 4, gapMs = 60000L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+    val ordered = all.sortBy(t => (t.ts.getTime, t.convId))
+    val (pre, post) = ordered.splitAt(18) // through turn 6 of each conv
+    val q1 = start()
+    pre.grouped(6).foreach { b => src.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val preRows = spark.read.parquet(outDir).count()
+    assert(preRows > 0, "sealed-prefix pairs must be on disk before the restart")
+
+    val q2 = start()
+    src.addData(post)
+    q2.processAllAvailable()
+    for (off <- Seq(0L, 1000L)) {
+      src.addData(SftStream.Turn("~s", 1, "", "",
+        new Timestamp(base + 9 * 120000L + 180000L + 7200000L + off)))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir).where(col("conv_id") =!= "~s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(streamed.distinct.size == streamed.size,
+      "restart must not duplicate pairs")
+    import scala.jdk.CollectionConverters._
+    val batchDf = spark.createDataFrame(
+      all.map(t => org.apache.spark.sql.Row(t.convId, t.turnIdx, t.role, t.text)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("role", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val batch = graft.transcripts.TranscriptDocs.sftPairs(batchDf, "assistant", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(streamed.toSet == batch)
+    // non-vacuous: a post-restart pair whose prompt references pre-restart
+    // turns — the context recovered from the checkpointed pruned state
+    assert(batch.exists { case (_, idx, prompt, _) =>
+      idx == 8L && prompt.contains("t4") },
+      "turn 8's prompt must carry context sealed before the restart")
+    assert(streamed.size.toLong > preRows,
+      "pairs must also be emitted after the restart")
+  }
 }
