@@ -506,6 +506,35 @@ object SparkEntry {
     * distinct. The 90 d watermark (> the 30 d data span) is what BOUNDS
     * the dedup state at scale. `check` runs against the live query before
     * stop (the RocksDB twin's non-vacuity gate). */
+  /** The sft_pairs_stream body, parameterized on a query-progress check so
+    * the RocksDB-backend twin can require its non-vacuity gate. */
+  private def sftPairsStream(s: SparkSession, dir: String,
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    import graft.streaming.SftStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val turns = eventTranscripts(s, dir)
+      .select(col("conv_id").as("convId"), col("turn_idx").as("turnIdx"),
+        col("role"), col("text"), col("ts").cast("timestamp").as("ts"))
+      .as[SftStream.Turn].collect()
+      .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
+    if (turns.isEmpty) s.emptyDataset[SftStream.Pair].toDF()
+    else {
+      val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SftStream.Turn]
+      val out = SftStream.sftStream(
+        src.toDS().withWatermark("ts", "90 days"),
+        targetRole = "purchase", ctxTurns = 4).toDF()
+      val farMs = turns.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+      def sentinel(off: Long) = SftStream.Turn("~s", 1, "", "",
+        new java.sql.Timestamp(farMs + off))
+      streamReplay(s, src, out, (onTime ++ late).toIndexedSeq,
+          Seq(sentinel(0L), sentinel(1000L)), "append", "graft_sft_stream",
+          check = check)
+        .where(col("conv_id") =!= "~s")
+    }
+  }
+
   private def dedupTurnsStream(s: SparkSession, dir: String,
       check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     import s.implicits._
@@ -993,30 +1022,14 @@ object SparkEntry {
     // ≤4 sealed turns + the open suffix (bounded by the watermark delay,
     // not conversation length). Held-back late cohort (turnIdx % 5 == 2)
     // exercises the reorder path; same DuckDB oracle as the batch form.
-    "sft_pairs_stream" -> ((s, dir) => {
-      import s.implicits._
-      import graft.streaming.SftStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val turns = eventTranscripts(s, dir)
-        .select(col("conv_id").as("convId"), col("turn_idx").as("turnIdx"),
-          col("role"), col("text"), col("ts").cast("timestamp").as("ts"))
-        .as[SftStream.Turn].collect()
-        .sortBy(t => (t.ts.getTime, t.convId, t.turnIdx))
-      if (turns.isEmpty) s.emptyDataset[SftStream.Pair].toDF()
-      else {
-        val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
-        val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SftStream.Turn]
-        val out = SftStream.sftStream(
-          src.toDS().withWatermark("ts", "90 days"),
-          targetRole = "purchase", ctxTurns = 4).toDF()
-        val farMs = turns.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
-        def sentinel(off: Long) = SftStream.Turn("~s", 1, "", "",
-          new java.sql.Timestamp(farMs + off))
-        streamReplay(s, src, out, (onTime ++ late).toIndexedSeq,
-            Seq(sentinel(0L), sentinel(1000L)), "append", "graft_sft_stream")
-          .where(col("conv_id") =!= "~s")
-      }
-    }),
+    "sft_pairs_stream" -> (sftPairsStream(_, _)),
+    // same kernel on the RocksDB state backend (changelog checkpointing
+    // on; the progress gate FAILS if RocksDB did not actually serve the
+    // state) — the newest stateful kernel stays backend-portable
+    "sft_pairs_rocksdb" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        sftPairsStream(s, dir,
+          graft.streaming.StateBackend.requireRocksDBServed))),
     // ---- composed SFT curation (the pair-level mini-pipeline, mirroring
     // pipeline_curate's composition proof on the pretraining side):
     // extract → context-sufficiency filter (≥2 context turns — prompts
@@ -1715,6 +1728,7 @@ object SparkEntry {
         "FROM l GROUP BY conv_id"),
     "sft_pairs" -> sftPairsOracle,
     "sft_pairs_stream" -> sftPairsOracle,
+    "sft_pairs_rocksdb" -> sftPairsOracle,
     "sft_curate" ->
       (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
         "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
