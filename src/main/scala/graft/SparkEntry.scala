@@ -44,19 +44,27 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx, " +
       "event_type AS role, props AS text FROM events)"
 
-  /** Shared by sft_pairs and its incremental streaming twin: the batch
-    * lag-window form of bounded-context (≤4 prior turns) pair extraction —
-    * the stream kernel must converge to exactly this relation. */
-  private val sftPairsOracle =
+  /** ONE copy of the SFT pair-extraction CTE chain (transcripts → 4-lag
+    * window → (prompt, completion) pairs as `pr`), shared by every oracle
+    * downstream of pair extraction (sft_pairs, its stream/rocksdb twins,
+    * sft_curate, sft_pack_masked) so the extraction contract cannot drift
+    * between gates. */
+  private val sftPairsCtes =
     transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
       "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
       "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
       "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
       "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
-      "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) " +
-      "SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
+      "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), " +
+      "pr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
       "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
-      "FROM l WHERE role = 'purchase' AND turn_idx > 1"
+      "FROM l WHERE role = 'purchase' AND turn_idx > 1)"
+
+  /** Shared by sft_pairs and its incremental streaming twin: the batch
+    * lag-window form of bounded-context (≤4 prior turns) pair extraction —
+    * the stream kernel must converge to exactly this relation. */
+  private val sftPairsOracle =
+    sftPairsCtes + " SELECT conv_id, turn_idx, prompt, completion FROM pr"
 
   /** Shared by turn_latency and its O(1)-state streaming twin: exact
     * integer micros between consecutive turns, aggregated per conv. */
@@ -129,19 +137,22 @@ object SparkEntry {
     * role = event_type, text = props — same derivation DuckDB replays in
     * the transcript_* oracles. The rank window partitions by user, so it
     * scales horizontally (one conversation per task group). */
-  private def eventTranscripts(s: SparkSession, dir: String): DataFrame = {
+  private def eventTranscripts(s: SparkSession, dir: String,
+                               extra: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // rank by the STRING conv_id (user_id's cast is bijective, so the rank
     // is identical) — the downstream render/roleStats groupBy keys on
     // conv_id too, letting ENSURE_REQUIREMENTS reuse this exchange instead
-    // of reshuffling the full turn table a second time
+    // of reshuffling the full turn table a second time. `extra` appends
+    // pass-through event columns (e.g. the logged reward `value`) without
+    // widening the default schema every other entry sees.
     val w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("conv_id", col("user_id").cast("string"))
       .withColumn("turn_idx", row_number().over(w))
-      .select(col("conv_id"), col("turn_idx"),
+      .select((Seq(col("conv_id"), col("turn_idx"),
         col("event_type").as("role"), col("props").as("text"),
-        col("ts")) // NTZ; stream twins cast before watermarking
+        col("ts")) ++ extra.map(col)): _*) // NTZ; stream twins cast before watermarking
   }
 
   /** THE memory-source replay protocol, shared by every streaming driver
@@ -1054,16 +1065,9 @@ object SparkEntry {
     // rejected) pair with deterministic tie-breaks; convs with <2 targets
     // emit nothing (150 pairs at sf0.01, incl. one real reward tie).
     // Rewards pass through raw — zero float arithmetic, exact hash.
-    "preference_pairs" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
-      val t = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("conv_id", col("user_id").cast("string"))
-        .withColumn("turn_idx", row_number().over(w))
-        .select(col("conv_id"), col("turn_idx"),
-          col("event_type").as("role"), col("props").as("text"), col("value"))
-      graft.transcripts.TranscriptDocs.preferencePairs(t, "purchase", "value")
-    }),
+    "preference_pairs" -> ((s, dir) =>
+      graft.transcripts.TranscriptDocs.preferencePairs(
+        eventTranscripts(s, dir, extra = Seq("value")), "purchase", "value")),
     // ---- loss-masked packing of the SFT examples (the dataloader step
     // after pair extraction): examples concatenated in ex_id order into
     // 64-token windows; each (example, pack) segment reports its LOSS
@@ -1730,16 +1734,8 @@ object SparkEntry {
     "sft_pairs_stream" -> sftPairsOracle,
     "sft_pairs_rocksdb" -> sftPairsOracle,
     "sft_curate" ->
-      (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
-        "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), " +
-        "pr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, " +
-        "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
-        "FROM l WHERE role = 'purchase' AND turn_idx > 1), " +
-        "cf AS (SELECT * FROM pr WHERE strpos(prompt, chr(10)) > 0), " +
+      (sftPairsCtes +
+        ", cf AS (SELECT * FROM pr WHERE strpos(prompt, chr(10)) > 0), " +
         "d AS (SELECT *, row_number() OVER (PARTITION BY completion " +
         "ORDER BY conv_id, turn_idx) AS r FROM cf) " +
         "SELECT conv_id, turn_idx, prompt, completion FROM d WHERE r = 1"),
@@ -1750,7 +1746,8 @@ object SparkEntry {
         "g AS (SELECT conv_id, turn_idx, text, value, " +
         "row_number() OVER (PARTITION BY conv_id ORDER BY value DESC, turn_idx ASC) AS rc, " +
         "row_number() OVER (PARTITION BY conv_id ORDER BY value ASC, turn_idx DESC) AS rr, " +
-        "count(*) OVER (PARTITION BY conv_id) AS n FROM t WHERE role = 'purchase'), " +
+        "count(*) OVER (PARTITION BY conv_id) AS n FROM t " +
+        "WHERE role = 'purchase' AND value IS NOT NULL), " +
         "c AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS chosen_idx, " +
         "text AS chosen_text, value AS chosen_reward FROM g WHERE rc = 1 AND n >= 2), " +
         "r AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS rejected_idx, " +
@@ -1758,19 +1755,13 @@ object SparkEntry {
         "SELECT c.conv_id, c.chosen_idx, c.chosen_text, c.chosen_reward, " +
         "r.rejected_idx, r.rejected_text, r.rejected_reward FROM c JOIN r USING (conv_id)"),
     "sft_pack_masked" ->
-      (transcriptsCte + ", l AS (SELECT conv_id, turn_idx, role, text, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 1) OVER w AS p1, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 2) OVER w AS p2, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 3) OVER w AS p3, " +
-        "lag(coalesce(role,'') || ':' || coalesce(text,''), 4) OVER w AS p4 " +
-        "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), " +
-        "pr AS (SELECT CAST(conv_id AS BIGINT) * 1000 + turn_idx AS ex_id, " +
-        "concat_ws(chr(10), p4, p3, p2, p1) AS prompt, text AS completion " +
-        "FROM l WHERE role = 'purchase' AND turn_idx > 1), " +
+      (sftPairsCtes +
+        ", ex AS (SELECT CAST(conv_id AS BIGINT) * 1000 + turn_idx AS ex_id, " +
+        "prompt, completion FROM pr), " +
         "nt AS (SELECT ex_id, " +
         "CASE WHEN length(trim(prompt)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(prompt), '\\s+')) END AS npr, " +
         "CASE WHEN length(trim(completion)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(completion), '\\s+')) END AS nco " +
-        "FROM pr), " +
+        "FROM ex), " +
         "n2 AS (SELECT ex_id, npr, npr + nco AS ntok FROM nt WHERE npr + nco > 0), " +
         "c AS (SELECT ex_id, npr, ntok, CAST(coalesce(sum(ntok) OVER (ORDER BY ex_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0 FROM n2), " +

@@ -220,8 +220,12 @@ object TrainingQueries {
       ", w AS (SELECT source, tt, CASE WHEN s0*s0 > tt THEN s0-1 " +
       "WHEN (s0+1)*(s0+1) <= tt THEN s0+1 ELSE s0 END AS ws FROM q)" +
       ", tot AS (SELECT sum(ws) AS wsum FROM w)" +
+      // '//' (integer floor division), NOT '/': HUGEINT '/' is FLOAT
+      // division in DuckDB and CAST-to-BIGINT rounds to nearest, which
+      // would sit one above the engine's BigInt floor whenever the exact
+      // ratio's fractional part is >= 0.5
       ", r AS (SELECT w.source, CASE WHEN CAST(25000 AS HUGEINT)*ws >= CAST(wsum AS HUGEINT)*tt " +
-      "THEN 1000003 ELSE CAST(CAST(1000003 AS HUGEINT)*25000*ws / (CAST(wsum AS HUGEINT)*tt) AS BIGINT) END AS thr " +
+      "THEN 1000003 ELSE CAST(CAST(1000003 AS HUGEINT)*25000*ws // (CAST(wsum AS HUGEINT)*tt) AS BIGINT) END AS thr " +
       "FROM w, tot) " +
       "SELECT d.doc_id, d.source, d.n_tokens FROM d JOIN r USING (source) " +
       "WHERE (d.doc_id % 1000003 * 48271 + 7) % 1000003 < r.thr"

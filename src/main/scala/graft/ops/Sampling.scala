@@ -218,6 +218,10 @@ object Sampling {
   def temperatureRates(df: DataFrame, groupCol: String, tokensCol: String,
                        targetTokens: Long): DataFrame = {
     require(targetTokens >= 0, "targetTokens must be non-negative")
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMix: $groupCol must be a string source label, got " +
+        df.schema(groupCol).dataType.simpleString)
     val spark = df.sparkSession
     import spark.implicits._
     val stats = df.groupBy(col(groupCol))

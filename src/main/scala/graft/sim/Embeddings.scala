@@ -458,6 +458,11 @@ object Embeddings {
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame, tau: Double,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
+    // same guard as the frozen twin: an empty bench would silently emit
+    // ZERO audit rows (empty cross product -> empty groupBy) instead of
+    // one all-clear record per corpus vector — a caller anti-joining on
+    // the verdict would drop the whole corpus
+    require(!bench.isEmpty, "bench set must be non-empty")
     val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
     corpus.select(col(idCol), col(vecCol).as("cv"))
       .join(broadcast(b))

@@ -26,13 +26,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * conversation (the north input derives turn_idx FROM the ts order, so
   * this holds by construction). Under that contract the sealed prefix is
   * always a turn_idx prefix and the emitted pairs equal the batch gate's
-  * lag-window output for any delivery schedule inside the watermark delay.
+  * lag-window output for any delivery schedule inside the watermark delay,
+  * provided no conversation sits idle past gapMs (the RESUME-AFTER-TIMEOUT
+  * caveat below).
   *
-  * Caveat (documented drop rule, shared with every stream twin here): a
-  * turn arriving after the watermark has passed it is dropped by Spark
-  * before the kernel sees it — the gate's 90-day delay makes that
-  * impossible for the replayed corpus, exactly as a production delay is
-  * chosen to cover the redelivery horizon. */
+  * Caveats (documented rules, shared with every stream twin here):
+  *  - DROP: a turn arriving after the watermark has passed it is dropped
+  *    by Spark before the kernel sees it — the gate's 90-day delay makes
+  *    that impossible for the replayed corpus, exactly as a production
+  *    delay is chosen to cover the redelivery horizon.
+  *  - RESUME-AFTER-TIMEOUT: the event-time timeout drains AND REMOVES the
+  *    key, including its carried context (keeping it would be unbounded
+  *    state for dead conversations). An ON-TIME turn arriving after its
+  *    conversation's gap timeout fired (idle > gapMs of event time)
+  *    re-opens the key with EMPTY context, so its first pairs carry a
+  *    shorter prompt than the batch gate's — the same re-open rule as
+  *    [[RenderStream]]'s second-partial-document caveat. Choose gapMs to
+  *    cover the longest legitimate intra-conversation silence; the driver
+  *    gate's sentinel margin guarantees no real conversation times out
+  *    before its turns are all sealed. */
 object SftStream {
 
   case class Turn(convId: String, turnIdx: Int, role: String, text: String,

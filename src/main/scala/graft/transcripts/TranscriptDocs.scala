@@ -101,14 +101,18 @@ object TranscriptDocs {
     * (reward ASC, turn_idx DESC), so ties are deterministic and an
     * all-equal-reward conversation still yields a valid (min-idx, max-idx)
     * pair. Conversations with fewer than two target turns emit nothing
-    * (no pair exists). Reward values pass through RAW — no arithmetic on
+    * (no pair exists). Turns with a NULL reward are excluded up front —
+    * un-scored candidates cannot rank, and NULL ordering differs between
+    * engines (Spark sorts NULLs first ascending, DuckDB last), so
+    * admitting them would make "rejected" engine-dependent. Reward values
+    * pass through RAW — no arithmetic on
     * them, so the float column hash-compares exactly across engines.
     * Three conv-partitioned windows + a conv-keyed self-join, all on the
     * same key: one exchange, reused by ENSURE_REQUIREMENTS, nothing
     * funnels through a single partition. */
   def preferencePairs(t: DataFrame, targetRole: String,
                       rewardCol: String): DataFrame = {
-    val tgt = t.where(col("role") === targetRole)
+    val tgt = t.where(col("role") === targetRole && col(rewardCol).isNotNull)
       .select(col("conv_id"), col("turn_idx"), col("text"),
         col(rewardCol).as("_rw"))
     val wc = Window.partitionBy("conv_id")
