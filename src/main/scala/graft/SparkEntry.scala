@@ -517,10 +517,13 @@ object SparkEntry {
     * distinct. The 90 d watermark (> the 30 d data span) is what BOUNDS
     * the dedup state at scale. `check` runs against the live query before
     * stop (the RocksDB twin's non-vacuity gate). */
-  /** The sft_pairs_stream body, parameterized on a query-progress check so
-    * the RocksDB-backend twin can require its non-vacuity gate. */
+  /** The sft_pairs_stream body, parameterized on a query-progress check
+    * (so the RocksDB-backend twin can require its non-vacuity gate) and on
+    * the kernel runtime (fMGWS default; `tws = true` runs the
+    * column-family [[graft.streaming.SftTws]] form). */
   private def sftPairsStream(s: SparkSession, dir: String,
-      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => (),
+      tws: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.streaming.SftStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -533,9 +536,12 @@ object SparkEntry {
     else {
       val (late, onTime) = turns.partition(_.turnIdx % 5 == 2)
       val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SftStream.Turn]
-      val out = SftStream.sftStream(
-        src.toDS().withWatermark("ts", "90 days"),
-        targetRole = "purchase", ctxTurns = 4).toDF()
+      val wmIn = src.toDS().withWatermark("ts", "90 days")
+      val out =
+        (if (tws) graft.streaming.SftTws.sftStream(wmIn,
+            targetRole = "purchase", ctxTurns = 4)
+         else SftStream.sftStream(wmIn,
+            targetRole = "purchase", ctxTurns = 4)).toDF()
       val farMs = turns.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
       def sentinel(off: Long) = SftStream.Turn("~s", 1, "", "",
         new java.sql.Timestamp(farMs + off))
@@ -1041,6 +1047,13 @@ object SparkEntry {
       graft.streaming.StateBackend.withRocksDB(s)(
         sftPairsStream(s, dir,
           graft.streaming.StateBackend.requireRocksDBServed))),
+    // same kernel on transformWithState (stateful v2): pend ListState gets
+    // O(1) appends per turn and the carried context is its own tiny
+    // column family — the checkpoint-bytes-scalable form (RocksDB-only)
+    "sft_pairs_tws" -> ((s, dir) =>
+      graft.streaming.StateBackend.withRocksDB(s)(
+        sftPairsStream(s, dir,
+          graft.streaming.StateBackend.requireRocksDBServed, tws = true))),
     // ---- composed SFT curation (the pair-level mini-pipeline, mirroring
     // pipeline_curate's composition proof on the pretraining side):
     // extract → context-sufficiency filter (≥2 context turns — prompts
@@ -1733,6 +1746,7 @@ object SparkEntry {
     "sft_pairs" -> sftPairsOracle,
     "sft_pairs_stream" -> sftPairsOracle,
     "sft_pairs_rocksdb" -> sftPairsOracle,
+    "sft_pairs_tws" -> sftPairsOracle,
     "sft_curate" ->
       (sftPairsCtes +
         ", cf AS (SELECT * FROM pr WHERE strpos(prompt, chr(10)) > 0), " +

@@ -59,8 +59,10 @@ object SftStream {
     (if (role == null) "" else role) + ":" + (if (text == null) "" else text)
 
   /** Walk `seal` (sorted by turn_idx) against the carried context: emit a
-    * pair per target-role turn with ≥1 prior turn, slide the context. */
-  private def drain(key: String, ctx0: List[(Int, String)],
+    * pair per target-role turn with ≥1 prior turn, slide the context.
+    * Shared with the TWS twin ([[SftTws]]) so both runtimes emit from ONE
+    * kernel and cannot drift. */
+  private[streaming] def drain(key: String, ctx0: List[(Int, String)],
                     seal: List[(Int, String, String, Long)],
                     targetRole: String, ctxTurns: Int, sep: String)
       : (List[Pair], List[(Int, String)]) = {
@@ -115,5 +117,110 @@ object SftStream {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(
         process(targetRole, ctxTurns, sep, gapMs))
+  }
+}
+
+/** The SFT pair-extraction kernel on `transformWithState` (Spark 4
+  * stateful v2) — the state-scalable twin of [[SftStream.sftStream]],
+  * emitting the SAME pairs through the SAME shared [[SftStream.drain]]
+  * walk. The fMGWS form's per-key state is one serialized blob rewritten
+  * per arriving turn; here it decomposes into column families so the hot
+  * path is incremental (the same trade [[PatternsTws]] measured at 14.9×
+  * fewer checkpoint bytes):
+  *   - `pend` ListState[(turnIdx, role, text, tsMs)] — O(1) APPEND per
+  *     arriving turn; rewritten only when the watermark actually seals
+  *     entries (amortized, not per-turn);
+  *   - `ctx`  ValueState[[[SftTws.Ctx]]] — the carried ≤ctxTurns sealed
+  *     pieces + the conversation's last event time; O(ctxTurns) and only
+  *     written when something seals.
+  * Sealing is timer-driven: while turns are pending a timer sits just past
+  * the watermark, so a quiescent conversation still seals when OTHER
+  * conversations advance the watermark. When pending empties, a cleanup
+  * timer at lastMs + gapMs clears the carried context — the same
+  * RESUME-AFTER-TIMEOUT caveat as the fMGWS form, giving bounded state for
+  * dead conversations. TWS requires the RocksDB provider (multiple column
+  * families), so this composes with [[StateBackend.withRocksDB]]. */
+object SftTws {
+  import SftStream.{Pair, Turn}
+
+  /** Carried sealed context + last seen event time (for the gap cleanup). */
+  final case class Ctx(pieces: Seq[(Int, String)], lastMs: Long)
+
+  final class SftProcessor(targetRole: String, ctxTurns: Int, sep: String,
+                           gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Turn, Pair] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TimerValues, TTLConfig, ValueState}
+
+    @transient private var pend: ListState[(Int, String, String, Long)] = _
+    @transient private var ctx: ValueState[Ctx] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pend = getHandle.getListState[(Int, String, String, Long)]("pend",
+        Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.STRING,
+          Encoders.scalaLong), TTLConfig.NONE)
+      ctx = getHandle.getValueState[Ctx]("ctx", Encoders.product[Ctx],
+        TTLConfig.NONE)
+    }
+
+    private def watermarkMs(tv: TimerValues): Long = {
+      val w = tv.getCurrentWatermarkInMs()
+      if (w > 0) w else Long.MinValue
+    }
+
+    /** Seal pending turns below the watermark through the shared drain;
+      * rewrite `pend` only when something sealed; re-arm timers. */
+    private def sealAndEmit(key: String, wm: Long): List[Pair] = {
+      val all = pend.get().toIndexedSeq
+      val (seal, open) = all.partition(_._4 < wm)
+      val prev = if (ctx.exists()) ctx.get()
+                 else Ctx(Nil, Long.MinValue)
+      val lastMs = (prev.lastMs +: all.map(_._4)).max
+      val (pairs, c1) = SftStream.drain(key, prev.pieces.toList,
+        seal.sortBy(_._1).toList, targetRole, ctxTurns, sep)
+      if (seal.nonEmpty) {
+        if (open.isEmpty) pend.clear() else pend.put(open.toArray)
+      }
+      ctx.update(Ctx(c1, lastMs))
+      if (open.nonEmpty) getHandle.registerTimer(math.max(wm, 0L) + 1L)
+      else getHandle.registerTimer(
+        math.max(lastMs + gapMs, math.max(wm, 0L) + 1L))
+      pairs
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Turn],
+        timerValues: TimerValues): Iterator[Pair] = {
+      rows.foreach(t =>
+        pend.appendValue((t.turnIdx, t.role, t.text, t.ts.getTime)))
+      sealAndEmit(key, watermarkMs(timerValues)).iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Pair] = {
+      val wm = watermarkMs(timerValues)
+      if (pend.exists()) sealAndEmit(key, wm).iterator
+      else if (ctx.exists()) {
+        // gap cleanup: context of a conversation idle past gapMs of event
+        // time is dropped (the documented resume-after-timeout rule);
+        // earlier wm+1 timers firing before the gap elapsed re-arm instead
+        if (wm >= ctx.get().lastMs + gapMs) ctx.clear()
+        else getHandle.registerTimer(ctx.get().lastMs + gapMs)
+        Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Same contract as [[SftStream.sftStream]] (ts-watermarked input,
+    * append output), on the TWS runtime. RocksDB-only. */
+  def sftStream(in: Dataset[Turn], targetRole: String, ctxTurns: Int = 4,
+                sep: String = "\n", gapMs: Long = 3600000L): Dataset[Pair] = {
+    require(ctxTurns >= 1, s"ctxTurns $ctxTurns must be >= 1")
+    val spark = in.sparkSession
+    import spark.implicits._
+    in.groupByKey(_.convId)
+      .transformWithState(new SftProcessor(targetRole, ctxTurns, sep, gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -84,6 +84,35 @@ class SftStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(end == batchExpected)
   }
 
+  test("TWS kernel == batch pairs (shared drain, column-family state)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val got = StateBackend.withRocksDB(spark) {
+      val src = MemoryStream[SftStream.Turn]
+      val out = SftTws.sftStream(
+        src.toDS().withWatermark("ts", "90 days"),
+        targetRole = "assistant", ctxTurns = 4, gapMs = 60000L).toDF()
+      val name = s"graft_sfttws_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (late, onTime) = all.partition(_.turnIdx % 3 == 2)
+        (onTime.grouped(7).toSeq ++ Seq(late)).foreach { b =>
+          src.addData(b); q.processAllAvailable()
+        }
+        val far = all.map(_.ts.getTime).max + 90L * 86400000L + 7200000L
+        for (off <- Seq(0L, 1000L)) {
+          src.addData(SftStream.Turn("~s", 1, "", "", new Timestamp(far + off)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).where(col("conv_id") =!= "~s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+    }
+    assert(got == batchExpected)
+  }
+
   test("incremental emission: sealed-prefix pairs emit before any timeout") {
     // 3-minute delay over an 18-minute in-order stream: the watermark
     // passes early turns while conversations are still open, so their
