@@ -1299,6 +1299,12 @@ object SparkEntry {
     // rounds, so the gate holds whether or not the peel has converged)
     "graph_kcore" -> ((s, dir) =>
       graft.ops.KCore.run(edges(s, dir), "src", "dst", k = 46, rounds = 8)),
+    // fixed-round synchronous label propagation (deterministic ties):
+    // the cheap community pass; 4 rounds on the derived graph — both
+    // engines run exactly 4, so the gate holds whether or not LPA has
+    // converged (sync LPA may oscillate; see LabelProp scaladoc)
+    "graph_lpa" -> ((s, dir) =>
+      graft.ops.LabelProp.run(edges(s, dir), "src", "dst", rounds = 4)),
     // INCREMENTAL connected components: the edge stream arrives in four
     // deterministic chunks and each chunk folds into the (node, component)
     // labeling via ConnectedComponents.absorb — state is the star forest
@@ -1535,6 +1541,7 @@ object SparkEntry {
         "JOIN edges e2 ON e2.src = e0.dst AND e2.dst = e1.dst"),
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
+    "graph_lpa" -> (edgesCte + graft.ops.LabelProp.oracleCtes(rounds = 4)),
     "cc_incremental" -> ccOracle,
     "cc_incremental_stream" -> ccOracle,
     "graph_clustering" -> (edgesCte + graft.ops.ClusteringCoeff.oracleCtes),
