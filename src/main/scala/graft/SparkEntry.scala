@@ -1305,6 +1305,11 @@ object SparkEntry {
     // converged (sync LPA may oscillate; see LabelProp scaladoc)
     "graph_lpa" -> ((s, dir) =>
       graft.ops.LabelProp.run(edges(s, dir), "src", "dst", rounds = 4)),
+    // exact-integer modularity audit of that labeling: per community,
+    // (n_nodes, intra_edges, degree_sum, q_num) with Q = Σ q_num/(2m)² —
+    // no float ever computed, the community-quality gate
+    "graph_modularity" -> ((s, dir) =>
+      graft.ops.LabelProp.modularityOf(edges(s, dir), "src", "dst", rounds = 4)),
     // INCREMENTAL connected components: the edge stream arrives in four
     // deterministic chunks and each chunk folds into the (node, component)
     // labeling via ConnectedComponents.absorb — state is the star forest
@@ -1542,6 +1547,8 @@ object SparkEntry {
     "graph_pagerank" -> (edgesCte + graft.ops.PageRank.oracleCtes(iters = 5)),
     "graph_kcore" -> (edgesCte + graft.ops.KCore.oracleCtes(k = 46, rounds = 8)),
     "graph_lpa" -> (edgesCte + graft.ops.LabelProp.oracleCtes(rounds = 4)),
+    "graph_modularity" ->
+      (edgesCte + graft.ops.LabelProp.modularityOracleCtes(rounds = 4)),
     "cc_incremental" -> ccOracle,
     "cc_incremental_stream" -> ccOracle,
     "graph_clustering" -> (edgesCte + graft.ops.ClusteringCoeff.oracleCtes),

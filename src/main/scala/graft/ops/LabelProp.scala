@@ -58,6 +58,64 @@ object LabelProp {
       .select(col("u").as("n"), col("lbl"))
   }
 
+  /** Per-community MODULARITY audit of the LPA labeling — the quality
+    * check a pipeline runs before trusting a community structure: for each
+    * label c, (n_nodes, intra_edges e_c, degree_sum d_c) plus the exact
+    * integer numerator of its modularity contribution. Newman's
+    * Q = Σ_c (e_c/m − (d_c/2m)²) scaled by (2m)² gives
+    * q_num_c = 2m·2e_c − d_c², all integers — Q = Σ q_num / (2m)², no
+    * float ever computed, so the hash gate is exact. (d_c² needs
+    * d_c < 3·10⁹ to stay in a long — a per-COMMUNITY degree sum; a
+    * community that hot would have failed the labeling's purpose first.)
+    * One labeling pass + two keyed aggregates; nothing driver-side but
+    * the scalar 2m. */
+  def modularityOf(edges: DataFrame, srcCol: String, dstCol: String,
+                   rounds: Int): DataFrame = {
+    val d = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val und = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().persist()
+    val m2 = und.count() // = 2m (both directions counted)
+    val labels = run(edges, srcCol, dstCol, rounds)
+      .select(col("node").as("n"), col("label"))
+    val byNode = und
+      .join(labels.withColumnRenamed("n", "u")
+        .withColumnRenamed("label", "lu"), "u")
+      .join(labels.withColumnRenamed("n", "v")
+        .withColumnRenamed("label", "lv"), "v")
+    // per label: degree mass d_c (every incident half-edge) and 2·e_c
+    // (intra rows — und carries both directions, so intra pairs count 2×)
+    val agg = byNode.groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("e2"))
+    val nByLabel = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val out = nByLabel.join(agg, Seq("label"))
+      .select(col("label"), col("n_nodes"),
+        (col("e2") / 2).cast("long").as("intra_edges"),
+        col("degree_sum"),
+        (lit(m2) * col("e2")
+          - col("degree_sum") * col("degree_sum")).as("q_num"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
+  /** Oracle body for [[modularityOf]] (appends to [[oracleCtes]]' l-chain). */
+  def modularityOracleCtes(rounds: Int): String =
+    oracleCtes(rounds).replace(
+      s" SELECT n AS node, CAST(lbl AS BIGINT) AS label FROM l$rounds", "") +
+      s", lab AS (SELECT n, lbl FROM l$rounds)" +
+      ", m2 AS (SELECT count(*) AS c FROM und)" +
+      ", bn AS (SELECT und.u, und.v, x.lbl AS lu, y.lbl AS lv FROM und " +
+      "JOIN lab x ON x.n = und.u JOIN lab y ON y.n = und.v)" +
+      ", ag AS (SELECT lu AS label, count(*) AS degree_sum, " +
+      "CAST(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT) AS e2 FROM bn GROUP BY lu)" +
+      ", nn AS (SELECT lbl AS label, count(*) AS n_nodes FROM lab GROUP BY lbl) " +
+      "SELECT CAST(nn.label AS BIGINT) AS label, nn.n_nodes, " +
+      "CAST(e2 // 2 AS BIGINT) AS intra_edges, ag.degree_sum, " +
+      "CAST(m2.c * e2 - ag.degree_sum * ag.degree_sum AS BIGINT) AS q_num " +
+      "FROM nn JOIN ag ON nn.label = ag.label, m2"
+
   /** Unrolled-CTE oracle body (expects an `edges(src, dst)` relation in
     * scope, like [[KCore.oracleCtes]]). */
   def oracleCtes(rounds: Int): String = {

@@ -45,6 +45,25 @@ class LabelPropSpec extends AnyFunSuite with SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("modularity audit: exact integers on the bridged-K4 graph") {
+    import spark.implicits._
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = k4a ++ k4b ++ Seq((4L, 11L))
+    val got = LabelProp.modularityOf(
+        edges.toDF("src", "dst").repartition(3), "src", "dst", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // 13 undirected edges → 2m = 26; two communities of 4 nodes, each
+    // with 6 intra edges; bridge endpoints carry one extra half-edge:
+    // d_c = 4 nodes × 3 + 1 = 13 each; q_num = 26·12 − 13² = 143
+    assert(got.map(t => (t._2, t._3, t._4, t._5)) ==
+      Seq((4L, 6L, 13L, 143L), (4L, 6L, 13L, 143L)), s"got $got")
+    // Q = Σ q_num / (2m)² = 286/676 ≈ 0.423 — positive, as a genuine
+    // community split must be
+    assert(got.map(_._5).sum > 0)
+  }
+
   test("bridged communities: the bridge does not merge dense sides (4 rounds)") {
     // two K4s joined by one edge — each side's plurality stays internal
     val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
