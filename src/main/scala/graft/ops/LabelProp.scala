@@ -25,22 +25,35 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` per round keeps the plan O(1) in rounds. */
 object LabelProp {
 
+  /** The undirected distinct view (self-loops dropped) both entry points
+    * and [[modularityOf]] share — built ONCE per invocation, never twice. */
+  private def undirectedView(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val d = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
   /** (node, label) after `rounds` synchronous updates. Input edges are
     * directed rows; propagation runs on the undirected distinct view
     * (self-loops dropped). Nodes with no surviving edge do not appear. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be positive")
-    val d = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))
-    val und = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct()
+    val und = undirectedView(edges, srcCol, dstCol)
       .repartition(col("v")).persist()
+    val out = runOnUnd(und, rounds)
+    und.unpersist()
+    out
+  }
+
+  /** LPA over a prebuilt (and caller-persisted) undirected view. */
+  private def runOnUnd(und: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
     var labels = und.select(col("u").as("n")).distinct()
       .withColumn("lbl", col("n")).localCheckpoint()
     for (_ <- 1 to rounds)
       labels = propagateRound(und, labels).localCheckpoint()
-    und.unpersist()
     labels.select(col("n").as("node"), col("lbl").as("label"))
   }
 
@@ -71,12 +84,10 @@ object LabelProp {
     * the scalar 2m. */
   def modularityOf(edges: DataFrame, srcCol: String, dstCol: String,
                    rounds: Int): DataFrame = {
-    val d = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))
-    val und = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct().persist()
+    val und = undirectedView(edges, srcCol, dstCol)
+      .repartition(col("v")).persist()
     val m2 = und.count() // = 2m (both directions counted)
-    val labels = run(edges, srcCol, dstCol, rounds)
+    val labels = runOnUnd(und, rounds)
       .select(col("node").as("n"), col("label"))
     val byNode = und
       .join(labels.withColumnRenamed("n", "u")
@@ -100,10 +111,9 @@ object LabelProp {
     out
   }
 
-  /** Oracle body for [[modularityOf]] (appends to [[oracleCtes]]' l-chain). */
+  /** Oracle body for [[modularityOf]] (appends to the shared l-chain). */
   def modularityOracleCtes(rounds: Int): String =
-    oracleCtes(rounds).replace(
-      s" SELECT n AS node, CAST(lbl AS BIGINT) AS label FROM l$rounds", "") +
+    lpaCtesBody(rounds) +
       s", lab AS (SELECT n, lbl FROM l$rounds)" +
       ", m2 AS (SELECT count(*) AS c FROM und)" +
       ", bn AS (SELECT und.u, und.v, x.lbl AS lu, y.lbl AS lv FROM und " +
@@ -116,21 +126,25 @@ object LabelProp {
       "CAST(m2.c * e2 - ag.degree_sum * ag.degree_sum AS BIGINT) AS q_num " +
       "FROM nn JOIN ag ON nn.label = ag.label, m2"
 
-  /** Unrolled-CTE oracle body (expects an `edges(src, dst)` relation in
-    * scope, like [[KCore.oracleCtes]]). */
-  def oracleCtes(rounds: Int): String = {
+  /** The shared unrolled l-chain (und + l0..l`rounds`); both oracles
+    * compose from this ONE body so neither can drift. */
+  private def lpaCtesBody(rounds: Int): String = {
     val head =
       ", und AS (SELECT src AS u, dst AS v FROM edges WHERE src <> dst " +
         "UNION SELECT dst, src FROM edges WHERE src <> dst)" +
         ", l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM und)"
-    val steps = (1 to rounds).map { i =>
+    head + (1 to rounds).map { i =>
       s", c$i AS (SELECT und.u, p.lbl, count(*) AS cnt FROM und " +
         s"JOIN l${i - 1} p ON p.n = und.v GROUP BY und.u, p.lbl)" +
         s", l$i AS (SELECT u AS n, lbl FROM (SELECT u, lbl, row_number() " +
         s"OVER (PARTITION BY u ORDER BY cnt DESC, lbl ASC) AS r FROM c$i) " +
         "WHERE r = 1)"
     }.mkString
-    head + steps +
-      s" SELECT n AS node, CAST(lbl AS BIGINT) AS label FROM l$rounds"
   }
+
+  /** Unrolled-CTE oracle body (expects an `edges(src, dst)` relation in
+    * scope, like [[KCore.oracleCtes]]). */
+  def oracleCtes(rounds: Int): String =
+    lpaCtesBody(rounds) +
+      s" SELECT n AS node, CAST(lbl AS BIGINT) AS label FROM l$rounds"
 }

@@ -171,7 +171,11 @@ object SftTws {
     }
 
     /** Seal pending turns below the watermark through the shared drain;
-      * rewrite `pend` only when something sealed; re-arm timers. */
+      * rewrite `pend` and `ctx` only when something actually changed;
+      * re-arm ONE timer (superseded timers are deleted — fMGWS's
+      * setTimeoutTimestamp replaces implicitly, TWS timers accumulate
+      * unless deleted, and per-key timer growth would erode exactly the
+      * checkpoint-bytes advantage this twin exists for). */
     private def sealAndEmit(key: String, wm: Long): List[Pair] = {
       val all = pend.get().toIndexedSeq
       val (seal, open) = all.partition(_._4 < wm)
@@ -183,10 +187,14 @@ object SftTws {
       if (seal.nonEmpty) {
         if (open.isEmpty) pend.clear() else pend.put(open.toArray)
       }
-      ctx.update(Ctx(c1, lastMs))
-      if (open.nonEmpty) getHandle.registerTimer(math.max(wm, 0L) + 1L)
-      else getHandle.registerTimer(
-        math.max(lastMs + gapMs, math.max(wm, 0L) + 1L))
+      if (seal.nonEmpty || lastMs != prev.lastMs)
+        ctx.update(Ctx(c1, lastMs))
+      val next =
+        if (open.nonEmpty) math.max(wm, 0L) + 1L
+        else math.max(lastMs + gapMs, math.max(wm, 0L) + 1L)
+      val it = getHandle.listTimers()
+      while (it.hasNext) getHandle.deleteTimer(it.next())
+      getHandle.registerTimer(next)
       pairs
     }
 
