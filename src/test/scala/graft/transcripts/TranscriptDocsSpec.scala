@@ -106,6 +106,76 @@ class TranscriptDocsSpec extends AnyFunSuite with SparkTestBase {
       ("q", 1L, "a", 3.0, 3L, "c", 3.0)))
   }
 
+  test("sftPairs == brute force on seeded random conversations (3 seeds)") {
+    import scala.jdk.CollectionConverters._
+    val roles = Seq("user", "assistant", "tool", null)
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val rnd = new scala.util.Random(seed)
+      val turns = for {
+        c <- 0 until 12
+        n = 1 + rnd.nextInt(9)
+        i <- 1 to n
+      } yield (s"c$c", i, roles(rnd.nextInt(roles.size)),
+        if (rnd.nextInt(10) == 0) null else s"x${rnd.nextInt(50)}")
+      val ctxN = 1 + rnd.nextInt(4)
+      // brute force: per conv, window of the <= ctxN immediately prior turns
+      def piece(r: String, t: String) =
+        (if (r == null) "" else r) + ":" + (if (t == null) "" else t)
+      val expect = turns.groupBy(_._1).flatMap { case (c, ts) =>
+        val s = ts.sortBy(_._2)
+        s.zipWithIndex.collect {
+          case ((_, idx, role, text), pos) if role == "assistant" && idx > 1 =>
+            val ctx = s.slice(math.max(0, pos - ctxN), pos)
+              .map(t => piece(t._3, t._4))
+            (c, idx.toLong, ctx.mkString("\n"), text)
+        }
+      }.toSet
+      val shuffled = rnd.shuffle(turns)
+      val df = spark.createDataFrame(
+        shuffled.map(t => Row(t._1, t._2, t._3, t._4)).asJava, schema)
+        .repartition(5)
+      val got = TranscriptDocs.sftPairs(df, "assistant", ctxN).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(got == expect, s"seed=$seed ctxTurns=$ctxN")
+    }
+  }
+
+  test("preferencePairs == brute force on seeded random rewards (3 seeds)") {
+    import scala.jdk.CollectionConverters._
+    val vschema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("value", DoubleType)))
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      val turns = for {
+        c <- 0 until 15
+        n = 1 + rnd.nextInt(6)
+        i <- 1 to n
+      } yield (s"c$c", i, if (rnd.nextInt(3) == 0) "user" else "assistant",
+        s"t$i", if (rnd.nextInt(8) == 0) null
+                else java.lang.Double.valueOf(rnd.nextInt(5).toDouble))
+      val expect = turns.groupBy(_._1).flatMap { case (c, ts) =>
+        val tgt = ts.filter(t => t._3 == "assistant" && t._5 != null)
+        if (tgt.size < 2) None
+        else {
+          val ch = tgt.minBy(t => (-t._5.doubleValue, t._2))
+          val rj = tgt.minBy(t => (t._5.doubleValue, -t._2))
+          Some((c, ch._2.toLong, ch._4, ch._5.doubleValue,
+            rj._2.toLong, rj._4, rj._5.doubleValue))
+        }
+      }.toSet
+      val df = spark.createDataFrame(
+        rnd.shuffle(turns).map(t => Row(t._1, t._2, t._3, t._4, t._5)).asJava,
+        vschema).repartition(4)
+      val got = TranscriptDocs.preferencePairs(df, "assistant", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getString(5), r.getDouble(6))).toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("sftPairs: turn 1 targets emit nothing; parallelism-invariant") {
     import scala.jdk.CollectionConverters._
     val d = spark.createDataFrame(Seq(
