@@ -769,13 +769,16 @@ object SparkEntry {
     // binding set must equal the clique4 oracle
     "seed_k4" -> ((s, dir) => graft.batch.SeedQueries.seededK4(edges(s, dir))),
     // triangle-seeded FACTORIZED K4 count (seed-q5-lean mode): the benchable
-    // scale-safe form — triangles from the fast engine, completions counted
-    // from adjacency intersections, no K4 row materialized
-    "seed_k4_count" -> ((s, dir) => {
-      val e = edges(s, dir)
-      graft.batch.SeedQueries.seededK4Count(e,
-        graft.fast.FastBatch.enumerate(e, Planner.triangle))
-    }),
+    // scale-safe form — no K4 row materialized. Round 6: runs as the fast
+    // engine's factorized clique4 count (the DFS is literally "enumerate
+    // triangles, count the 3-run adjacency intersection at the last level"
+    // without materializing the 21.6M-row triangle set or paying a per-row
+    // hash-set array_intersect — measured 2.3× at sf0.1); the composite-key
+    // seeded join form stays gated by seed_k4, and SeedQueriesSpec pins
+    // seededK4Count == this count. Oracle unchanged.
+    "seed_k4_count" -> ((s, dir) =>
+      graft.fast.FastBatch.enumerateAgg(edges(s, dir), Planner.clique4)
+        .select(col("n").as("total"))),
     // 6-clique (reference README.md:150-176) as a count on the denser
     // K6-modulus graph, via the fast engine's batch mode
     "wco_clique6_count" -> ((s, dir) =>

@@ -939,6 +939,197 @@ final class DeltaEngine(
     pr
   }
 
+  /** Partition-local count→argmin→propose→intersect over ONE seed against a
+    * FULL in-memory index — the zero-exchange batch pipeline used when the
+    * consolidated graph fits the broadcast budget (see
+    * [[FastBatch.localIndexMaxEdges]]). Lookup math is identical to the
+    * sharded exchange pipeline ([[batchProps]]): same argmin/pruneZero
+    * count, same range-predicate gallop slice at propose, same weighted
+    * run intersections, same predsOk/predsOkWithLast gates — only the
+    * routing exchanges are gone, because every key resolves in `h`.
+    * `emit(prefix, lastCand, weight)` fires once per match. */
+  private def localVisitSeed(h: DeltaEngine.HotMap, s0: Long, d0: Long, w0: Long,
+                             emit: (Array[Long], Long, Long) => Unit): Unit = {
+    val stages = plans(0).stages
+    val n = numAttrs
+
+    // `inhVs/inhWs`: the parent level's final candidate run, reusable as
+    // the pre-computed intersection of every inherited constraint (see
+    // localInheritOk) — clique-shaped levels then intersect |C| + deg(new)
+    // instead of re-intersecting every inherited adjacency from scratch.
+    def extend(p: Array[Long], w: Long, level: Int,
+               inhVs: Array[Long], inhWs: Array[Long]): Unit = {
+      val cs = stages(level)
+      // count/argmin + pruneZero: ALWAYS over the real extender degrees, so
+      // pruning is bit-identical with or without inheritance
+      var minDeg = Long.MaxValue
+      var minExt = -1
+      var i = 0
+      while (i < cs.size) {
+        val cst = cs(i)
+        val a = h.get(p(cst.prefixPos))
+        val deg = if (a == null) 0L else a.deg(cst.forward)
+        if (deg < minDeg) { minDeg = deg; minExt = i }
+        i += 1
+      }
+      if (minDeg <= 0L) return // pruneZero (net multiplicities non-negative)
+      var cvs: Array[Long] = null
+      var cws: Array[Long] = null
+      if (inhVs != null) {
+        // propose from the inherited intersection: slice it by this level's
+        // range predicates, then intersect only the non-inherited extenders
+        cvs = inhVs; cws = inhWs
+        val (from, until) = sliceRangeAt(0, level + 3, p, 0, cvs)
+        if (until <= from) return
+        if (from > 0 || until < cvs.length) {
+          cvs = java.util.Arrays.copyOfRange(cvs, from, until)
+          cws = java.util.Arrays.copyOfRange(cws, from, until)
+        }
+        val extra = localExtras(level)
+        var j = 0
+        while (j < extra.length && cvs.length > 0) {
+          val cst = extra(j)
+          val a = h.get(p(cst.prefixPos))
+          val r =
+            if (a == null) (Array.empty[Long], Array.empty[Long])
+            else DeltaEngine.intersectRuns(cvs, cws, a.vs(cst.forward), a.ws(cst.forward))
+          cvs = r._1; cws = r._2
+          j += 1
+        }
+      } else {
+        val ac = cs(minExt)
+        val am = h.get(p(ac.prefixPos))
+        cvs = am.vs(ac.forward)
+        cws = am.ws(ac.forward)
+        val (from, until) = sliceRangeAt(0, level + 3, p, 0, cvs)
+        if (until <= from) return
+        if (from > 0 || until < cvs.length) {
+          cvs = java.util.Arrays.copyOfRange(cvs, from, until)
+          cws = java.util.Arrays.copyOfRange(cws, from, until)
+        }
+        var j = 0
+        while (j < cs.size - 1 && cvs.length > 0) {
+          val o = if (j < minExt) j else j + 1
+          val cst = cs(o)
+          val a = h.get(p(cst.prefixPos))
+          val r =
+            if (a == null) (Array.empty[Long], Array.empty[Long])
+            else DeltaEngine.intersectRuns(cvs, cws, a.vs(cst.forward), a.ws(cst.forward))
+          cvs = r._1; cws = r._2
+          j += 1
+        }
+      }
+      if (cvs.length == 0) return
+      if (level == stages.size - 1) {
+        var c = 0
+        while (c < cvs.length) {
+          val w2 = w * cws(c)
+          if (w2 != 0L && predsOkWithLast(0, p, cvs(c), n)) emit(p, cvs(c), w2)
+          c += 1
+        }
+      } else {
+        val pass = localInheritOk(level)
+        var c = 0
+        while (c < cvs.length) {
+          val w2 = w * cws(c)
+          if (w2 != 0L) {
+            val p2 = java.util.Arrays.copyOf(p, p.length + 1)
+            p2(p.length) = cvs(c)
+            if (predsOk(0, p2, level + 3))
+              extend(p2, w2, level + 1,
+                if (pass) cvs else null, if (pass) cws else null)
+          }
+          c += 1
+        }
+      }
+    }
+
+    if (w0 != 0L) {
+      val p = Array(s0, d0)
+      if (predsOk(0, p, 2)) extend(p, w0, 0, null, null)
+    }
+  }
+
+  /** localInheritOk(l): level l's final candidate run C (= the intersection
+    * of ALL of stage l's constraint runs, weights multiplied through) may be
+    * handed to level l+1 as the pre-computed intersection of the inherited
+    * constraints. Exactness requires (a) level l applied no range-predicate
+    * slice (C is the full intersection) and (b) every stage-l constraint
+    * recurs verbatim in stage l+1 — then stage l+1's candidate set is
+    * C ∩ (non-inherited runs), with identical weights. Clique levels
+    * qualify; the argmin/pruneZero decision is computed from the real
+    * extender degrees either way, so pruning is unchanged. */
+  private val localInheritOk: Array[Boolean] = {
+    val st = plans(0).stages
+    Array.tabulate(st.size) { l =>
+      l + 1 < st.size &&
+        rangeTable(0)(l + 1).isEmpty &&
+        st(l).forall(c => st(l + 1).contains(c))
+    }
+  }
+
+  /** localExtras(l): stage l's constraints NOT inherited from stage l-1
+    * (only consulted when the parent passed its run down). */
+  private val localExtras: Array[Array[Planner.Constraint]] = {
+    val st = plans(0).stages
+    Array.tabulate(st.size) { l =>
+      if (l == 0) st(l).toArray
+      else st(l).diff(st(l - 1)).toArray
+    }
+  }
+
+  /** Zero-exchange batch enumeration against a full broadcast index: each
+    * seed partition runs the whole pipeline locally (broadcast-hash-join
+    * regime). Requires `numAttrs >= 3`; output rows identical to
+    * [[enumerateInternalRows]] (FastBatchSpec pins it). */
+  def enumerateLocalRows(full: Broadcast[DeltaEngine.HotMap],
+                         seeds: RDD[(Long, Long, Long)]): RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+    require(numAttrs >= 3, "local batch enumeration needs at least one extension stage")
+    val n = numAttrs
+    val engine = this
+    val inv = plans(0).inverse.toArray
+    seeds.mapPartitions { it =>
+      val h = full.value
+      val writer = new UnsafeRowWriter(n + 1)
+      it.flatMap { case (s0, d0, w0) =>
+        // per-seed buffer: bounded by one seed's match count, never the
+        // partition's (the local analog of the chunked BoundedStage emit)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        engine.localVisitSeed(h, s0, d0, w0, (p, cand, w) => {
+          writer.reset()
+          var a = 0
+          while (a < n) {
+            writer.write(a, if (inv(a) == n - 1) cand else p(inv(a)))
+            a += 1
+          }
+          writer.write(n, w)
+          buf += writer.getRow.copy()
+        })
+        buf.iterator
+      }
+    }
+  }
+
+  /** Zero-exchange (distinct match count, net weight) — the count-only twin
+    * of [[enumerateLocalRows]]; no row is materialized. */
+  def enumerateLocalAgg(full: Broadcast[DeltaEngine.HotMap],
+                        seeds: RDD[(Long, Long, Long)]): (Long, Long) = {
+    require(numAttrs >= 3, "local batch enumeration needs at least one extension stage")
+    val engine = this
+    seeds.mapPartitions { it =>
+      val h = full.value
+      var cnt = 0L
+      var tot = 0L
+      while (it.hasNext) {
+        val (s0, d0, w0) = it.next()
+        engine.localVisitSeed(h, s0, d0, w0, (_, _, w) => { cnt += 1; tot += w })
+      }
+      Iterator.single((cnt, tot))
+    }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+  }
+
   /** Batch-enumerated match rows (x0..x{k-1} un-permuted, weight), emitted
     * directly as UnsafeRows — one compact allocation per match, no external
     * Row boxing (measured: the Row + ArraySeq emit path cost ~1µs/match and
@@ -1280,6 +1471,31 @@ object DeltaEngine {
     val keySet = keys.toSet
     val entries = shards.flatMap(_.iterator.filter(e => keySet.contains(e._1))).collect()
     entries.foreach { case (k, adj) => m.put(k, adj) }
+    m
+  }
+
+  /** FULL adjacency index over a consolidated edge array, built driver-side
+    * for the zero-exchange local batch pipeline: every key's fwd/rev runs
+    * are present, so [[DeltaEngine.enumerateLocalRows]] never touches a
+    * shard. Size-gated by the caller ([[FastBatch.localIndexMaxEdges]]) —
+    * ~32 bytes per edge across both directions. */
+  def buildFullIndex(edges: Iterator[(Long, Long, Long)]): HotMap = {
+    import scala.collection.mutable
+    val fwd = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    val rev = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    for ((s, d, w) <- edges) {
+      fwd.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+      rev.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += ((s, w))
+    }
+    val m = new HotMap()
+    for (k <- fwd.keySet ++ rev.keySet) {
+      val f = IndexState.consolidate(fwd.get(k).map(_.toArray).getOrElse(Array.empty))
+      val r = IndexState.consolidate(rev.get(k).map(_.toArray).getOrElse(Array.empty))
+      val adj = new Adj(
+        f.map(_._1), f.map(_._2), f.iterator.map(_._2).sum,
+        r.map(_._1), r.map(_._2), r.iterator.map(_._2).sum)
+      if (adj.fwdVs.nonEmpty || adj.revVs.nonEmpty) m.put(k, adj)
+    }
     m
   }
 

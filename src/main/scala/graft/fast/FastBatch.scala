@@ -1,5 +1,6 @@
 package graft.fast
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Row
@@ -20,11 +21,25 @@ import graft.batch.GenericJoin.Pred
   * persisted shards instead of ~5 shuffle joins per extension level
   * (measured ~6× fewer seconds/match on the sf0.1 derived graph).
   *
-  * Scale notes: state shards by node id across `numParts` partitions; Zipf
-  * hubs are served from a broadcast hot replica with content-hash scatter
-  * routing (no partition concentrates hub traffic); ordered predicates are
-  * galloped into the sorted candidate runs at propose time, so symmetry-
-  * broken queries never generate the discarded candidates.
+  * TWO execution regimes, chosen by consolidated edge count (the same
+  * deliberate size-gated strategy pick as Catalyst's broadcast-vs-shuffle
+  * join decision):
+  *  - `|E| <= localIndexMaxEdges`: the FULL adjacency index is built once
+  *    driver-side and broadcast; every seed partition runs the whole
+  *    count/propose/intersect pipeline locally with ZERO exchanges
+  *    ([[DeltaEngine.enumerateLocalRows]]). Removes the per-hop packed
+  *    shuffles entirely (guide §2.4/§3.1).
+  *  - above the gate: the node-sharded exchange pipeline (hub keys served
+  *    from a broadcast hot replica with content-hash scatter routing) —
+  *    the form that scales past single-machine index memory.
+  * Both regimes emit identical rows (FastBatchSpec pins local == sharded).
+  *
+  * Scale notes (sharded regime): state shards by node id across `numParts`
+  * partitions; Zipf hubs are served from a broadcast hot replica with
+  * content-hash scatter routing (no partition concentrates hub traffic);
+  * ordered predicates are galloped into the sorted candidate runs at
+  * propose time, so symmetry-broken queries never generate the discarded
+  * candidates.
   *
   * Results are materialized EAGERLY (localCheckpoint) so the shards and
   * broadcasts can be released before returning. The returned DataFrame IS
@@ -36,16 +51,30 @@ import graft.batch.GenericJoin.Pred
   */
 object FastBatch {
 
+  /** Max consolidated edge count served by the zero-exchange broadcast-local
+    * pipeline (~32 bytes/edge of index both directions, plus the collected
+    * seed array — the default 4M edges is ~128 MB of broadcast index, the
+    * same order as a generous autoBroadcastJoinThreshold). Above it the
+    * node-sharded exchange pipeline serves. Env-overridable for deployments
+    * with more (or less) executor headroom; settable in-process for specs. */
+  @volatile var localIndexMaxEdges: Long =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_INDEX_EDGES", "4000000").toLong
+
   /** An eagerly-materialized result plus a deterministic release hook for
     * its pinned localCheckpoint blocks. Call `release()` AFTER consuming
     * `df`; the frame cannot be recomputed once released. */
   final case class Materialized(df: DataFrame, release: () => Unit)
 
-  private def withState[T](edges: DataFrame, motif: Seq[(Int, Int)],
-                           predicates: Seq[Pred], numParts: Int, hotKeys: Int)
-                          (body: (DeltaEngine, RDD[Shard.T], DeltaEngine.HotProvider,
-                                  org.apache.spark.broadcast.Broadcast[DeltaPack],
-                                  RDD[(Long, Long, Long)]) => T): T = {
+  /** Consolidate → gate on |E| → dispatch: `local` runs against the full
+    * broadcast index (seeds = the consolidated edges, stride-reordered so
+    * every slice samples the whole hash-ordered set — cheap insurance
+    * against hub-clustered slices); `sharded` is the exchange pipeline. */
+  private def run[T](edges: DataFrame, motif: Seq[(Int, Int)],
+                     predicates: Seq[Pred], numParts: Int, hotKeys: Int)
+                    (local: (DeltaEngine, Broadcast[DeltaEngine.HotMap],
+                             RDD[(Long, Long, Long)]) => T)
+                    (sharded: (DeltaEngine, RDD[Shard.T], DeltaEngine.HotProvider,
+                               Broadcast[DeltaPack], RDD[(Long, Long, Long)]) => T): T = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     val parts = if (numParts > 0) numParts else sc.defaultParallelism
@@ -54,23 +83,48 @@ object FastBatch {
     val e = EdgeIndex.consolidate(edges).select("src", "dst", "w").rdd
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .persist()
-    val shards = engine.buildShards(e).persist()
-    shards.count()
-    val t1 = System.nanoTime()
-    val hotK = if (hotKeys >= 0) hotKeys else 8 * parts
-    val hot = sc.broadcast(DeltaEngine.buildHot(shards, hotK))
-    val dp = sc.broadcast(DeltaPack.empty)
-    val t2 = System.nanoTime()
-    try {
-      val r = body(engine, shards, DeltaEngine.BcastHot(hot), dp, e)
-      if (FastGraphState.profile)
-        System.err.println(f"[fastprof] FastBatch parts=$parts " +
-          f"build=${(t1 - t0) / 1e9}%.2fs hot=${(t2 - t1) / 1e9}%.2fs " +
-          f"pipeline=${(System.nanoTime() - t2) / 1e9}%.2fs")
-      r
-    } finally {
-      shards.unpersist(false); e.unpersist(false)
-      hot.unpersist(false); dp.unpersist(false)
+    val cnt = e.count() // the gate: counted BEFORE any driver collect
+    if (engine.numAttrs >= 3 && cnt <= localIndexMaxEdges) {
+      val all = e.collect()
+      e.unpersist(false)
+      val strided = new Array[(Long, Long, Long)](all.length)
+      var o = 0
+      var r = 0
+      while (r < parts) {
+        var i = r
+        while (i < all.length) { strided(o) = all(i); o += 1; i += parts }
+        r += 1
+      }
+      val hot = sc.broadcast(DeltaEngine.buildFullIndex(all.iterator))
+      val seeds = sc.parallelize(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(strided), parts)
+      val t1 = System.nanoTime()
+      try {
+        val res = local(engine, hot, seeds)
+        if (FastGraphState.profile)
+          System.err.println(f"[fastprof] FastBatch LOCAL parts=$parts edges=$cnt " +
+            f"build=${(t1 - t0) / 1e9}%.2fs pipeline=${(System.nanoTime() - t1) / 1e9}%.2fs")
+        res
+      } finally hot.unpersist(false)
+    } else {
+      val shards = engine.buildShards(e).persist()
+      shards.count()
+      val t1 = System.nanoTime()
+      val hotK = if (hotKeys >= 0) hotKeys else 8 * parts
+      val hot = sc.broadcast(DeltaEngine.buildHot(shards, hotK))
+      val dp = sc.broadcast(DeltaPack.empty)
+      val t2 = System.nanoTime()
+      try {
+        val res = sharded(engine, shards, DeltaEngine.BcastHot(hot), dp, e)
+        if (FastGraphState.profile)
+          System.err.println(f"[fastprof] FastBatch parts=$parts " +
+            f"build=${(t1 - t0) / 1e9}%.2fs hot=${(t2 - t1) / 1e9}%.2fs " +
+            f"pipeline=${(System.nanoTime() - t2) / 1e9}%.2fs")
+        res
+      } finally {
+        shards.unpersist(false); e.unpersist(false)
+        hot.unpersist(false); dp.unpersist(false)
+      }
     }
   }
 
@@ -85,14 +139,20 @@ object FastBatch {
                  predicates: Seq[Pred] = Nil, numParts: Int = -1,
                  hotKeys: Int = -1): Materialized = {
     val spark = edges.sparkSession
-    val rows = withState(edges, motif, predicates, numParts, hotKeys) {
-      (engine, shards, hot, dp, e) =>
-        val out = engine.enumerateInternalRows(shards, hot, dp, e)
-        // materialize + cut lineage BEFORE the shards are unpersisted, so
+    val rows = run(edges, motif, predicates, numParts, hotKeys) {
+      (engine, hot, seeds) =>
+        val out = engine.enumerateLocalRows(hot, seeds)
+        // materialize + cut lineage BEFORE the broadcast is released, so
         // later consumption reads checkpoint blocks, not a recompute
         out.localCheckpoint()
         out.count()
         out
+    } { (engine, shards, hot, dp, e) =>
+      val out = engine.enumerateInternalRows(shards, hot, dp, e)
+      // materialize + cut lineage BEFORE the shards are unpersisted
+      out.localCheckpoint()
+      out.count()
+      out
     }
     val n = motif.flatMap(t => Seq(t._1, t._2)).max + 1
     Materialized(
@@ -118,14 +178,23 @@ object FastBatch {
                    predicates: Seq[Pred] = Nil, numParts: Int = -1,
                    hotKeys: Int = -1): Materialized = {
     val spark = edges.sparkSession
-    val rows = withState(edges, motif, predicates, numParts, hotKeys) {
-      (engine, shards, hot, dp, _) =>
+    val rows = run(edges, motif, predicates, numParts, hotKeys) {
+      (engine, hot, _) =>
+        // the index seeds are ignored: relation 0's bindings are the query
+        // rows themselves, extended against the broadcast index
         val q = EdgeIndex.norm(queries).rdd
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        val out = engine.enumerateInternalRows(shards, hot, dp, q)
+        val out = engine.enumerateLocalRows(hot, q)
         out.localCheckpoint()
         out.count()
         out
+    } { (engine, shards, hot, dp, _) =>
+      val q = EdgeIndex.norm(queries).rdd
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val out = engine.enumerateInternalRows(shards, hot, dp, q)
+      out.localCheckpoint()
+      out.count()
+      out
     }
     val n = motif.flatMap(t => Seq(t._1, t._2)).max + 1
     Materialized(
@@ -135,25 +204,33 @@ object FastBatch {
   }
 
   /** FULL-emission row count: every match row flows through the complete
-    * enumeration pipeline — packed-block exchanges AND the UnsafeRow emit —
-    * and is counted per partition without retention. This is the
-    * effort-bounded-emission stress harness: total output can exceed
-    * executor memory many times over and the job must still complete,
-    * because every stage streams chunks through its partition iterator
-    * (see [[DeltaEngine.BoundedStage]]). [[enumerateAgg]] is the fast path
-    * that SKIPS row materialization; this deliberately does not. */
+    * enumeration pipeline — including the UnsafeRow emit — and is counted
+    * per partition without retention. This is the effort-bounded-emission
+    * stress harness: total output can exceed executor memory many times
+    * over and the job must still complete (sharded regime: chunked
+    * [[DeltaEngine.BoundedStage]] emission; local regime: per-seed
+    * iterator emission). [[enumerateAgg]] is the fast path that SKIPS row
+    * materialization; this deliberately does not. */
   def enumerateRowCount(edges: DataFrame, motif: Seq[(Int, Int)],
                         predicates: Seq[Pred] = Nil, numParts: Int = -1,
                         hotKeys: Int = -1): Long =
-    withState(edges, motif, predicates, numParts, hotKeys) {
-      (engine, shards, hot, dp, e) =>
-        engine.enumerateInternalRows(shards, hot, dp, e)
+    run(edges, motif, predicates, numParts, hotKeys) {
+      (engine, hot, seeds) =>
+        engine.enumerateLocalRows(hot, seeds)
           .mapPartitions { it =>
             var n = 0L
             while (it.hasNext) { it.next(); n += 1 }
             Iterator.single(n)
           }
           .fold(0L)(_ + _)
+    } { (engine, shards, hot, dp, e) =>
+      engine.enumerateInternalRows(shards, hot, dp, e)
+        .mapPartitions { it =>
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1 }
+          Iterator.single(n)
+        }
+        .fold(0L)(_ + _)
     }
 
   /** Count-only enumeration: one row (n = distinct bindings, total = net
@@ -162,9 +239,9 @@ object FastBatch {
                    predicates: Seq[Pred] = Nil, numParts: Int = -1,
                    hotKeys: Int = -1): DataFrame = {
     val spark = edges.sparkSession
-    val (n, total) = withState(edges, motif, predicates, numParts, hotKeys) {
-      (engine, shards, hot, dp, e) => engine.enumerateAggRdd(shards, hot, dp, e)
-    }
+    val (n, total) = run(edges, motif, predicates, numParts, hotKeys) {
+      (engine, hot, seeds) => engine.enumerateLocalAgg(hot, seeds)
+    } { (engine, shards, hot, dp, e) => engine.enumerateAggRdd(shards, hot, dp, e) }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       Seq(Row(n, total)).asJava,

@@ -114,6 +114,18 @@ class GenericJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(SeedQueries.seededK4(edgesDF(k4)).count() == 1L)
   }
 
+  test("seededK4Count == fast-engine factorized clique4 count (the seed_k4_count entry form)") {
+    for (seed <- Seq(29L, 31L)) {
+      val edges = erdosRenyi(14, 110, seed)
+      val e = edgesDF(edges)
+      val viaSeed = SeedQueries.seededK4Count(e,
+        graft.fast.FastBatch.enumerate(e, Planner.triangle)).collect()(0).getLong(0)
+      val viaAgg = graft.fast.FastBatch.enumerateAgg(e, Planner.clique4)
+        .collect()(0).getLong(0)
+      assert(viaSeed == viaAgg, s"seed=$seed")
+    }
+  }
+
   test("5-clique on K6 yields C(6,5)... exactly the 6 ordered-by-attr bindings") {
     val k6 = for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)
     val c5 = GenericJoin.enumerate(edgesDF(k6), Planner.clique5)

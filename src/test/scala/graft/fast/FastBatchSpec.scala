@@ -42,13 +42,30 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
   private def sortedRows(frame: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
     frame.collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSeq.sortBy(_.mkString(","))
 
+  /** Runs `body` once per execution regime: the zero-exchange broadcast-
+    * local pipeline (gate wide open) and the node-sharded exchange pipeline
+    * (gate closed) — every equality below pins BOTH against the DataFrame
+    * oracle. */
+  private def bothRegimes(body: String => Unit): Unit = {
+    val saved = FastBatch.localIndexMaxEdges
+    try {
+      FastBatch.localIndexMaxEdges = Long.MaxValue
+      body("local")
+      FastBatch.localIndexMaxEdges = 0L
+      body("sharded")
+    } finally FastBatch.localIndexMaxEdges = saved
+  }
+
   private def check(motif: Seq[(Int, Int)], preds: Seq[GenericJoin.Pred],
                     edges: Seq[(Long, Long, Long)], parts: Int, hotKeys: Int = -1): Unit = {
     val e = df(edges)
     val expect = sortedRows(GenericJoin.enumerate(e, motif, preds))
-    val got = sortedRows(FastBatch.enumerate(e, motif, preds, numParts = parts,
-      hotKeys = hotKeys))
-    assert(got == expect, s"motif=$motif preds=$preds parts=$parts hotKeys=$hotKeys")
+    bothRegimes { regime =>
+      val got = sortedRows(FastBatch.enumerate(e, motif, preds, numParts = parts,
+        hotKeys = hotKeys))
+      assert(got == expect,
+        s"motif=$motif preds=$preds parts=$parts hotKeys=$hotKeys regime=$regime")
+    }
   }
 
   test("batch fast == sql: triangle on random weighted multigraph") {
@@ -68,9 +85,11 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
   test("enumerateAgg diamond matches full enumeration") {
     val e = df(randomEdges(30, 500, 59L))
     val full = GenericJoin.enumerate(e, Planner.diamond).collect()
-    val row = FastBatch.enumerateAgg(e, Planner.diamond, numParts = 3).collect()(0)
-    assert(row.getLong(0) == full.length)
-    assert(row.getLong(1) == full.map(r => r.getLong(r.length - 1)).sum)
+    bothRegimes { regime =>
+      val row = FastBatch.enumerateAgg(e, Planner.diamond, numParts = 3).collect()(0)
+      assert(row.getLong(0) == full.length, s"regime=$regime")
+      assert(row.getLong(1) == full.map(r => r.getLong(r.length - 1)).sum, s"regime=$regime")
+    }
   }
 
   test("batch fast == sql: clique4 (two extension levels)") {
@@ -119,17 +138,21 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
     val q = df(queries)
     val idx = EdgeIndex(EdgeIndex.consolidate(e))
     val expect = sortedRows(GenericJoin.queryStatic(q, idx, Planner.triangle))
-    val got = sortedRows(FastBatch.queryStatic(q, e, Planner.triangle, numParts = 4))
-    assert(got == expect)
+    bothRegimes { regime =>
+      val got = sortedRows(FastBatch.queryStatic(q, e, Planner.triangle, numParts = 4))
+      assert(got == expect, s"regime=$regime")
+    }
   }
 
   test("enumerateAgg matches full enumeration counts") {
     val edges = randomEdges(30, 500, 37L)
     val e = df(edges)
     val full = GenericJoin.enumerate(e, Planner.triangle).collect()
-    val row = FastBatch.enumerateAgg(e, Planner.triangle, numParts = 4).collect()(0)
-    assert(row.getLong(0) == full.length)
-    assert(row.getLong(1) == full.map(r => r.getLong(r.length - 1)).sum)
+    bothRegimes { regime =>
+      val row = FastBatch.enumerateAgg(e, Planner.triangle, numParts = 4).collect()(0)
+      assert(row.getLong(0) == full.length, s"regime=$regime")
+      assert(row.getLong(1) == full.map(r => r.getLong(r.length - 1)).sum, s"regime=$regime")
+    }
   }
 
   test("enumerateAgg with ordered predicates matches DataFrame agg") {
@@ -137,10 +160,21 @@ class FastBatchSpec extends AnyFunSuite with SparkTestBase {
     val e = df(edges)
     val expect = GenericJoin.enumerateAgg(e, Planner.clique4, GenericJoin.ordered(4))
       .collect()(0)
-    val got = FastBatch.enumerateAgg(e, Planner.clique4, GenericJoin.ordered(4),
-      numParts = 4).collect()(0)
-    assert(got.getLong(0) == expect.getLong(0))
-    assert(got.getLong(1) == expect.getLong(1))
+    bothRegimes { regime =>
+      val got = FastBatch.enumerateAgg(e, Planner.clique4, GenericJoin.ordered(4),
+        numParts = 4).collect()(0)
+      assert(got.getLong(0) == expect.getLong(0), s"regime=$regime")
+      assert(got.getLong(1) == expect.getLong(1), s"regime=$regime")
+    }
+  }
+
+  test("enumerateRowCount equals enumeration size in both regimes") {
+    val e = df(randomEdges(30, 500, 71L))
+    val full = GenericJoin.enumerate(e, Planner.triangle).count()
+    bothRegimes { regime =>
+      val n = FastBatch.enumerateRowCount(e, Planner.triangle, numParts = 4)
+      assert(n == full, s"regime=$regime")
+    }
   }
 
   test("result survives source release (eager materialization)") {
