@@ -29,13 +29,35 @@ object Dedup {
   val PortableHash: HashMode = polyHash
   val FastHash: HashMode = fastHash
 
-  /** Distinct n-word shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Distinct n-word shingles from a PRE-MATERIALIZED token-array column.
+    * Callers that can afford a projection boundary should bind `tokens(...)`
+    * to a column first and pass the attribute here: inlining the whole
+    * token expression re-executes the regex split once PER SHINGLE POSITION
+    * inside the (interpreted) lambda — measured as the dominant cost of the
+    * sf0.1 inverted-index build (§4 of the optimization guide: keep
+    * expensive subtrees out of opaque/interpreted operators). */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+
+  /** Distinct n-word shingles of a text column. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Spread row-local heavy compute (interpreted HOF shingling/hashing)
+    * across the session's cores when the upstream scan has fewer
+    * partitions — small parquet inputs arrive as 1-2 file splits and would
+    * otherwise serialize the whole signature pass onto 1-2 tasks (measured
+    * 8-10 s of the sf0.1 ngram_jaccard entries). Hash repartition on `key`
+    * (no round-robin pre-sort); a no-op when the scan is already as
+    * parallel as the session. */
+  private def spread(docs: DataFrame, key: String): DataFrame = {
+    if (docs.isStreaming) return docs // micro-batches partition per trigger
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= p) docs
+    else docs.repartition(p, col(key))
   }
 
   /** k MinHash values over the shingle set: h_i(s) = ((2i+1)·H(s) + 17i+3)
@@ -76,8 +98,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32,
                         hash: HashMode = PortableHash): DataFrame =
-    docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), k, hash).as("sig"))
+    // spread + materialize the token array before the interpreted shingle
+    // lambda (see shinglesOfTokens) — row-local signature compute then
+    // parallelizes with the session instead of the file-split count
+    spread(docs, idCol)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_t"))
+      .select(col("id"),
+        minhashSignature(shinglesOfTokens(col("_t"), n), k, hash).as("sig"))
 
   /** MinHash+LSH near-duplicate pairs: shingle→minhash→band→bucket-join.
     * Output (id_a < id_b, est_jaccard ≥ threshold). The band join is the
@@ -169,9 +196,20 @@ object Dedup {
     * concrete for the exact-Jaccard path. */
   private def invIndex(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, hashKeys: Boolean = false): DataFrame = {
-    val raw = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // spread + token-array projection boundary: see shinglesOfTokens/spread.
+    // explode_outer + null filter instead of explode: a plain explode lets
+    // InferFiltersFromGenerate push `size(sh) > 0` — with the WHOLE
+    // interpreted shingle tree substituted in — down into the parquet scan
+    // BELOW the repartition, re-evaluating the heaviest expression per row
+    // on the 1-2 file-split partitions (measured 6.5 s of the sf0.1 index
+    // build; the outer form infers nothing, and empty-shingle docs drop via
+    // the cheap null filter — same rows either way)
+    val raw = spread(docs, idCol)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_t"))
+      .select(col("id"), shinglesOfTokens(col("_t"), n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
-      .select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+      .select(col("id"), col("nsh"), explode_outer(col("sh")).as("s"))
+      .where(col("s").isNotNull)
     if (hashKeys) raw.withColumn("s", xxhash64(col("s"))) else raw
   }
 

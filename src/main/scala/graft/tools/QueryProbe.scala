@@ -28,26 +28,41 @@ object QueryProbe {
         else if (n == "clique5_dense") graft.fast.FastBatch.enumerate(
           graft.SparkEntry.edges(spark, sfDir), graft.plan.Planner.clique5).count()
         else if (n == "jaccard_prof") {
-          // phase timing of the ngram_jaccard_pairs entry's parts
+          // phase timing of the ngram_jaccard_pairs entry's parts —
+          // localCheckpoint() is EAGER, so each definition sits inside its
+          // timer (an earlier version checkpointed untimed and the labels
+          // lied)
           import org.apache.spark.sql.functions._
           val docs2 = graft.TrainingQueries.docs2(spark, sfDir)
           def t[T](label: String)(f: => T): T = {
             val t0 = System.nanoTime(); val r = f
             println(f"[probe]   $label: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
           }
-          val sh = docs2.select(col("doc_id").as("id"),
-              graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
+          // mirror Dedup.invIndex: spread + token-array projection boundary
+          val sh = docs2.repartition(
+              spark.sparkContext.defaultParallelism, col("doc_id"))
+            .select(col("doc_id").as("id"),
+              graft.text.TextOps.tokens(col("text")).as("_t"))
+            .select(col("id"),
+              graft.dedup.Dedup.shinglesOfTokens(col("_t"), 3).as("sh"))
             .withColumn("nsh", size(col("sh")).cast("long"))
-          val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
-            .localCheckpoint()
-          t("inv build+checkpoint")(inv.count())
-          val dfc = inv.groupBy("s").agg(count(lit(1)).as("_df")).localCheckpoint()
-          t("dfc agg+checkpoint")(dfc.count())
-          t("stats aggs") {
+          val inv = t("inv build+checkpoint") {
+            sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+              .localCheckpoint()
+          }
+          val dfc = t("dfc agg+checkpoint") {
+            inv.groupBy("s").agg(count(lit(1)).as("_df")).localCheckpoint()
+          }
+          t("stats scalar aggs") {
             dfc.agg(sum("_df"), sum(col("_df").cast("double") * col("_df")),
               count(lit(1))).collect()
+            inv.agg(count_distinct(col("id"))).collect()
+          }
+          t("stats heavy-frac pass") {
             inv.join(dfc.where(col("_df") > 16).select("s"), Seq("s"))
-              .groupBy("id").agg(count(lit(1))).agg(count(lit(1))).collect()
+              .where(col("nsh") > 0L)
+              .groupBy("id").agg((count(lit(1)).cast("double") / first(col("nsh"))).as("hf"))
+              .agg(coalesce(sum("hf"), lit(0.0))).collect()
           }
           t("candidate join+agg") {
             val a = inv.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
