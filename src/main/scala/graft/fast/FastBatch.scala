@@ -41,13 +41,15 @@ import graft.batch.GenericJoin.Pred
   * propose time, so symmetry-broken queries never generate the discarded
   * candidates.
   *
-  * Results are materialized EAGERLY (localCheckpoint) so the shards and
-  * broadcasts can be released before returning. The returned DataFrame IS
-  * backed by pinned block-manager blocks (the localCheckpoint), which live
-  * until the backing RDD is GC'd — a long-lived driver that runs many
-  * enumerations should use [[enumerateM]]/[[queryStaticM]] and call
-  * `release()` once the result is consumed (after release the frame is no
-  * longer readable: its lineage was truncated by design).
+  * SHARDED-regime results are materialized EAGERLY (localCheckpoint) so the
+  * shards can be released before returning; those frames are backed by
+  * pinned block-manager blocks until the backing RDD is GC'd — a long-lived
+  * driver that runs many enumerations should use
+  * [[enumerateM]]/[[queryStaticM]] and call `release()` once the result is
+  * consumed (after release the frame is no longer readable: its lineage was
+  * truncated by design). LOCAL-regime results are LAZY: the broadcast index
+  * re-serves any consumption, so a single count pays one pipeline pass and
+  * pins no row blocks.
   */
 object FastBatch {
 
@@ -139,14 +141,13 @@ object FastBatch {
                  predicates: Seq[Pred] = Nil, numParts: Int = -1,
                  hotKeys: Int = -1): Materialized = {
     val spark = edges.sparkSession
+    // LOCAL regime: returned LAZILY — the full-index broadcast re-serves any
+    // later consumption (an unpersisted TorrentBroadcast re-fetches from the
+    // driver-held value), so a consumer that counts once pays ONE pipeline
+    // pass instead of materialize-millions-of-rows + rescan. SHARDED regime
+    // stays eager: its lineage reaches back through unpersisted shards.
     val rows = run(edges, motif, predicates, numParts, hotKeys) {
-      (engine, hot, seeds) =>
-        val out = engine.enumerateLocalRows(hot, seeds)
-        // materialize + cut lineage BEFORE the broadcast is released, so
-        // later consumption reads checkpoint blocks, not a recompute
-        out.localCheckpoint()
-        out.count()
-        out
+      (engine, hot, seeds) => engine.enumerateLocalRows(hot, seeds)
     } { (engine, shards, hot, dp, e) =>
       val out = engine.enumerateInternalRows(shards, hot, dp, e)
       // materialize + cut lineage BEFORE the shards are unpersisted
@@ -181,13 +182,11 @@ object FastBatch {
     val rows = run(edges, motif, predicates, numParts, hotKeys) {
       (engine, hot, _) =>
         // the index seeds are ignored: relation 0's bindings are the query
-        // rows themselves, extended against the broadcast index
+        // rows themselves, extended against the broadcast index; lazy for
+        // the same reason as enumerateM's local branch
         val q = EdgeIndex.norm(queries).rdd
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        val out = engine.enumerateLocalRows(hot, q)
-        out.localCheckpoint()
-        out.count()
-        out
+        engine.enumerateLocalRows(hot, q)
     } { (engine, shards, hot, dp, _) =>
       val q = EdgeIndex.norm(queries).rdd
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

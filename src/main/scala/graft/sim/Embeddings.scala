@@ -27,10 +27,22 @@ object Embeddings {
   /** Exact top-k by cosine for each query against the corpus (self-match
     * excluded). Rank on cosine rounded to 9 dp with id tie-break, so the
     * ordering is reproducible across engines. Queries are broadcast. */
+  /** Spread row-local heavy vector math across the session's cores when the
+    * upstream scan has fewer partitions (small parquet inputs arrive as 1-2
+    * file splits and would otherwise serialize the interpreted per-pair
+    * cosine fold onto 1-2 tasks; same fix as Dedup's signature spread).
+    * No-op for streaming frames and already-parallel scans. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, col(key))
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val c = spread(corpus, idCol).select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 9))
     import org.apache.spark.sql.expressions.Window
