@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
   OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues,
   TTLConfig, ValueState}
 
@@ -22,11 +22,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
   * At 10^12-turn scale with long-lived keys that is the dominating cost.
   * This form decomposes the state into TWS column families so the hot path
   * is incremental:
-  *   - `buf`  ListState[(tsMs, evId, tag)] — O(1) APPEND per event; the
-  *     full list is rewritten only when the watermark actually evicts
-  *     entries (amortized, not per-event);
-  *   - `seen` MapState[evId, Boolean] — O(1) duplicate-delivery test per
-  *     event instead of materializing the whole buffer's id set;
+  *   - `buf`  MapState[evId, (tsMs, tag)] — O(1) point PUT per event, O(1)
+  *     duplicate-delivery test (containsKey), point REMOVES at eviction;
+  *     never a full-buffer rewrite (see the field comment for why a map
+  *     beats a RocksDB merge-operand list);
+  *   - `minTs` ValueState[Long] — min buffered ts, the O(1) gate that
+  *     skips the full-buffer read while nothing can finalize;
   *   - `emittedThrough` ValueState[Long] — the exactly-once emission mark.
   * TWS requires the RocksDB state store provider (multiple column
   * families), so this operator composes with
@@ -36,9 +37,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
   * per tuple (`/root/reference/src/index.rs:154-186`).
   *
   * Ordering note: appends arrive unsorted across micro-batches, so the
-  * emission path sorts the buffer per invocation — same O(n log n) as the
-  * fMGWS merge, but paid on READ (bounded by the retained window) while
-  * WRITES stay O(1) per event.
+  * emission path sorts the buffer when it actually reads it — paid only on
+  * invocations where the watermark can finalize or evict something (the
+  * `minTs` gate skips the read otherwise), while WRITES stay O(1) per
+  * event.
   *
   * MEASURED trade-off (tools/TwsShape, 64 keys × 2048 buffered events ×
   * 32 batches, both forms on RocksDB, identical outputs): the fMGWS blob
@@ -78,17 +80,26 @@ object PatternsTws {
     protected def finalized(merged: IndexedSeq[(Long, Long, String)],
         fromMs: Long, untilMs: Long, key: Long): List[O]
 
-    @transient private var buf: ListState[(Long, Long, String)] = _
-    @transient private var seen: MapState[Long, Boolean] = _
+    // buf is a MAP keyed by evId, not a list + seen-set pair: RocksDB
+    // encodes ListState appends as merge operands on ONE key, so background
+    // compaction re-merges the whole O(buffer) operand chain as it grows
+    // and every exists()/get() pays a full read-time merge — measured as
+    // per-batch cost growing with buffer length (the round-5
+    // read-amplification finding). Map entries are separate RocksDB keys:
+    // appends are point puts, the duplicate-delivery test is the SAME
+    // containsKey the old seen-family answered (one family instead of
+    // two), and eviction point-removes exactly the expired prefix.
+    @transient private var buf: MapState[Long, (Long, String)] = _
     @transient private var emitted: ValueState[Long] = _
+    @transient private var minBuf: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState[(Long, Long, String)]("buf",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
-        TTLConfig.NONE)
-      seen = getHandle.getMapState[Long, Boolean]("seen",
-        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      buf = getHandle.getMapState[Long, (Long, String)]("buf",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
       emitted = getHandle.getValueState[Long]("emittedThrough",
+        Encoders.scalaLong, TTLConfig.NONE)
+      minBuf = getHandle.getValueState[Long]("minTs",
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
@@ -104,50 +115,70 @@ object PatternsTws {
       * timer just past the watermark while anything is pending. */
     private def emitAndEvict(key: Long, wm: Long): List[O] = {
       val emittedThrough = if (emitted.exists()) emitted.get() else Long.MinValue
-      val merged = buf.get().toIndexedSeq.sortBy(t => (t._1, t._2))
+      val merged = buf.iterator()
+        .map { case (id, (ts, tag)) => (ts, id, tag) }
+        .toIndexedSeq.sortBy(t => (t._1, t._2))
       val out = finalized(merged, emittedThrough, wm, key)
       val evictBefore = if (wm == Long.MinValue) Long.MinValue else wm - retainMs
-      val kept = merged.filter(_._1 >= evictBefore)
-      if (kept.isEmpty) {
+      val evicted = merged.takeWhile(_._1 < evictBefore) // merged is ts-sorted
+      if (evicted.length == merged.length) {
         // nothing pending: drop all column families (later events arrive at
         // ts >= wm, so a fresh emission mark cannot duplicate finalized rows)
-        buf.clear(); seen.clear(); emitted.clear()
+        buf.clear(); emitted.clear(); minBuf.clear()
       } else {
-        if (kept.length != merged.length) {
-          buf.put(kept.toArray)
-          merged.iterator.takeWhile(_._1 < evictBefore)
-            .foreach(t => seen.removeKey(t._2))
-        }
+        evicted.foreach(t => buf.removeKey(t._2)) // point removes, no rewrite
+        minBuf.update(merged(evicted.length)._1)  // min ts of the kept tail
         emitted.update(math.max(emittedThrough, wm))
         getHandle.registerTimer(math.max(wm, 0L) + 1L)
       }
       out
     }
 
+    /** The long-buffer hot path (the round-5 read-amplification fix): every
+      * buffered event sits AT or ABOVE the watermark, so no match can have
+      * closed (a finalized match needs its end ts < wm, and ends are the
+      * max ts of the run) and eviction (wm - retainMs) can take nothing —
+      * skip the full-buffer list read + sort entirely. Exact because new
+      * events arrive at ts >= wm too, so delaying the emission mark loses
+      * nothing: the next real finalize scans the whole unemitted window.
+      * The reference's seal discipline (src/index.rs:154-236) amortizes
+      * exactly this way — touch the run only when the frontier crosses it. */
+    private def gatedEmitAndEvict(key: Long, wm: Long): List[O] =
+      if (minBuf.exists() && (wm == Long.MinValue || minBuf.get() >= wm)) {
+        getHandle.registerTimer(math.max(wm, 0L) + 1L)
+        Nil
+      } else emitAndEvict(key, wm)
+
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[O] = {
       val wm = watermarkMs(timerValues)
       var appended = false
+      var curMin = if (minBuf.exists()) minBuf.get() else Long.MaxValue
+      val min0 = curMin
       rows.foreach { e =>
         val t = e.ts.getTime
         // late-beyond-watermark rows are already dropped by Spark's
         // pre-operator filter; the guard stays for defense in depth
-        if (t >= wm && !seen.containsKey(e.evId)) {
-          buf.appendValue((t, e.evId, e.tag))
-          seen.updateValue(e.evId, true)
+        if (t >= wm && !buf.containsKey(e.evId)) {
+          buf.updateValue(e.evId, (t, e.tag))
+          if (t < curMin) curMin = t
           appended = true
         }
       }
+      if (curMin != min0) minBuf.update(curMin)
       // suppress the no-op path cheaply: with neither new events nor an
       // advanced watermark there is nothing to emit or evict
       if (!appended && !buf.exists()) Iterator.empty
-      else emitAndEvict(key, wm).iterator
+      else gatedEmitAndEvict(key, wm).iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[O] =
-      if (!buf.exists()) Iterator.empty
-      else emitAndEvict(key, watermarkMs(timerValues)).iterator
+      // minBuf first: buf.exists() on a RocksDB merge-operand list merges
+      // ALL n operands at read time — O(buffer) per timer fire; the minTs
+      // value family answers "anything buffered?" in O(1)
+      if (!minBuf.exists() && !buf.exists()) Iterator.empty
+      else gatedEmitAndEvict(key, watermarkMs(timerValues)).iterator
 
     /** Migration boot: seed the column families from an exported fMGWS
       * state row. The emitted-through mark is what makes the hand-over
@@ -159,8 +190,8 @@ object PatternsTws {
     override def handleInitialState(key: Long, init: PatInit,
         timerValues: TimerValues): Unit = {
       if (init.events.nonEmpty) {
-        buf.appendList(init.events.toArray)
-        init.events.foreach(e => seen.updateValue(e._2, true))
+        init.events.foreach(e => buf.updateValue(e._2, (e._1, e._3)))
+        minBuf.update(init.events.iterator.map(_._1).min)
         getHandle.registerTimer(
           math.max(timerValues.getCurrentWatermarkInMs(), 0L) + 1L)
       }

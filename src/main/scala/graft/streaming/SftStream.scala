@@ -127,9 +127,10 @@ object SftStream {
   * per arriving turn; here it decomposes into column families so the hot
   * path is incremental (the same trade [[PatternsTws]] measured at 14.9×
   * fewer checkpoint bytes):
-  *   - `pend` ListState[(turnIdx, role, text, tsMs)] — O(1) APPEND per
-  *     arriving turn; rewritten only when the watermark actually seals
-  *     entries (amortized, not per-turn);
+  *   - `pend` MapState[turnIdx, (role, text, tsMs)] — O(1) point PUT per
+  *     arriving turn; sealing REMOVES exactly the sealed prefix (point
+  *     deletes, never a full-buffer rewrite — see the field comment for
+  *     why a map beats a RocksDB merge-operand list here);
   *   - `ctx`  ValueState[[[SftTws.Ctx]]] — the carried ≤ctxTurns sealed
   *     pieces + the conversation's last event time; O(ctxTurns) and only
   *     written when something seals.
@@ -150,19 +151,31 @@ object SftTws {
                            gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Turn, Pair] {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
       TimerValues, TTLConfig, ValueState}
 
-    @transient private var pend: ListState[(Int, String, String, Long)] = _
+    // pend is a MAP keyed by turn_idx, not a list: RocksDB encodes ListState
+    // appends as merge operands on ONE key, so background compaction
+    // re-merges the whole O(buffer) operand chain as it grows and every
+    // exists()/get() pays a full read-time merge — measured as per-batch
+    // cost growing with buffer length (the round-5 read-amplification
+    // finding). Map entries are separate RocksDB keys: appends are point
+    // puts, sealing REMOVES exactly the sealed prefix (no full-list
+    // rewrite), and the changelog stays O(appends + seals).
+    @transient private var pend: MapState[Int, (String, String, Long)] = _
     @transient private var ctx: ValueState[Ctx] = _
+    @transient private var minPend: ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      pend = getHandle.getListState[(Int, String, String, Long)]("pend",
-        Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.STRING,
-          Encoders.scalaLong), TTLConfig.NONE)
+      pend = getHandle.getMapState[Int, (String, String, Long)]("pend",
+        Encoders.scalaInt,
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong),
+        TTLConfig.NONE)
       ctx = getHandle.getValueState[Ctx]("ctx", Encoders.product[Ctx],
         TTLConfig.NONE)
+      minPend = getHandle.getValueState[Long]("minPend",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     private def watermarkMs(tv: TimerValues): Long = {
@@ -177,7 +190,9 @@ object SftTws {
       * unless deleted, and per-key timer growth would erode exactly the
       * checkpoint-bytes advantage this twin exists for). */
     private def sealAndEmit(key: String, wm: Long): List[Pair] = {
-      val all = pend.get().toIndexedSeq
+      val all = pend.iterator()
+        .map { case (idx, (role, text, ts)) => (idx, role, text, ts) }
+        .toIndexedSeq
       val (seal, open) = all.partition(_._4 < wm)
       val prev = if (ctx.exists()) ctx.get()
                  else Ctx(Nil, Long.MinValue)
@@ -185,7 +200,11 @@ object SftTws {
       val (pairs, c1) = SftStream.drain(key, prev.pieces.toList,
         seal.sortBy(_._1).toList, targetRole, ctxTurns, sep)
       if (seal.nonEmpty) {
-        if (open.isEmpty) pend.clear() else pend.put(open.toArray)
+        if (open.isEmpty) { pend.clear(); minPend.clear() }
+        else {
+          seal.foreach(t => pend.removeKey(t._1)) // point removes, no rewrite
+          minPend.update(open.iterator.map(_._4).min)
+        }
       }
       if (seal.nonEmpty || lastMs != prev.lastMs)
         ctx.update(Ctx(c1, lastMs))
@@ -198,17 +217,39 @@ object SftTws {
       pairs
     }
 
+    /** The long-buffer hot path (round-5 read-amplification fix, same gate
+      * as [[PatternsTws]]): every pending turn sits AT or ABOVE the
+      * watermark, so the seal set is provably empty — skip the full-list
+      * read + sort. Exact: nothing seals, the carried context cannot
+      * slide, and `lastMs` is recomputed from the pending turns (all in
+      * hand) at the next real seal, which is the only place it is read
+      * while turns are pending (gap cleanup requires an empty buffer). */
+    private def gatedSealAndEmit(key: String, wm: Long): List[Pair] =
+      if (minPend.exists() && (wm == Long.MinValue || minPend.get() >= wm)) {
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        getHandle.registerTimer(math.max(wm, 0L) + 1L)
+        Nil
+      } else sealAndEmit(key, wm)
+
     override def handleInputRows(key: String, rows: Iterator[Turn],
         timerValues: TimerValues): Iterator[Pair] = {
-      rows.foreach(t =>
-        pend.appendValue((t.turnIdx, t.role, t.text, t.ts.getTime)))
-      sealAndEmit(key, watermarkMs(timerValues)).iterator
+      var curMin = if (minPend.exists()) minPend.get() else Long.MaxValue
+      val min0 = curMin
+      rows.foreach { t =>
+        pend.updateValue(t.turnIdx, (t.role, t.text, t.ts.getTime))
+        if (t.ts.getTime < curMin) curMin = t.ts.getTime
+      }
+      if (curMin != min0) minPend.update(curMin)
+      gatedSealAndEmit(key, watermarkMs(timerValues)).iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Pair] = {
       val wm = watermarkMs(timerValues)
-      if (pend.exists()) sealAndEmit(key, wm).iterator
+      // minPend first: pend.exists() on a RocksDB merge-operand list merges
+      // ALL n operands at read time — O(buffer) per timer fire
+      if (minPend.exists() || pend.exists()) gatedSealAndEmit(key, wm).iterator
       else if (ctx.exists()) {
         // gap cleanup: context of a conversation idle past gapMs of event
         // time is dropped (the documented resume-after-timeout rule);

@@ -89,14 +89,16 @@ class StateInspectSpec extends AnyFunSuite
       try { src.addData(evs); q.processAllAvailable() } finally q.stop()
     }
 
-    // buf ListState: one row per buffered event, key preserved
+    // buf MapState (evId-keyed since round 6): one row per buffered event,
+    // key preserved
     val buf = StateInspect.stateVar(spark, cp, "buf")
     val bufRows = buf.select(col("key.value").as("key")).collect().map(_.getLong(0))
     assert(bufRows.length > 0 && bufRows.toSet == Set(0L, 1L),
       s"buf audit rows: ${bufRows.length}")
-    // seen MapState: exactly the buffered event ids (nothing evicted yet)
-    val seen = StateInspect.stateVar(spark, cp, "seen")
-    assert(seen.count() == buf.count(), "seen must mirror the buffer ids")
+    // minTs ValueState: the read-gate summary, one row per pending key
+    val minTs = StateInspect.stateVar(spark, cp, "minTs")
+    assert(minTs.select(col("key.value")).collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L), "minTs must carry one gate row per pending key")
     // each pending key re-armed exactly one event-time timer
     val timers = StateInspect.timers(spark, cp)
     assert(timers.select(col("key.value")).collect().map(_.getLong(0)).toSet
