@@ -145,7 +145,11 @@ object PatternsTws {
       * exactly this way — touch the run only when the frontier crosses it. */
     private def gatedEmitAndEvict(key: Long, wm: Long): List[O] =
       if (minBuf.exists() && (wm == Long.MinValue || minBuf.get() >= wm)) {
-        getHandle.registerTimer(math.max(wm, 0L) + 1L)
+        val want = math.max(wm, 0L) + 1L
+        val it = getHandle.listTimers()
+        var have = false
+        while (it.hasNext) if (it.next() == want) have = true
+        if (!have) getHandle.registerTimer(want)
         Nil
       } else emitAndEvict(key, wm)
 
