@@ -949,9 +949,19 @@ final class DeltaEngine(
     * routing exchanges are gone, because every key resolves in `h`.
     * `emit(prefix, lastCand, weight)` fires once per match. */
   private def localVisitSeed(h: DeltaEngine.HotMap, s0: Long, d0: Long, w0: Long,
-                             emit: (Array[Long], Long, Long) => Unit): Unit = {
+                             emit: (Array[Long], Long, Long) => Unit,
+                             agg: DeltaEngine.LongAgg = null): Unit = {
     val stages = plans(0).stages
     val n = numAttrs
+    // Count-only fast path (enumerateLocalAgg with no final-level ne/!=
+    // predicates): the LAST level's final intersection is never
+    // materialized — the deferred run is counted with a zero-allocation
+    // galloping intersect instead of intersectRuns' two result arrays +
+    // copyOf per prefix (for clique4 at sf0.1 that is ~86M allocations
+    // across 21.6M final-level calls). Exactness: the counting intersect
+    // applies the identical nonzero-product rule as intersectRuns + the
+    // emit loop's w2 != 0 check.
+    val countLastOk = agg != null && predTable(0)(n - 2).isEmpty
 
     // `inhVs/inhWs`: the parent level's final candidate run, reusable as
     // the pre-computed intersection of every inherited constraint (see
@@ -973,8 +983,14 @@ final class DeltaEngine(
         i += 1
       }
       if (minDeg <= 0L) return // pruneZero (net multiplicities non-negative)
+      // In the count-only fast path the FINAL level's last pending
+      // intersection is deferred into a zero-allocation counting intersect
+      // (dvs/dws) instead of materializing result arrays per prefix.
+      val deferLast = countLastOk && level == stages.size - 1
       var cvs: Array[Long] = null
       var cws: Array[Long] = null
+      var dvs: Array[Long] = null
+      var dws: Array[Long] = null
       if (inhVs != null) {
         // propose from the inherited intersection: slice it by this level's
         // range predicates, then intersect only the non-inherited extenders
@@ -986,8 +1002,9 @@ final class DeltaEngine(
           cws = java.util.Arrays.copyOfRange(cws, from, until)
         }
         val extra = localExtras(level)
+        val lim = if (deferLast && extra.length > 0) extra.length - 1 else extra.length
         var j = 0
-        while (j < extra.length && cvs.length > 0) {
+        while (j < lim && cvs.length > 0) {
           val cst = extra(j)
           val a = h.get(p(cst.prefixPos))
           val r =
@@ -995,6 +1012,12 @@ final class DeltaEngine(
             else DeltaEngine.intersectRuns(cvs, cws, a.vs(cst.forward), a.ws(cst.forward))
           cvs = r._1; cws = r._2
           j += 1
+        }
+        if (deferLast && extra.length > 0 && cvs.length > 0) {
+          val cst = extra(extra.length - 1)
+          val a = h.get(p(cst.prefixPos))
+          dvs = if (a == null) DeltaEngine.emptyRunArray else a.vs(cst.forward)
+          dws = if (a == null) DeltaEngine.emptyRunArray else a.ws(cst.forward)
         }
       } else {
         val ac = cs(minExt)
@@ -1007,8 +1030,10 @@ final class DeltaEngine(
           cvs = java.util.Arrays.copyOfRange(cvs, from, until)
           cws = java.util.Arrays.copyOfRange(cws, from, until)
         }
+        val others = cs.size - 1
+        val lim = if (deferLast && others > 0) others - 1 else others
         var j = 0
-        while (j < cs.size - 1 && cvs.length > 0) {
+        while (j < lim && cvs.length > 0) {
           val o = if (j < minExt) j else j + 1
           val cst = cs(o)
           val a = h.get(p(cst.prefixPos))
@@ -1018,9 +1043,28 @@ final class DeltaEngine(
           cvs = r._1; cws = r._2
           j += 1
         }
+        if (deferLast && others > 0 && cvs.length > 0) {
+          val o = if (others - 1 < minExt) others - 1 else others
+          val cst = cs(o)
+          val a = h.get(p(cst.prefixPos))
+          dvs = if (a == null) DeltaEngine.emptyRunArray else a.vs(cst.forward)
+          dws = if (a == null) DeltaEngine.emptyRunArray else a.ws(cst.forward)
+        }
       }
       if (cvs.length == 0) return
       if (level == stages.size - 1) {
+        if (deferLast) {
+          if (dvs != null) DeltaEngine.countIntersect(cvs, cws, dvs, dws, w, agg)
+          else {
+            var c = 0
+            while (c < cvs.length) {
+              val w2 = w * cws(c)
+              if (w2 != 0L) { agg.cnt += 1L; agg.tot += w2 }
+              c += 1
+            }
+          }
+          return
+        }
         var c = 0
         while (c < cvs.length) {
           val w2 = w * cws(c)
@@ -1093,21 +1137,39 @@ final class DeltaEngine(
     seeds.mapPartitions { it =>
       val h = full.value
       val writer = new UnsafeRowWriter(n + 1)
+      // Packed-long match buffer, reused across seeds (grown rarely), and a
+      // SINGLE reused UnsafeRow yielded per match: Spark's scan contract
+      // lets a source reuse its row object (RDDScanExec re-projects and
+      // buffering operators copy), so the previous per-match
+      // `writer.getRow.copy()` — one byte[] + UnsafeRow allocation per row,
+      // 21.6M for the sf0.1 triangle set — was pure garbage-pressure. The
+      // buffer is still bounded by ONE seed's match count, never the
+      // partition's (the local analog of the chunked BoundedStage emit).
+      var buf = new Array[Long](1 << 12)
       it.flatMap { case (s0, d0, w0) =>
-        // per-seed buffer: bounded by one seed's match count, never the
-        // partition's (the local analog of the chunked BoundedStage emit)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        var m = 0
         engine.localVisitSeed(h, s0, d0, w0, (p, cand, w) => {
-          writer.reset()
+          if (m + n + 1 > buf.length) buf = java.util.Arrays.copyOf(buf, buf.length << 1)
           var a = 0
           while (a < n) {
-            writer.write(a, if (inv(a) == n - 1) cand else p(inv(a)))
+            buf(m + a) = if (inv(a) == n - 1) cand else p(inv(a))
             a += 1
           }
-          writer.write(n, w)
-          buf += writer.getRow.copy()
+          buf(m + n) = w
+          m += n + 1
         })
-        buf.iterator
+        val total = m
+        new Iterator[InternalRow] {
+          private var off = 0
+          override def hasNext: Boolean = off < total
+          override def next(): InternalRow = {
+            writer.reset()
+            var a = 0
+            while (a <= n) { writer.write(a, buf(off + a)); a += 1 }
+            off += n + 1
+            writer.getRow
+          }
+        }
       }
     }
   }
@@ -1120,13 +1182,15 @@ final class DeltaEngine(
     val engine = this
     seeds.mapPartitions { it =>
       val h = full.value
-      var cnt = 0L
-      var tot = 0L
+      val agg = new DeltaEngine.LongAgg
+      // the emit closure is the fallback for final levels with ne-style
+      // predicates; levels without them take the deferred counting intersect
       while (it.hasNext) {
         val (s0, d0, w0) = it.next()
-        engine.localVisitSeed(h, s0, d0, w0, (_, _, w) => { cnt += 1; tot += w })
+        engine.localVisitSeed(h, s0, d0, w0,
+          (_, _, w) => { agg.cnt += 1L; agg.tot += w }, agg)
       }
-      Iterator.single((cnt, tot))
+      Iterator.single((agg.cnt, agg.tot))
     }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
   }
 
@@ -1480,23 +1544,139 @@ object DeltaEngine {
     * shard. Size-gated by the caller ([[FastBatch.localIndexMaxEdges]]) —
     * ~32 bytes per edge across both directions. */
   def buildFullIndex(edges: Iterator[(Long, Long, Long)]): HotMap = {
-    import scala.collection.mutable
-    val fwd = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
-    val rev = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
-    for ((s, d, w) <- edges) {
-      fwd.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
-      rev.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += ((s, w))
+    // Primitive-array build: materialize into three parallel long arrays,
+    // sort both directions by (key, value), then slice consolidated runs in
+    // one merge walk. The previous HashMap[Long, ArrayBuffer[(Long,Long)]]
+    // form allocated >2 boxed tuples per edge and dominated the local
+    // regime's driver-side build (measured 0.4-1.1s warm / 3.2s cold for a
+    // 557K-edge graph; this form is ~20x less allocation and sorts
+    // primitives, cutting both the warm cost and the first-call JIT/GC
+    // debt that lands on the bench's first queries).
+    var n = 0
+    var cap = 1 << 12
+    var fs = new Array[Long](cap); var fd = new Array[Long](cap); var fw = new Array[Long](cap)
+    while (edges.hasNext) {
+      val e = edges.next()
+      if (n == cap) {
+        cap <<= 1
+        fs = java.util.Arrays.copyOf(fs, cap)
+        fd = java.util.Arrays.copyOf(fd, cap)
+        fw = java.util.Arrays.copyOf(fw, cap)
+      }
+      fs(n) = e._1; fd(n) = e._2; fw(n) = e._3; n += 1
     }
+    val rs = java.util.Arrays.copyOf(fd, n)
+    val rd = java.util.Arrays.copyOf(fs, n)
+    val rw = java.util.Arrays.copyOf(fw, n)
+    sortByKeyValue(fs, fd, fw, n) // fwd runs: key = src, value = dst
+    sortByKeyValue(rs, rd, rw, n) // rev runs: key = dst, value = src
     val m = new HotMap()
-    for (k <- fwd.keySet ++ rev.keySet) {
-      val f = IndexState.consolidate(fwd.get(k).map(_.toArray).getOrElse(Array.empty))
-      val r = IndexState.consolidate(rev.get(k).map(_.toArray).getOrElse(Array.empty))
-      val adj = new Adj(
-        f.map(_._1), f.map(_._2), f.iterator.map(_._2).sum,
-        r.map(_._1), r.map(_._2), r.iterator.map(_._2).sum)
-      if (adj.fwdVs.nonEmpty || adj.revVs.nonEmpty) m.put(k, adj)
+    var i = 0
+    var j = 0
+    while (i < n || j < n) {
+      val k =
+        if (i >= n) rs(j)
+        else if (j >= n) fs(i)
+        else math.min(fs(i), rs(j))
+      var fVs: Array[Long] = emptyLongArray; var fWs: Array[Long] = emptyLongArray; var fDeg = 0L
+      if (i < n && fs(i) == k) {
+        var end = i
+        while (end < n && fs(end) == k) end += 1
+        val run = consolidateRun(fd, fw, i, end)
+        fVs = run._1; fWs = run._2; fDeg = run._3
+        i = end
+      }
+      var rVs: Array[Long] = emptyLongArray; var rWs: Array[Long] = emptyLongArray; var rDeg = 0L
+      if (j < n && rs(j) == k) {
+        var end = j
+        while (end < n && rs(end) == k) end += 1
+        val run = consolidateRun(rd, rw, j, end)
+        rVs = run._1; rWs = run._2; rDeg = run._3
+        j = end
+      }
+      if (fVs.nonEmpty || rVs.nonEmpty)
+        m.put(k, new Adj(fVs, fWs, fDeg, rVs, rWs, rDeg))
     }
     m
+  }
+
+  private val emptyLongArray = new Array[Long](0)
+
+  /** Consolidates the sorted [from,until) slice of a (value, weight) run:
+    * values are already ascending; sums weights of equal values and drops
+    * zero-weight entries (the same contract as [[IndexState.consolidate]]).
+    * Returns (values, weights, weightSum). */
+  private def consolidateRun(vs: Array[Long], ws: Array[Long],
+                             from: Int, until: Int): (Array[Long], Array[Long], Long) = {
+    val outV = new Array[Long](until - from)
+    val outW = new Array[Long](until - from)
+    var o = 0
+    var deg = 0L
+    var p = from
+    while (p < until) {
+      val v = vs(p)
+      var w = 0L
+      while (p < until && vs(p) == v) { w += ws(p); p += 1 }
+      if (w != 0L) { outV(o) = v; outW(o) = w; o += 1; deg += w }
+    }
+    if (o == outV.length) (outV, outW, deg)
+    else (java.util.Arrays.copyOf(outV, o), java.util.Arrays.copyOf(outW, o), deg)
+  }
+
+  /** In-place quicksort of the parallel arrays (k, v, w)[0,n) by the
+    * composite key (k, v); insertion sort below 32 elements, Hoare
+    * partition with median-of-three pivot (balanced on heavily duplicated
+    * keys), recursion on the smaller half only. */
+  private[fast] def sortByKeyValue(k: Array[Long], v: Array[Long], w: Array[Long],
+                                   n: Int): Unit = {
+    @inline def less(a: Int, pk: Long, pv: Long): Boolean =
+      k(a) < pk || (k(a) == pk && v(a) < pv)
+    @inline def greater(a: Int, pk: Long, pv: Long): Boolean =
+      k(a) > pk || (k(a) == pk && v(a) > pv)
+    @inline def swap(a: Int, b: Int): Unit = {
+      val tk = k(a); k(a) = k(b); k(b) = tk
+      val tv = v(a); v(a) = v(b); v(b) = tv
+      val tw = w(a); w(a) = w(b); w(b) = tw
+    }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var a = lo + 1
+      while (a <= hi) {
+        val ck = k(a); val cv = v(a); val cw = w(a)
+        var b = a - 1
+        while (b >= lo && (k(b) > ck || (k(b) == ck && v(b) > cv))) {
+          k(b + 1) = k(b); v(b + 1) = v(b); w(b + 1) = w(b); b -= 1
+        }
+        k(b + 1) = ck; v(b + 1) = cv; w(b + 1) = cw
+        a += 1
+      }
+    }
+    def qsort(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (hi - lo >= 32) {
+        val mid = lo + (hi - lo) / 2
+        // median-of-three into mid
+        if (greater(lo, k(mid), v(mid))) swap(lo, mid)
+        if (greater(mid, k(hi), v(hi))) {
+          swap(mid, hi)
+          if (greater(lo, k(mid), v(mid))) swap(lo, mid)
+        }
+        val pk = k(mid); val pv = v(mid)
+        var a = lo - 1
+        var b = hi + 1
+        var done = false
+        while (!done) {
+          do a += 1 while (less(a, pk, pv))
+          do b -= 1 while (greater(b, pk, pv))
+          if (a >= b) done = true else swap(a, b)
+        }
+        // recurse on the smaller side, loop on the larger
+        if (b - lo < hi - b) { qsort(lo, b); lo = b + 1 }
+        else { qsort(b + 1, hi); hi = b }
+      }
+      insertion(lo, hi)
+    }
+    if (n > 1) qsort(0, n - 1)
   }
 
   /** Degree-only hot structures for the DISTRIBUTED bulk absorb: hub keys
@@ -1837,6 +2017,54 @@ object DeltaEngine {
     * galloping the index side when candidates are few (the reference's
     * adaptive intersect, /root/reference/static_graph/src/graph.rs:110).
     * Output weight = candW × indexW. */
+  /** Mutable (count, net-weight) accumulator for the count-only local
+    * pipeline — one per partition, so the final level never allocates. */
+  final class LongAgg { var cnt = 0L; var tot = 0L }
+
+  private[fast] val emptyRunArray = new Array[Long](0)
+
+  /** Counting twin of [[intersectRuns]]: accumulates (matches, Σ wPrefix *
+    * cw * aw) into `agg` without materializing the intersection. The
+    * nonzero rules mirror intersectRuns (zero products dropped) followed by
+    * the emit loop's w2 != 0 check, so counts are bit-identical with the
+    * materializing path. */
+  private[fast] def countIntersect(cvs: Array[Long], cws: Array[Long],
+                                   avs: Array[Long], aws: Array[Long],
+                                   wPrefix: Long, agg: LongAgg): Unit = {
+    if (cvs.length == 0 || avs.length == 0) return
+    if (cvs.length < avs.length / 4) {
+      var i = 0; var off = 0
+      while (i < cvs.length && off < avs.length) {
+        val c = cvs(i)
+        off = IndexState.gallop(avs, c, off)
+        if (off < avs.length && avs(off) == c) {
+          val pw = cws(i) * aws(off)
+          if (pw != 0L) {
+            val w2 = wPrefix * pw
+            if (w2 != 0L) { agg.cnt += 1L; agg.tot += w2 }
+          }
+          off += 1
+        }
+        i += 1
+      }
+    } else {
+      var i = 0; var j = 0
+      while (i < cvs.length && j < avs.length) {
+        val c = cvs(i)
+        if (c < avs(j)) i += 1
+        else if (c > avs(j)) j += 1
+        else {
+          val pw = cws(i) * aws(j)
+          if (pw != 0L) {
+            val w2 = wPrefix * pw
+            if (w2 != 0L) { agg.cnt += 1L; agg.tot += w2 }
+          }
+          i += 1; j += 1
+        }
+      }
+    }
+  }
+
   def intersectRuns(cvs: Array[Long], cws: Array[Long],
                     avs: Array[Long], aws: Array[Long]): (Array[Long], Array[Long]) =
     intersectWindow(cvs, 0, cws, 0, cvs.length, avs, aws)

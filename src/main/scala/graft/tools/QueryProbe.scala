@@ -19,7 +19,22 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq("wco_triangle")
+    // mirror Bench.headlineQueries' warmup so rep1 doesn't carry the JVM's
+    // compilation debt (same tiny fixture)
+    locally {
+      import org.apache.spark.sql.types._
+      val rnd = new scala.util.Random(7L)
+      val warmRows = (0 until 2000).map { _ =>
+        org.apache.spark.sql.Row(rnd.nextInt(60).toLong, rnd.nextInt(60).toLong, 1L) }
+      import scala.jdk.CollectionConverters._
+      val warm = spark.createDataFrame(warmRows.asJava, StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("w", LongType))))
+      graft.fast.FastBatch.enumerate(warm, graft.plan.Planner.triangle).count()
+      ()
+    }
     for (n <- names; r <- 1 to reps) {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val cnt =
         if (n == "--entry") graft.SparkEntry.entry(spark).count()
@@ -74,6 +89,31 @@ object QueryProbe {
               .where(col("jaccard") >= 0.5).count()
           }
         }
+        else if (n == "triangle_prof") {
+          // phase-level split of the broadcast-local WCO build: where do the
+          // seconds of FastBatch's "build" go for a 557K-edge graph?
+          def t[T](label: String)(f: => T): T = {
+            val t0 = System.nanoTime(); val r = f
+            println(f"[probe]   $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+          }
+          val e0 = graft.SparkEntry.edges(spark, sfDir)
+          val cons = t("consolidate+rdd+persist+count") {
+            val e = graft.batch.EdgeIndex.consolidate(e0).select("src", "dst", "w").rdd
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).persist()
+            e.count(); e
+          }
+          val all = t("collect")(cons.collect())
+          cons.unpersist(false)
+          val idx = t("buildFullIndex")(graft.fast.DeltaEngine.buildFullIndex(all.iterator))
+          val hot = t("broadcast")(spark.sparkContext.broadcast(idx))
+          val seeds = spark.sparkContext.parallelize(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(all), cpus.toInt)
+          val eng = new graft.fast.DeltaEngine(graft.plan.Planner.triangle, Nil, cpus.toInt)
+          val agg = t("enumerateLocalAgg")(eng.enumerateLocalAgg(hot, seeds))
+          println(s"[probe]   agg=$agg")
+          hot.unpersist(false)
+          all.length.toLong
+        }
         else if (n == "clique5_dense_count") {
           val r = graft.fast.FastBatch.enumerateAgg(
             graft.SparkEntry.edges(spark, sfDir), graft.plan.Planner.clique5).collect()(0)
@@ -82,6 +122,10 @@ object QueryProbe {
         }
         else graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[probe] $n rep$r: ${(System.nanoTime() - t0) / 1e9}%.1fs ($cnt rows)")
+      // mirror Bench's per-rep hygiene: release blocks pinned by this rep
+      val persistedAfter = spark.sparkContext.getPersistentRDDs
+      (persistedAfter.keySet -- persistedBefore).foreach(id =>
+        persistedAfter(id).unpersist(false))
     }
     spark.stop()
   }
