@@ -1093,6 +1093,10 @@ object SparkEntry {
     "sft_pack_masked" -> ((s, dir) => {
       val pairs = graft.transcripts.TranscriptDocs.sftPairs(
           eventTranscripts(s, dir), targetRole = "purchase", ctxTurns = 4)
+        // ex_id = conv_id*1000 + turn_idx collides once a conversation
+        // reaches 1000 turns (driver fixtures top out far below); the
+        // DuckDB oracle shares the formula, so widening the multiplier
+        // would break the frozen gate — documented, not changed
         .withColumn("ex_id",
           col("conv_id").cast("long") * 1000L + col("turn_idx"))
       graft.ops.Packing.packMasked(pairs, "ex_id", "prompt", "completion",

@@ -117,6 +117,11 @@ case class HllEstimate(child: Expression, m: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val regs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // a register array whose length disagrees with m would make `zeros`
+    // negative and silently return a wrong (possibly negative) estimate;
+    // fail loudly on the mismatched call instead
+    require(regs.numElements() == m,
+      s"graft_hll_estimate: ${regs.numElements()} registers but m=$m")
     var s = 0.0
     var filled = 0L
     var i = 0

@@ -22,6 +22,13 @@ object Embeddings {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** CONTRACT: inputs must have nonzero norm (every fixture/generator in
+    * this repo guarantees it). A zero-norm or null-component vector makes
+    * the division NaN, and NaN ordering differs between Spark's
+    * max(struct) (NaN sorts greatest) and plain comparison folds — the
+    * semanticDecontaminate twins would disagree on such rows. Guarding
+    * here (e.g. returning null) is deliberately NOT done while the DuckDB
+    * oracle SQL, which computes the same unguarded division, is frozen. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine for each query against the corpus (self-match

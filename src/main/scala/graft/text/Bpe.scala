@@ -68,8 +68,15 @@ object Bpe {
 
   /** Encode ONE word with the frozen merges: chars + EOW as a
     * `~`-delimited symbol string, then one non-overlapping left-to-right
-    * `replace` per merge rank — Sennrich et al.'s reference regex-sub
-    * application semantics, replayed bit-for-bit by the DuckDB oracle.
+    * `replace` per merge rank, replayed bit-for-bit by the DuckDB oracle.
+    * KNOWN DIVERGENCE from Sennrich et al.'s regex-sub (which uses
+    * zero-width lookarounds): because the delimiter is consumed by the
+    * match, ADJACENT occurrences of the same pair merge only once per
+    * rank pass (in `~e~r~e~r~` the first `(e,r)` match consumes the
+    * shared `~`, so the second is left unmerged at that rank). The oracle
+    * replays the identical single-pass replace, so the gate pins THIS
+    * semantics; switching to a fixpoint loop would change encodings and
+    * is deliberately not done while the oracle SQL is frozen.
     * Pure row-local string ops: zero shuffle, whole-stage-codegen'd —
     * tokenizer application at 100 TB is a map-only scan. */
   def encodeWord(w: Column): Column = {

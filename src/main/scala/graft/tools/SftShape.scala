@@ -47,7 +47,8 @@ object SftShape {
           s"t$i-$k", new Timestamp(base + i * stepMs))
       }
     }
-    val chunkRows = turns.length / batches
+    // grouped(0) throws before any measurement when batches > total rows
+    val chunkRows = math.max(1, turns.length / batches)
 
     def run(tag: String, tws: Boolean): (Long, Double, Seq[Double], Long) = {
       val mem = MemoryStream[Turn]
