@@ -1544,14 +1544,6 @@ object DeltaEngine {
     * shard. Size-gated by the caller ([[FastBatch.localIndexMaxEdges]]) —
     * ~32 bytes per edge across both directions. */
   def buildFullIndex(edges: Iterator[(Long, Long, Long)]): HotMap = {
-    // Primitive-array build: materialize into three parallel long arrays,
-    // sort both directions by (key, value), then slice consolidated runs in
-    // one merge walk. The previous HashMap[Long, ArrayBuffer[(Long,Long)]]
-    // form allocated >2 boxed tuples per edge and dominated the local
-    // regime's driver-side build (measured 0.4-1.1s warm / 3.2s cold for a
-    // 557K-edge graph; this form is ~20x less allocation and sorts
-    // primitives, cutting both the warm cost and the first-call JIT/GC
-    // debt that lands on the bench's first queries).
     var n = 0
     var cap = 1 << 12
     var fs = new Array[Long](cap); var fd = new Array[Long](cap); var fw = new Array[Long](cap)
@@ -1565,9 +1557,32 @@ object DeltaEngine {
       }
       fs(n) = e._1; fd(n) = e._2; fw(n) = e._3; n += 1
     }
-    val rs = java.util.Arrays.copyOf(fd, n)
-    val rd = java.util.Arrays.copyOf(fs, n)
-    val rw = java.util.Arrays.copyOf(fw, n)
+    buildFullIndexPacked(
+      java.util.Arrays.copyOf(fs, n), java.util.Arrays.copyOf(fd, n),
+      java.util.Arrays.copyOf(fw, n))
+  }
+
+  /** Packed-array form of [[buildFullIndex]] — the caller's arrays are NOT
+    * mutated (sorting happens on copies), so they can keep serving as the
+    * broadcast seed list.
+    *
+    * Primitive-array build: sort both directions by (key, value), then
+    * slice consolidated runs in one merge walk. The previous
+    * HashMap[Long, ArrayBuffer[(Long,Long)]] form allocated >2 boxed
+    * tuples per edge and dominated the local regime's driver-side build
+    * (measured 0.4-1.1s warm / 3.2s cold for a 557K-edge graph; this form
+    * is ~20x less allocation and sorts primitives, cutting both the warm
+    * cost and the first-call JIT/GC debt that lands on the bench's first
+    * queries). */
+  def buildFullIndexPacked(sa: Array[Long], da: Array[Long],
+                           wa: Array[Long]): HotMap = {
+    val n = sa.length
+    val fs = java.util.Arrays.copyOf(sa, n)
+    val fd = java.util.Arrays.copyOf(da, n)
+    val fw = java.util.Arrays.copyOf(wa, n)
+    val rs = java.util.Arrays.copyOf(da, n)
+    val rd = java.util.Arrays.copyOf(sa, n)
+    val rw = java.util.Arrays.copyOf(wa, n)
     sortByKeyValue(fs, fd, fw, n) // fwd runs: key = src, value = dst
     sortByKeyValue(rs, rd, rw, n) // rev runs: key = dst, value = src
     val m = new HotMap()

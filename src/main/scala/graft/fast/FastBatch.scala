@@ -87,19 +87,58 @@ object FastBatch {
       .persist()
     val cnt = e.count() // the gate: counted BEFORE any driver collect
     if (engine.numAttrs >= 3 && cnt <= localIndexMaxEdges) {
-      val all = e.collect()
+      // Collect PACKED primitive arrays per partition (no per-tuple boxing
+      // through the collect), concatenate driver-side, and serve the seed
+      // list from ONE broadcast of the packed arrays — tasks receive a
+      // (partition-id, stride) recipe instead of a serialized slice of
+      // boxed tuples. This shrinks the serial driver fraction that caps
+      // low-core step efficiency (guide §2.6/Amdahl: at 1.1M edges the
+      // boxed collect + per-task tuple serialization were ~1s of
+      // core-count-independent time on every local-regime query).
+      val packed = e.mapPartitions { it =>
+        var n = 0
+        var cap = 1 << 10
+        var a = new Array[Long](cap); var b = new Array[Long](cap); var c = new Array[Long](cap)
+        while (it.hasNext) {
+          val t = it.next()
+          if (n == cap) {
+            cap <<= 1
+            a = java.util.Arrays.copyOf(a, cap)
+            b = java.util.Arrays.copyOf(b, cap)
+            c = java.util.Arrays.copyOf(c, cap)
+          }
+          a(n) = t._1; b(n) = t._2; c(n) = t._3; n += 1
+        }
+        Iterator.single((java.util.Arrays.copyOf(a, n),
+          java.util.Arrays.copyOf(b, n), java.util.Arrays.copyOf(c, n)))
+      }.collect()
       e.unpersist(false)
-      val strided = new Array[(Long, Long, Long)](all.length)
-      var o = 0
-      var r = 0
-      while (r < parts) {
-        var i = r
-        while (i < all.length) { strided(o) = all(i); o += 1; i += parts }
-        r += 1
+      val total = packed.iterator.map(_._1.length).sum
+      val sa = new Array[Long](total); val da = new Array[Long](total); val wa = new Array[Long](total)
+      var off = 0
+      packed.foreach { case (a, b, c) =>
+        System.arraycopy(a, 0, sa, off, a.length)
+        System.arraycopy(b, 0, da, off, b.length)
+        System.arraycopy(c, 0, wa, off, c.length)
+        off += a.length
       }
-      val hot = sc.broadcast(DeltaEngine.buildFullIndex(all.iterator))
-      val seeds = sc.parallelize(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(strided), parts)
+      val hot = sc.broadcast(DeltaEngine.buildFullIndexPacked(sa, da, wa))
+      val seedsB = sc.broadcast((sa, da, wa))
+      // strided read: slice r samples the whole hash-scattered order (cheap
+      // insurance against hub-clustered slices), directly off the broadcast
+      val nParts = parts
+      val seeds = sc.parallelize(0 until nParts, nParts).mapPartitions { pit =>
+        pit.flatMap { r =>
+          val (ss, ds, ws) = seedsB.value
+          new Iterator[(Long, Long, Long)] {
+            private var i = r
+            override def hasNext: Boolean = i < ss.length
+            override def next(): (Long, Long, Long) = {
+              val t = (ss(i), ds(i), ws(i)); i += nParts; t
+            }
+          }
+        }
+      }
       val t1 = System.nanoTime()
       try {
         val res = local(engine, hot, seeds)
@@ -107,7 +146,7 @@ object FastBatch {
           System.err.println(f"[fastprof] FastBatch LOCAL parts=$parts edges=$cnt " +
             f"build=${(t1 - t0) / 1e9}%.2fs pipeline=${(System.nanoTime() - t1) / 1e9}%.2fs")
         res
-      } finally hot.unpersist(false)
+      } finally { hot.unpersist(false); seedsB.unpersist(false) }
     } else {
       val shards = engine.buildShards(e).persist()
       shards.count()
