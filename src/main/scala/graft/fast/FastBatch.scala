@@ -84,39 +84,51 @@ object FastBatch {
     val t0 = System.nanoTime()
     val e = EdgeIndex.consolidate(edges).select("src", "dst", "w").rdd
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .persist()
-    val cnt = e.count() // the gate: counted BEFORE any driver collect
-    if (engine.numAttrs >= 3 && cnt <= localIndexMaxEdges) {
-      // Collect PACKED primitive arrays per partition (no per-tuple boxing
-      // through the collect), concatenate driver-side, and serve the seed
-      // list from ONE broadcast of the packed arrays — tasks receive a
-      // (partition-id, stride) recipe instead of a serialized slice of
-      // boxed tuples. This shrinks the serial driver fraction that caps
-      // low-core step efficiency (guide §2.6/Amdahl: at 1.1M edges the
-      // boxed collect + per-task tuple serialization were ~1s of
-      // core-count-independent time on every local-regime query).
-      val packed = e.mapPartitions { it =>
-        var n = 0
-        var cap = 1 << 10
-        var a = new Array[Long](cap); var b = new Array[Long](cap); var c = new Array[Long](cap)
-        while (it.hasNext) {
-          val t = it.next()
-          if (n == cap) {
-            cap <<= 1
-            a = java.util.Arrays.copyOf(a, cap)
-            b = java.util.Arrays.copyOf(b, cap)
-            c = java.util.Arrays.copyOf(c, cap)
+    // ONE gate-and-collect job for the local regime: each partition packs
+    // its edges into PRIMITIVE long arrays (no per-tuple boxing through the
+    // collect) up to a per-partition cap of 2× the gate's fair share — the
+    // driver-OOM bound the old count-before-collect protected (driver
+    // receives ≤ 2 × localIndexMaxEdges edges ≈ 2× the budget, never an
+    // unbounded graph). A partition that hits its cap stops consuming and
+    // reports truncation; truncation OR a total above the gate falls back
+    // to the sharded pipeline, whose shuffle files from this pass are
+    // reused (only post-shuffle map work recomputes). Saves the separate
+    // persist+count job — measured as part of the ~1-1.5 s of
+    // core-count-independent driver time on every local-regime query.
+    val packedTry =
+      if (engine.numAttrs >= 3) {
+        val capPer = (2L * localIndexMaxEdges /
+          math.max(1, e.getNumPartitions) + 1024L).min(Int.MaxValue.toLong).toInt
+        e.mapPartitions { it =>
+          var n = 0
+          var cap = math.min(1 << 10, capPer)
+          var a = new Array[Long](cap); var b = new Array[Long](cap); var c = new Array[Long](cap)
+          while (n < capPer && it.hasNext) {
+            val t = it.next()
+            if (n == cap) {
+              cap = math.min(cap << 1, capPer)
+              a = java.util.Arrays.copyOf(a, cap)
+              b = java.util.Arrays.copyOf(b, cap)
+              c = java.util.Arrays.copyOf(c, cap)
+            }
+            a(n) = t._1; b(n) = t._2; c(n) = t._3; n += 1
           }
-          a(n) = t._1; b(n) = t._2; c(n) = t._3; n += 1
-        }
-        Iterator.single((java.util.Arrays.copyOf(a, n),
-          java.util.Arrays.copyOf(b, n), java.util.Arrays.copyOf(c, n)))
-      }.collect()
-      e.unpersist(false)
-      val total = packed.iterator.map(_._1.length).sum
+          Iterator.single((java.util.Arrays.copyOf(a, n),
+            java.util.Arrays.copyOf(b, n), java.util.Arrays.copyOf(c, n), it.hasNext))
+        }.collect()
+      } else Array.empty[(Array[Long], Array[Long], Array[Long], Boolean)]
+    val cnt = packedTry.iterator.map(_._1.length.toLong).sum
+    if (engine.numAttrs >= 3 && !packedTry.exists(_._4) && cnt <= localIndexMaxEdges) {
+      // serve the seed list from ONE broadcast of the packed arrays —
+      // tasks receive a (partition-id, stride) recipe instead of a
+      // serialized slice of boxed tuples (guide §2.6/Amdahl: at 1.1M edges
+      // the boxed collect + per-task tuple serialization were ~1s of
+      // core-count-independent time on every local-regime query)
+      val packed = packedTry
+      val total = cnt.toInt
       val sa = new Array[Long](total); val da = new Array[Long](total); val wa = new Array[Long](total)
       var off = 0
-      packed.foreach { case (a, b, c) =>
+      packed.foreach { case (a, b, c, _) =>
         System.arraycopy(a, 0, sa, off, a.length)
         System.arraycopy(b, 0, da, off, b.length)
         System.arraycopy(c, 0, wa, off, c.length)
@@ -148,6 +160,10 @@ object FastBatch {
         res
       } finally { hot.unpersist(false); seedsB.unpersist(false) }
     } else {
+      // sharded regime: persist the consolidated set (it feeds BOTH the
+      // shard build and the seed stream); the gate attempt's shuffle files
+      // are reused, so this materialization skips the map stages
+      e.persist()
       val shards = engine.buildShards(e).persist()
       shards.count()
       val t1 = System.nanoTime()
